@@ -1,0 +1,266 @@
+"""Vectorized HRV feature kernels (engine side).
+
+These re-implement, with NumPy broadcasting and design-matrix caching, the
+per-window statistics of the reference (/root/reference/hrv_features.py).
+They are numerically equivalent to — but written independently from — the
+loop-based oracle in ``seizury_hrv_featuresextraction_spark.oracle`` that
+serves as the np.allclose gate.
+
+Semantics pinned to the reference:
+- RR is converted to milliseconds before time-domain stats
+  (hrv_features.py:64); spectral features consume RR in *seconds*.
+- SDNN/SDSD/RRVar use ddof=1 (hrv_features.py:79-88); the entropy
+  tolerance uses the *population* std (hrv_features.py:277).
+- NN50 counts strict ``> 50`` ms (hrv_features.py:70).
+- Lomb-Scargle runs over beat indices 1..N, freqs linspace(0.001, 0.5,
+  1000), normalize=True, powers trapezoid-integrated per band
+  (inclusive mask) then scaled by 1e6 (hrv_features.py:119-157).
+- SampEn uses the nonstandard correction -log((a/b) * (n-m+2)/(n-m)) and
+  an asymmetric pair range (hrv_features.py:284-302); ApEn includes
+  self-matches (hrv_features.py:328-346).
+- Guards: <2 beats -> zero time features; <9 -> zero frequency features;
+  <10 -> zero entropies; the *pipeline* additionally emits all-NaN rows
+  for windows with <5 beats (data_processing_pipeline.py:724-728).
+- TRI_INDEX is an engine extension (north_star): n / max bin count with
+  1/128 s bins anchored at 0.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import HRVConfig
+from .spectral import LSDesignCache, cubic_interp, trapz_band_weights, welch_psd
+
+TIME_FEATURES = ["NN50", "pNN50", "RMSSD", "SDNN", "SDSD", "RRMean", "RRMin", "RRMax", "RRVar"]
+FREQ_FEATURES = [
+    "TOTAL_POWER", "VLF_POWER", "LF_POWER", "HF_POWER",
+    "VLF_NORM", "LF_NORM", "HF_NORM", "LF_TO_HF",
+]
+NONLINEAR_FEATURES = ["SD1", "SD2", "SD1toSD2", "SampEn", "ApEn"]
+REFERENCE_FEATURES = TIME_FEATURES + FREQ_FEATURES + NONLINEAR_FEATURES  # the 22
+ALL_FEATURES = REFERENCE_FEATURES + ["TRI_INDEX"]  # +1 engine extension
+N_FEATURES = len(ALL_FEATURES)
+
+
+# ---------------------------------------------------------------------------
+# per-window kernels (each takes rr in seconds)
+# ---------------------------------------------------------------------------
+
+
+def time_features(rr_sec: np.ndarray, out: np.ndarray) -> None:
+    """Write the 9 time-domain features into out[0:9]."""
+    n = rr_sec.size
+    if n < 2:
+        out[0:9] = 0.0
+        return
+    rr = rr_sec * 1000.0
+    d = np.diff(rr)
+    nn50 = float(np.count_nonzero(np.abs(d) > 50.0))
+    out[0] = nn50
+    out[1] = nn50 / d.size * 100.0
+    out[2] = np.sqrt(np.mean(d * d))
+    out[3] = np.std(rr, ddof=1)
+    out[4] = np.std(d, ddof=1) if d.size else 0.0
+    out[5] = rr.mean()
+    out[6] = rr.min()
+    out[7] = rr.max()
+    out[8] = np.var(rr, ddof=1)
+
+
+class FrequencyKernel:
+    """Lomb-Scargle band powers with cached per-length design matrices."""
+
+    def __init__(self, cfg: HRVConfig):
+        self.cfg = cfg
+        freqs = np.linspace(cfg.freq_min, cfg.freq_max, cfg.n_freqs)
+        self.freqs = freqs
+        omega = 2.0 * np.pi * freqs
+        self.cache = LSDesignCache(omega)
+        self.w_total = trapz_band_weights(freqs, freqs[0], freqs[-1])
+        self.w_vlf = trapz_band_weights(freqs, *cfg.vlf_band)
+        self.w_lf = trapz_band_weights(freqs, *cfg.lf_band)
+        self.w_hf = trapz_band_weights(freqs, *cfg.hf_band)
+
+    def __call__(self, rr_sec: np.ndarray, rr_t: np.ndarray, out: np.ndarray) -> None:
+        """Write the 8 frequency features into out[9:17]."""
+        cfg = self.cfg
+        if rr_sec.size < cfg.min_beats_frequency:
+            out[9:17] = 0.0
+            return
+        if cfg.use_welch_fallback:
+            grid = np.arange(rr_t[0], rr_t[-1], 1.0 / cfg.resampling_rate)
+            if grid.size < 10:
+                out[9:17] = 0.0
+                return
+            sig = cubic_interp(rr_t, rr_sec, grid)
+            freqs, psd = welch_psd(sig, cfg.resampling_rate, min(256, sig.size // 2))
+            w_total = trapz_band_weights(freqs, freqs[0], freqs[-1])
+            w_vlf = trapz_band_weights(freqs, *cfg.vlf_band)
+            w_lf = trapz_band_weights(freqs, *cfg.lf_band)
+            w_hf = trapz_band_weights(freqs, *cfg.hf_band)
+        else:
+            psd = self.cache.get(rr_sec.size).power(rr_sec)
+            w_total, w_vlf, w_lf, w_hf = self.w_total, self.w_vlf, self.w_lf, self.w_hf
+        s = cfg.power_scale
+        total = max(0.0, float(w_total @ psd)) * s
+        vlf = max(0.0, float(w_vlf @ psd)) * s
+        lf = max(0.0, float(w_lf @ psd)) * s
+        hf = max(0.0, float(w_hf @ psd)) * s
+        out[9] = total
+        out[10] = vlf
+        out[11] = lf
+        out[12] = hf
+        inv = 100.0 / total if total > 0 else 0.0
+        out[13] = vlf * inv
+        out[14] = lf * inv
+        out[15] = hf * inv
+        out[16] = lf / hf if hf > 0 else 0.0
+
+
+def poincare_features(rr_sec: np.ndarray, out: np.ndarray) -> None:
+    """Write SD1/SD2/SD1toSD2 into out[17:20]."""
+    if rr_sec.size < 2:
+        out[17:20] = 0.0
+        return
+    rr = rr_sec * 1000.0
+    diff = rr[:-1] - rr[1:]
+    summ = rr[:-1] + rr[1:]
+    sd1 = np.std(diff, ddof=1) / np.sqrt(2.0)
+    sd2 = np.std(summ, ddof=1) / np.sqrt(2.0)
+    out[17] = sd1
+    out[18] = sd2
+    out[19] = sd1 / sd2 if sd2 > 0 else 0.0
+
+
+def _chebyshev_pairs(z: np.ndarray, m: int) -> np.ndarray:
+    """All-pairs Chebyshev distance matrix between length-m templates of z.
+
+    Returns D with shape (K, K), K = len(z) - m + 1, D[i, j] =
+    max_k |z[i+k] - z[j+k]|.  Vectorized over the pair axes; windows hold
+    a few dozen beats so K^2 stays tiny.
+    """
+    k = z.size - m + 1
+    emb = np.lib.stride_tricks.sliding_window_view(z, m)  # (K, m)
+    return np.abs(emb[:, None, :] - emb[None, :, :]).max(axis=2)
+
+
+def sample_entropy(rr_sec: np.ndarray, m: int = 2, r_tol: float = 0.2) -> float:
+    """Reference-parity SampEn (vectorized).
+
+    b counts pairs i<j over template starts 0..n-m (Chebyshev(m) <= r);
+    a additionally requires j <= n-m-1 and Chebyshev(m+1) <= r; the final
+    value is -log((a/b) * (n-m+2)/(n-m)) — the reference's exact
+    (nonstandard) correction, hrv_features.py:284-302.
+    """
+    n = rr_sec.size
+    if n < m + 1:
+        return 0.0
+    sd = np.std(rr_sec)
+    if sd == 0.0:
+        return 0.0
+    z = (rr_sec - rr_sec.mean()) / sd
+    r = r_tol * sd
+    d_m = _chebyshev_pairs(z, m)  # (n-m+1, n-m+1)
+    iu = np.triu_indices(n - m + 1, k=1)
+    match_m = d_m[iu] <= r
+    b = int(np.count_nonzero(match_m))
+    # a: pairs with j <= n-m-1 (both m+1 templates exist)
+    d_m1 = _chebyshev_pairs(z, m + 1)  # (n-m, n-m)
+    iu1 = np.triu_indices(n - m, k=1)
+    # match on BOTH lengths (m+1 match implies m match except the reference
+    # nests the check — equivalent since Chebyshev(m+1) >= Chebyshev(m))
+    a = int(np.count_nonzero((d_m1[iu1] <= r) & (d_m[: n - m, : n - m][iu1] <= r)))
+    if a == 0 or b == 0:
+        return 0.0
+    return float(-np.log((a / b) * ((n - m + 2) / (n - m))))
+
+
+def approximate_entropy(rr_sec: np.ndarray, m: int = 2, r_tol: float = 0.2) -> float:
+    """Reference-parity ApEn (vectorized; self-matches included)."""
+    n = rr_sec.size
+    if n < m + 1:
+        return 0.0
+    sd = np.std(rr_sec)
+    if sd == 0.0:
+        return 0.0
+    z = (rr_sec - rr_sec.mean()) / sd
+    r = r_tol * sd
+
+    def phi(mm: int) -> float:
+        k = n - mm + 1
+        d = _chebyshev_pairs(z, mm)
+        counts = (d <= r).sum(axis=1)  # includes self-match
+        nz = counts > 0
+        return float(np.log(counts[nz] / k).sum() / k)
+
+    return phi(m) - phi(m + 1)
+
+
+def triangular_index(rr_sec: np.ndarray, bin_seconds: float) -> float:
+    """n / max histogram count, bins = floor(rr / bin) anchored at 0."""
+    if rr_sec.size == 0:
+        return 0.0
+    bins = np.floor(rr_sec / bin_seconds).astype(np.int64)
+    _, counts = np.unique(bins, return_counts=True)
+    return float(rr_sec.size) / float(counts.max())
+
+
+# ---------------------------------------------------------------------------
+# full per-window vector + per-chunk driver
+# ---------------------------------------------------------------------------
+
+
+class WindowKernel:
+    """Computes the 23-feature vector for one window's RR slice."""
+
+    def __init__(self, cfg: HRVConfig):
+        self.cfg = cfg
+        self.freq_kernel = FrequencyKernel(cfg)
+
+    def feature_vector(self, rr_sec: np.ndarray, rr_t: np.ndarray) -> np.ndarray:
+        cfg = self.cfg
+        out = np.empty(N_FEATURES, dtype=np.float64)
+        if rr_sec.size < cfg.min_beats_per_window:
+            out[:] = np.nan
+            return out
+        time_features(rr_sec, out)
+        self.freq_kernel(rr_sec, rr_t, out)
+        poincare_features(rr_sec, out)
+        if rr_sec.size >= cfg.min_beats_entropy:
+            rr_e = rr_sec[: cfg.entropy_max_beats]
+            out[20] = sample_entropy(rr_e, cfg.entropy_m, cfg.entropy_r)
+            out[21] = approximate_entropy(rr_e, cfg.entropy_m, cfg.entropy_r)
+        else:
+            out[20] = 0.0
+            out[21] = 0.0
+        out[22] = triangular_index(rr_sec, cfg.tri_bin_seconds)
+        return out
+
+    def windows_for_chunk(
+        self,
+        rr_sec: np.ndarray,
+        rr_t: np.ndarray,
+        win_lo: int,
+        n_win: int,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Features for global windows [win_lo, win_lo + n_win).
+
+        Window i covers samples [i*step, i*step + spw]; RR membership is
+        start_time <= rr_t <= end_time, inclusive both ends
+        (ecg_processing.py:365). Returns (win_ids, features[n_win, 23]).
+        """
+        cfg = self.cfg
+        fs = float(cfg.sampling_rate)
+        spw = cfg.window_samples()
+        step = cfg.step_samples()
+        ids = np.arange(win_lo, win_lo + n_win, dtype=np.int64)
+        starts = ids * step / fs
+        ends = (ids * step + spw) / fs
+        lo_idx = np.searchsorted(rr_t, starts, side="left")
+        hi_idx = np.searchsorted(rr_t, ends, side="right")
+        feats = np.empty((n_win, N_FEATURES), dtype=np.float64)
+        for k in range(n_win):
+            sl = slice(lo_idx[k], hi_idx[k])
+            feats[k] = self.feature_vector(rr_sec[sl], rr_t[sl])
+        return ids, feats

@@ -1,0 +1,138 @@
+"""As-of (point-in-time) join — the reference's core label-lookup
+semantic (data_processing_pipeline.py:708-716 backward;
+stream_emulator.py:331-337 forward), generalized.
+
+Spark SQL <= 4.x has no ASOF JOIN, so the engine provides two
+implementations:
+
+- ``asof_join`` (DEFAULT, fully native): union the two sides with a side
+  tag, sort by (key, ts, side-priority) inside one window, and carry the
+  right side's payload with ``last(..., ignorenulls=True)`` (backward) or
+  ``first`` over the following frame (forward). One shuffle on the key —
+  identical to what a built-in sort-merge as-of would do; stays entirely
+  in the JVM (whole-stage codegen, no Python).
+- ``asof_join_pandas`` (kernel variant): co-grouped applyInPandas running
+  ``pd.merge_asof`` per key group — supports ``tolerance``, and is the
+  shape you would use if per-group logic grew beyond what SQL expresses.
+
+Tie semantics (both): a right row with ts == left ts MATCHES for
+direction='backward' (merge_asof default allow_exact_matches=True) and
+likewise for 'forward'.
+
+At scale: both shuffle once, partitioned by `by` key; if the left side is
+already bucketed/partitioned by the key the native variant's sort is the
+only extra work. Skewed keys go through AQE; keys are entity ids
+(doc_id/user_id), the same partitioning the rest of the plan uses.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: Sequence[str] | str,
+    value_cols: Sequence[str] | None = None,
+    direction: str = "backward",
+    suffix: str = "_right",
+) -> DataFrame:
+    """Native as-of join: for each left row, the latest right row with
+    right.on <= left.on (backward) or earliest with >= (forward), per key.
+
+    Returns left columns + the right ``value_cols`` (renamed with
+    ``suffix`` when they collide). Unmatched rows get nulls.
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    value_cols = list(value_cols) if value_cols is not None else [
+        c for c in right.columns if c not in set(by) | {on}
+    ]
+    out_names = {c: (c + suffix if c in left.columns else c) for c in value_cols}
+
+    # side ordering inside equal timestamps: right rows must be visible to
+    # left rows at the same ts (allow_exact_matches) -> for backward, right
+    # sorts BEFORE left at equal ts; for forward, right sorts AFTER... but
+    # "first over following" must still see same-ts right rows, so right
+    # sorts BEFORE left there too when scanning forward from the current
+    # row. We encode right=0, left=1 and pick frames accordingly.
+    l_tag = left.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias("__v_" + c) for c in value_cols],
+    )
+    r_tag = right.select(
+        *by,
+        F.col(on),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in set(by) | {on}],
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias("__v_" + c) for c in value_cols],
+    ).select(*[c for c in l_tag.columns])  # align column order
+
+    u = l_tag.unionByName(r_tag)
+
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col(on).asc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        carried = [F.last("__v_" + c, ignorenulls=True).over(w).alias(out_names[c]) for c in value_cols]
+    elif direction == "forward":
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col(on).asc(), F.col("__side").desc())
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        carried = [F.first("__v_" + c, ignorenulls=True).over(w).alias(out_names[c]) for c in value_cols]
+    else:
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+
+    return (
+        u.select(*left.columns, F.col("__side"), *carried)
+        .filter(F.col("__side") == 1)
+        .drop("__side")
+    )
+
+
+def asof_join_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    value_cols: Sequence[str] | None = None,
+    direction: str = "backward",
+    tolerance: float | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Co-grouped merge_asof kernel (supports tolerance)."""
+    import pyspark.sql.types as T
+
+    value_cols = list(value_cols) if value_cols is not None else [
+        c for c in right.columns if c not in {by, on}
+    ]
+    out_names = {c: (c + suffix if c in left.columns else c) for c in value_cols}
+    out_fields = list(left.schema.fields) + [
+        T.StructField(out_names[c], right.schema[c].dataType, True) for c in value_cols
+    ]
+    out_schema = T.StructType(out_fields)
+    left_cols = list(left.columns)
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(lpdf):
+            return pd.DataFrame(columns=[f.name for f in out_fields])
+        lp = lpdf.sort_values(on, kind="mergesort")
+        rp = rpdf[[on] + value_cols].sort_values(on, kind="mergesort")
+        kw = {}
+        if tolerance is not None:
+            kw["tolerance"] = tolerance
+        merged = pd.merge_asof(lp, rp, on=on, direction=direction, suffixes=("", suffix), **kw)
+        merged.columns = left_cols + [out_names[c] for c in value_cols]
+        return merged
+
+    return left.groupBy(by).cogroup(right.groupBy(by)).applyInPandas(merge, schema=out_schema)

@@ -1,0 +1,131 @@
+"""The flagship plan: pre-tokenized sequences -> windowed HRV features.
+
+Logical plan (SURVEY.md §4's physical sketch, Spark-first):
+
+    parquet/iceberg scan (doc_id, tokens)         column-pruned
+      -> mapInPandas explode_chunks               narrow, Arrow
+      -> repartition(N)                           the ONE shuffle (skew)
+      -> mapInPandas hrv_kernel                   narrow, Arrow, cached
+                                                  Lomb-Scargle designs
+      -> broadcast join label intervals           no shuffle
+      -> project to output schema
+
+Unlike the reference's per-recording Python loop
+(data_processing_pipeline.py:681-741), windows never materialize as
+row-amplified RR rows (the 6x explode alternative); each chunk computes
+its window slice with searchsorted bounds over its own tachogram slice.
+
+Everything numeric is float64 end-to-end; the pytest gate compares this
+plan's output to the loop oracle with np.allclose(rtol=1e-9, atol=1e-12)
+plus exact label equality.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_CONFIG, HRVConfig
+from ..functions.hrv import ALL_FEATURES, WindowKernel
+from ..operators.labeling import build_label_intervals, label_windows
+from ..operators.skew import explode_chunks
+from ..schemas import FEATURES_KERNEL_SCHEMA
+
+_KERNEL_CACHE: dict[str, WindowKernel] = {}
+
+
+def _get_kernel(cfg: HRVConfig) -> WindowKernel:
+    # per-executor-process cache: Lomb-Scargle design matrices are reused
+    # across tasks of the same job (and across jobs with equal config)
+    key = cfg.config_hash()
+    k = _KERNEL_CACHE.get(key)
+    if k is None:
+        _KERNEL_CACHE.clear()
+        k = WindowKernel(cfg)
+        _KERNEL_CACHE[key] = k
+    return k
+
+
+def _kernel_batches(cfg: HRVConfig):
+    fs = float(cfg.sampling_rate)
+    spw = cfg.window_samples()
+    step = cfg.step_samples()
+    half = spw // 2
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kernel = _get_kernel(cfg)
+        for pdf in batches:
+            frames = []
+            for row in pdf.itertuples(index=False):
+                rr = np.asarray(row.rr, dtype=np.float64)
+                rr_t = np.asarray(row.rr_t, dtype=np.float64)
+                ids, feats = kernel.windows_for_chunk(rr, rr_t, int(row.win_lo), int(row.n_win))
+                starts = ids * step
+                n_beats = (
+                    np.searchsorted(rr_t, (starts + spw) / fs, side="right")
+                    - np.searchsorted(rr_t, starts / fs, side="left")
+                ).astype(np.int32)
+                frame = pd.DataFrame(
+                    {
+                        "doc_id": row.doc_id,
+                        "window_id": ids,
+                        "window_start_time": starts / fs,
+                        "window_center_time": (starts + half) / fs,
+                        "window_end_time": (starts + spw) / fs,
+                        "center_sample": starts + half,
+                        "n_beats": n_beats,
+                    }
+                )
+                for j, name in enumerate(ALL_FEATURES):
+                    frame[name] = feats[:, j]
+                frames.append(frame)
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return gen
+
+
+def doc_dimensions(sequences: DataFrame, cfg: HRVConfig) -> DataFrame:
+    """(doc_id, total_ms, n_samples) via a native array fold — exact
+    integer arithmetic, stays in the JVM."""
+    total_ms = F.aggregate("tokens", F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long"))
+    return sequences.select(
+        "doc_id",
+        total_ms.alias("total_ms"),
+        F.floor(total_ms * cfg.sampling_rate / 1000).cast("long").alias("n_samples"),
+    )
+
+
+def extract_features(
+    sequences: DataFrame,
+    annotations: DataFrame | None,
+    cfg: HRVConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """sequences + annotations -> labeled windowed feature table."""
+    chunks = explode_chunks(sequences, cfg)
+    feats = chunks.mapInPandas(_kernel_batches(cfg), schema=FEATURES_KERNEL_SCHEMA)
+    if annotations is not None:
+        dims = doc_dimensions(sequences, cfg)
+        intervals = build_label_intervals(annotations, dims, cfg)
+        feats = label_windows(feats, intervals)
+    else:
+        feats = feats.withColumn("label", F.lit(0))
+    return feats
+
+
+def with_output_ids(features: DataFrame) -> DataFrame:
+    """Add subject_id/recording_id (O57) and order columns per D5."""
+    out = features.withColumn(
+        "subject_id", F.regexp_extract("doc_id", r"(sub-[^_]+)", 1)
+    ).withColumn("recording_id", F.col("doc_id"))
+    cols = (
+        ["subject_id", "recording_id", "doc_id", "window_id",
+         "window_start_time", "window_center_time", "window_end_time", "n_beats"]
+        + ALL_FEATURES
+        + ["label"]
+    )
+    return out.select(*cols)
