@@ -1,0 +1,102 @@
+"""Benchmark harness.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value" (total seconds), "unit": "sec",
+"queries": {name: sec}, "sf", plus throughput extras
+(tokens_per_sec / windows_per_sec for the flagship plan — the
+BASELINE.json target metric)}.
+
+Scaling-efficiency evidence (N vs 4N cores) is produced by
+tools/bench_scaling.py, which shells out to this file at two
+parallelism levels and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from seizury_hrv_featuresextraction_spark.config import DEFAULT_CONFIG  # noqa: E402
+from seizury_hrv_featuresextraction_spark.plans.driver_queries import QUERIES  # noqa: E402
+from seizury_hrv_featuresextraction_spark.plans.hrv_pipeline import extract_features  # noqa: E402
+from seizury_hrv_featuresextraction_spark.session import get_spark  # noqa: E402
+from seizury_hrv_featuresextraction_spark.sources.registry import (  # noqa: E402
+    annotations_from_events,
+    sequences_from_events,
+)
+
+HEADLINE = [
+    "pricing_summary",
+    "sessionize_events",
+    "asof_backward_join",
+    "sliding_window_counts",
+    "tumbling_time_features",
+    "lsh_dup_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_docs",
+    "cosine_topk",
+    "hrv_time_features_windows",
+]
+
+
+def run_noop(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(app_name="seizury-hrv-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus * 2, 32))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results: dict[str, float] = {}
+
+    # --- flagship: pre-tokenized sequences -> windowed HRV features ---
+    seq = sequences_from_events(spark, sf_dir).persist()
+    n_docs = seq.count()
+    n_tokens = seq.agg(F.sum("n_tok")).collect()[0][0] or 0
+    ann = annotations_from_events(spark, sf_dir)
+    t0 = time.time()
+    feats = extract_features(seq, ann, DEFAULT_CONFIG)
+    n_windows = feats.count()
+    flagship_s = time.time() - t0
+    results["hrv_features_flagship"] = round(flagship_s, 3)
+    seq.unpersist()
+
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        run_noop(fn(spark, sf_dir))
+        results[name] = round(time.time() - t0, 3)
+
+    total = round(sum(results.values()), 3)
+    out = {
+        "metric": "headline suite wall time (flagship HRV plan + operator queries)",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": sf_dir,
+        "cpus": cpus,
+        "flagship": {
+            "docs": int(n_docs),
+            "tokens": int(n_tokens),
+            "windows": int(n_windows),
+            "tokens_per_sec": round(n_tokens / flagship_s, 1) if flagship_s > 0 else None,
+            "windows_per_sec": round(n_windows / flagship_s, 1) if flagship_s > 0 else None,
+            "sequences_per_sec": round(n_docs / flagship_s, 3) if flagship_s > 0 else None,
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,129 @@
+"""Per-partition checkpoint lineage + resumable runs (O74/O75).
+
+The reference resumes per-recording by checking output mtime, structural
+validity and a config md5 (hrv_pipeline.py:255-354). The engine's unit of
+resume is a *bucket*: ``pmod(xxhash64(doc_id), n_buckets)``. A run
+processes buckets one Spark job at a time; each completed bucket appends
+a manifest line (bucket, config_hash, row_count, n_docs, elapsed_s,
+status, throughput) to ``_manifest/bucket=<k>.json`` next to the output.
+On restart, buckets whose manifest line matches the current config hash
+are skipped (the anti-join on lineage), so a killed run resumes where it
+stopped and never recomputes finished partitions.
+
+Bucketing by doc_id means a bucket is a deterministic horizontal slice of
+the input — safe to write with dynamic partition overwrite per bucket.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import HRVConfig
+
+
+@dataclass
+class BucketResult:
+    bucket: int
+    config_hash: str
+    row_count: int
+    n_docs: int
+    elapsed_s: float
+    status: str
+
+    @property
+    def rows_per_s(self) -> float:
+        return self.row_count / self.elapsed_s if self.elapsed_s > 0 else 0.0
+
+
+def _manifest_dir(output_path: str) -> str:
+    return os.path.join(output_path, "_manifest")
+
+
+def manifest_path(output_path: str, bucket: int) -> str:
+    return os.path.join(_manifest_dir(output_path), f"bucket={bucket}.json")
+
+
+def read_manifest(output_path: str) -> dict[int, dict]:
+    d = _manifest_dir(output_path)
+    out: dict[int, dict] = {}
+    if not os.path.isdir(d):
+        return out
+    for name in os.listdir(d):
+        if name.startswith("bucket=") and name.endswith(".json"):
+            with open(os.path.join(d, name)) as f:
+                rec = json.load(f)
+            out[int(rec["bucket"])] = rec
+    return out
+
+
+def write_manifest_entry(output_path: str, result: BucketResult) -> None:
+    d = _manifest_dir(output_path)
+    os.makedirs(d, exist_ok=True)
+    rec = {
+        "bucket": result.bucket,
+        "config_hash": result.config_hash,
+        "row_count": result.row_count,
+        "n_docs": result.n_docs,
+        "elapsed_s": result.elapsed_s,
+        "rows_per_s": result.rows_per_s,
+        "status": result.status,
+        "completed_at": time.time(),
+    }
+    tmp = manifest_path(output_path, result.bucket) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(rec, f)
+    os.replace(tmp, manifest_path(output_path, result.bucket))
+
+
+def bucket_of(doc_id_col, n_buckets: int):
+    return F.pmod(F.xxhash64(doc_id_col), F.lit(n_buckets)).cast("int")
+
+
+def run_resumable(
+    spark: SparkSession,
+    sequences: DataFrame,
+    annotations: DataFrame | None,
+    output_path: str,
+    cfg: HRVConfig,
+    n_buckets: int = 8,
+    fail_after_bucket: int | None = None,
+) -> list[BucketResult]:
+    """Bucket-at-a-time flagship run with lineage + resume.
+
+    ``fail_after_bucket`` injects a crash after k completed buckets (test
+    hook for the kill/restart scenario in SURVEY.md §5.5).
+    """
+    from .plans.hrv_pipeline import extract_features
+
+    cfg_hash = cfg.config_hash()
+    done = read_manifest(output_path)
+    results: list[BucketResult] = []
+    seq_b = sequences.withColumn("__bucket", bucket_of(F.col("doc_id"), n_buckets))
+    completed = 0
+    for k in range(n_buckets):
+        prev = done.get(k)
+        if prev and prev.get("config_hash") == cfg_hash and prev.get("status") == "ok":
+            results.append(
+                BucketResult(k, cfg_hash, prev["row_count"], prev["n_docs"], prev["elapsed_s"], "skipped")
+            )
+            continue
+        t0 = time.time()
+        part = seq_b.filter(F.col("__bucket") == k).drop("__bucket")
+        feats = extract_features(part, annotations, cfg)
+        n_docs = part.count()
+        out_dir = os.path.join(output_path, f"bucket={k}")
+        feats.write.mode("overwrite").parquet(out_dir)
+        rows = spark.read.parquet(out_dir).count()
+        res = BucketResult(k, cfg_hash, rows, n_docs, time.time() - t0, "ok")
+        write_manifest_entry(output_path, res)
+        results.append(res)
+        completed += 1
+        if fail_after_bucket is not None and completed >= fail_after_bucket:
+            raise RuntimeError(f"injected failure after {completed} fresh buckets (bucket {k})")
+    return results

@@ -1,0 +1,130 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+- ``brute_force_topk``: exact cosine top-k of queries against a corpus —
+  broadcast the (small) query set, native zip_with/aggregate dot
+  products, rank with a window. The correctness baseline.
+- ``ivf_topk``: IVF-style two-stage search — k-means-lite centroids
+  (deterministic seeded init + a few Lloyd iterations, computed WITH
+  DataFrame aggs, no driver loops over rows), assign corpus rows to their
+  nearest centroid (one shuffle-free map), probe only the closest
+  ``n_probe`` lists per query. The 100 TB path: scan cost drops by
+  ~n_lists/n_probe, and the centroid table is tiny and broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine, to_double
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact cosine top-k per query. Queries are broadcast (small side)."""
+    c = corpus.select(F.col(id_col).alias("corpus_id"), to_double(F.col(vec_col)).alias("cv"))
+    q = queries.select(F.col(id_col).alias("query_id"), to_double(F.col(vec_col)).alias("qv"))
+    joined = c.join(F.broadcast(q), F.lit(True))
+    if not include_self:
+        joined = joined.filter(F.col("corpus_id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id", "corpus_id", cosine(F.col("qv"), F.col("cv")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "corpus_id", "cos")
+    )
+
+
+def _assign_nearest(df: DataFrame, cent: DataFrame, vec: str, out: str) -> DataFrame:
+    """Add the id of the nearest (max-cosine) broadcast centroid."""
+    scored = df.join(F.broadcast(cent), F.lit(True)).withColumn(
+        "__cs", cosine(F.col(vec), F.col("cvec"))
+    )
+    w = Window.partitionBy(*[c for c in df.columns if c != vec], vec).orderBy(
+        F.desc("__cs"), F.asc("cid")
+    )
+    # partitioning by all original cols incl. the vector keeps one row per
+    # input row; rank 1 = nearest centroid
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .withColumnRenamed("cid", out)
+        .drop("cvec", "__cs", "__r")
+    )
+
+
+def train_centroids(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_lists: int = 16,
+    iters: int = 3,
+) -> DataFrame:
+    """k-means-lite: deterministic seeding (hash-ordered sample) + Lloyd
+    iterations done as groupBy-avg over the elementwise-exploded vectors.
+    Returns (cid, cvec)."""
+    base = corpus.select(F.col(id_col).alias("id"), to_double(F.col(vec_col)).alias("v"))
+    cent = (
+        base.withColumn("__h", F.xxhash64(F.col("id").cast("string")))
+        .orderBy("__h")
+        .limit(n_lists)
+        .select(F.row_number().over(Window.orderBy("__h")).alias("cid"), F.col("v").alias("cvec"))
+    )
+    for _ in range(iters):
+        assigned = _assign_nearest(base, cent, "v", "cid")
+        # mean vector per cluster: posexplode -> avg per (cid, pos) -> re-assemble
+        cent = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("mx"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mx"))).alias("pm"))
+            .select("cid", F.transform("pm", lambda s: s["mx"]).alias("cvec"))
+        )
+    return cent
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF search: restrict each query to its n_probe nearest inverted
+    lists, then exact cosine within them."""
+    cent = centroids if centroids is not None else train_centroids(corpus, vec_col, id_col, n_lists)
+    c = corpus.select(F.col(id_col).alias("corpus_id"), to_double(F.col(vec_col)).alias("cv"))
+    c = _assign_nearest(c, cent, "cv", "list_id")
+
+    q = queries.select(F.col(id_col).alias("query_id"), to_double(F.col(vec_col)).alias("qv"))
+    q_scored = q.join(F.broadcast(cent), F.lit(True)).withColumn(
+        "__cs", cosine(F.col("qv"), F.col("cvec"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("__cs"), F.asc("cid"))
+    q_lists = (
+        q_scored.withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= n_probe)
+        .select("query_id", "qv", F.col("cid").alias("list_id"))
+    )
+
+    joined = c.join(F.broadcast(q_lists), "list_id").filter(F.col("corpus_id") != F.col("query_id"))
+    scored = joined.select("query_id", "corpus_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "corpus_id", "cos")
+    )

@@ -1,0 +1,73 @@
+"""Dataset-level statistics operators (O35-O38, O20/O56 splits).
+
+All native aggregations; the two-pass z-score normalizer mirrors
+sklearn's StandardScaler fit/transform as used at lstm_sequences.py:267-272
+(population std there — ddof configurable here).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def label_histogram(df: DataFrame, label_col: str = "label") -> DataFrame:
+    """O35: np.bincount twin."""
+    return df.groupBy(label_col).agg(F.count(F.lit(1)).alias("count")).orderBy(label_col)
+
+
+def class_weights(df: DataFrame, label_col: str = "label") -> DataFrame:
+    """O38: sklearn 'balanced' weights = n / (k * count_c)."""
+    counts = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("n"), F.count(F.lit(1)).alias("k")
+    )
+    return counts.crossJoin(F.broadcast(totals)).select(
+        label_col, (F.col("n") / (F.col("k") * F.col("cnt"))).alias("weight")
+    )
+
+
+def zscore_normalize(
+    df: DataFrame,
+    cols: Sequence[str],
+    by: Sequence[str] | None = None,
+    ddof: int = 0,
+    suffix: str = "_z",
+) -> DataFrame:
+    """O37: two-pass global (or per-key) standardization.
+
+    Pass 1 computes mean/std (one shuffle / one scan); pass 2 broadcasts
+    the tiny stats row back — no second shuffle of the big side.
+    """
+    std_fn = F.stddev_samp if ddof == 1 else F.stddev_pop
+    aggs = []
+    for c in cols:
+        aggs += [F.avg(c).alias(f"__mu_{c}"), std_fn(c).alias(f"__sd_{c}")]
+    if by:
+        stats = df.groupBy(*by).agg(*aggs)
+        out = df.join(F.broadcast(stats), list(by))
+    else:
+        stats = df.agg(*aggs)
+        out = df.crossJoin(F.broadcast(stats))
+    for c in cols:
+        sd = F.col(f"__sd_{c}")
+        out = out.withColumn(
+            c + suffix,
+            F.when(sd > 0, (F.col(c) - F.col(f"__mu_{c}")) / sd).otherwise(F.lit(0.0)),
+        )
+    return out.drop(*[f"__mu_{c}" for c in cols], *[f"__sd_{c}" for c in cols])
+
+
+def split_by_keys(
+    df: DataFrame,
+    keys_df: DataFrame,
+    on: Sequence[str] | str,
+) -> tuple[DataFrame, DataFrame]:
+    """O20/O56: (in_split, out_split) via left_semi / left_anti joins."""
+    on = [on] if isinstance(on, str) else list(on)
+    return (
+        df.join(F.broadcast(keys_df), on, "left_semi"),
+        df.join(F.broadcast(keys_df), on, "left_anti"),
+    )

@@ -125,7 +125,8 @@ def trailing_frames(
     """
     by = [by] if isinstance(by, str) else list(by)
     feats = [
-        F.nanvl(F.col(c), F.lit(0.0)) if nan_to_zero else F.col(c) for c in feature_cols
+        F.coalesce(F.nanvl(F.col(c), F.lit(0.0)), F.lit(0.0)) if nan_to_zero else F.col(c)
+        for c in feature_cols
     ]
     vec = F.array(*feats)
     w = Window.partitionBy(*by).orderBy(order_col).rowsBetween(-(seq_len - 1), 0)

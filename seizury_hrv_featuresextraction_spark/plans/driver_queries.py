@@ -1,0 +1,955 @@
+"""Driver-contract query suite: one entry per SURVEY.md §2 operator
+family, each as a (spark, sf_dir) -> DataFrame callable plus an
+ANSI-SQL DuckDB twin for the correctness gate.
+
+Cross-engine float policy: every computed double is round(x, 6) on BOTH
+sides so accumulation-order noise (different partial-sum trees) cannot
+break the value-hash; rankings always carry a deterministic integer
+tiebreak. Epoch seconds come from unix_micros/epoch_us over the same
+int64 micros, so they are bit-identical before any arithmetic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    langid,
+    minhash_signature,
+    quality_features,
+    simhash64,
+    word_shingles,
+    words,
+)
+from ..operators.asof import asof_join
+from ..operators.dedup import dedup_exact, minhash_lsh_pairs, ngram_jaccard_pairs
+from ..operators.filters import iqr_filter, median_mad_filter
+from ..operators.similarity import brute_force_topk, ivf_topk
+from ..operators.stats import class_weights, zscore_normalize
+from ..operators.windows import session_bounds, sliding_window_grid
+from ..sources.registry import annotations_from_events, load_table, sequences_from_events
+
+# NB: in Spark SQL a literal `1000000.0` is DECIMAL — divide by a double
+EPOCH = "unix_micros(cast(ts as timestamp)) / cast(1000000 as double)"  # Spark
+EPOCH_DD = "epoch_us(ts) / 1000000.0"                             # DuckDB
+WORDS_DD = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), w -> w <> '')"
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+    return deco
+
+
+def _ev(spark, sf_dir):
+    return load_table(spark, sf_dir, "events").withColumn("e", F.expr(EPOCH))
+
+
+# ---------------------------------------------------------------------------
+# relational core (O16, O20/O56, O51, O54; generic agg/join/sort)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4)                                 AS sum_qty,
+           round(sum(l_extendedprice), 4)                            AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4)         AS sum_disc_price,
+           round(avg(l_quantity), 6)                                 AS avg_qty,
+           round(avg(l_discount), 6)                                 AS avg_disc,
+           count(*)                                                  AS count_order
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@q(
+    "top_customers_revenue",
+    """
+    WITH rev AS (
+      SELECT c.c_custkey, c.c_name, round(sum(o.o_totalprice), 4) AS revenue
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_name)
+    SELECT c_custkey, c_name, revenue,
+           row_number() OVER (ORDER BY revenue DESC, c_custkey) AS rank
+    FROM rev QUALIFY rank <= 10
+    """,
+)
+def top_customers_revenue(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"))
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return (
+        rev.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("c_custkey", "c_name", "revenue", "rank")
+    )
+
+
+@q(
+    "run_match_full_outer",
+    """
+    WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+         v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+         e AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+    SELECT coalesce(c.user_id, v.user_id, e.user_id) AS user_id,
+           c.user_id IS NOT NULL AS has_click,
+           v.user_id IS NOT NULL AS has_view,
+           e.user_id IS NOT NULL AS has_error
+    FROM c FULL OUTER JOIN v ON c.user_id = v.user_id
+           FULL OUTER JOIN e ON coalesce(c.user_id, v.user_id) = e.user_id
+    """,
+)
+def run_match_full_outer(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    sets = {
+        t: ev.filter(F.col("event_type") == t).select("user_id").distinct().withColumnRenamed("user_id", f"u_{t}")
+        for t in ("click", "view", "error")
+    }
+    j = sets["click"].join(sets["view"], F.col("u_click") == F.col("u_view"), "full").join(
+        sets["error"], F.coalesce("u_click", "u_view") == F.col("u_error"), "full"
+    )
+    return j.select(
+        F.coalesce("u_click", "u_view", "u_error").alias("user_id"),
+        F.col("u_click").isNotNull().alias("has_click"),
+        F.col("u_view").isNotNull().alias("has_view"),
+        F.col("u_error").isNotNull().alias("has_error"),
+    )
+
+
+@q(
+    "split_semi_anti",
+    """
+    WITH keys AS (SELECT c_custkey FROM customer WHERE c_nationkey < 5)
+    SELECT 'in' AS split, count(*) AS n, round(sum(o_totalprice), 4) AS total
+      FROM orders WHERE o_custkey IN (SELECT c_custkey FROM keys)
+    UNION ALL
+    SELECT 'out' AS split, count(*) AS n, round(sum(o_totalprice), 4) AS total
+      FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM keys)
+    """,
+)
+def split_semi_anti(spark, sf_dir):
+    from ..operators.stats import split_by_keys
+
+    o = load_table(spark, sf_dir, "orders")
+    keys = load_table(spark, sf_dir, "customer").filter(F.col("c_nationkey") < 5).select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    inside, outside = split_by_keys(o, keys, "o_custkey")
+    agg = lambda df, tag: df.agg(  # noqa: E731
+        F.lit(tag).alias("split"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 4).alias("total"),
+    )
+    return agg(inside, "in").unionByName(agg(outside, "out"))
+
+
+# ---------------------------------------------------------------------------
+# point-stream operators over events (O14/O15/O19, O41, O45, O46, O48)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "sessionize_events",
+    f"""
+    WITH t AS (
+      SELECT user_id, {EPOCH_DD} AS e,
+             CASE WHEN {EPOCH_DD} - lag({EPOCH_DD}) OVER w > 1800.0 THEN 1 ELSE 0 END AS brk
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY {EPOCH_DD})),
+    s AS (
+      SELECT user_id, e,
+             (sum(brk) OVER (PARTITION BY user_id ORDER BY e
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::bigint AS session_id
+      FROM t)
+    SELECT user_id, session_id,
+           round(min(e), 6) AS start_e, round(max(e), 6) AS end_e,
+           round(max(e) - min(e), 6) AS duration, count(*) AS n_rows
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def sessionize_events(spark, sf_dir):
+    ev = _ev(spark, sf_dir)
+    b = session_bounds(ev, "e", "user_id", gap=1800.0)
+    return b.select(
+        "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        F.round("start_time", 6).alias("start_e"),
+        F.round("end_time", 6).alias("end_e"),
+        F.round("duration", 6).alias("duration"),
+        F.col("n_rows").alias("n_rows"),
+    )
+
+
+@q(
+    "asof_backward_join",
+    f"""
+    WITH clicks AS (SELECT event_id, user_id, {EPOCH_DD} AS e, value FROM events WHERE event_type = 'click'),
+         errors AS (SELECT user_id, {EPOCH_DD} AS e, value AS err_value FROM events WHERE event_type = 'error')
+    SELECT c.event_id, round(c.e, 6) AS e,
+           round(err_value, 6) AS err_value,
+           round(c.e - er.e, 6) AS secs_since_error
+    FROM clicks c ASOF LEFT JOIN errors er
+      ON c.user_id = er.user_id AND c.e >= er.e
+    """,
+)
+def asof_backward_join(spark, sf_dir):
+    ev = _ev(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "e", "value")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "e", F.col("value").alias("err_value")
+    )
+    j = asof_join(clicks, errors, on="e", by="user_id", value_cols=["err_value", "e"], direction="backward")
+    return j.select(
+        "event_id",
+        F.round("e", 6).alias("e"),
+        F.round("err_value", 6).alias("err_value"),
+        F.round(F.col("e") - F.col("e_right"), 6).alias("secs_since_error"),
+    )
+
+
+@q(
+    "asof_forward_tte",
+    f"""
+    WITH clicks AS (SELECT event_id, user_id, {EPOCH_DD} AS e FROM events WHERE event_type = 'click'),
+         errors AS (SELECT user_id, {EPOCH_DD} AS e FROM events WHERE event_type = 'error'),
+         nxt AS (
+           SELECT c.event_id, min(er.e) AS next_e
+           FROM clicks c JOIN errors er ON er.user_id = c.user_id AND er.e >= c.e
+           GROUP BY c.event_id)
+    SELECT c.event_id, round(nxt.next_e - c.e, 6) AS tte
+    FROM clicks c JOIN nxt ON c.event_id = nxt.event_id
+    """,
+)
+def asof_forward_tte(spark, sf_dir):
+    ev = _ev(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "e")
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "e")
+    j = asof_join(clicks, errors, on="e", by="user_id", value_cols=["e"], direction="forward")
+    return j.filter(F.col("e_right").isNotNull()).select(
+        "event_id", F.round(F.col("e_right") - F.col("e"), 6).alias("tte")
+    )
+
+
+@q(
+    "sliding_window_counts",
+    f"""
+    WITH t AS (SELECT user_id, {EPOCH_DD} AS e, value FROM events),
+         x AS (
+           SELECT user_id, value,
+                  floor(e / 60) * 60 - k.k * 60 AS win_start, e
+           FROM t CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS k) k)
+    SELECT user_id, round(win_start, 6) AS win_start,
+           count(*) AS n_events, round(avg(value), 6) AS avg_value
+    FROM x WHERE e >= win_start AND e < win_start + 300
+    GROUP BY user_id, win_start
+    """,
+)
+def sliding_window_counts(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    # F.window slide alignment == floor alignment for width = 5 x slide
+    win = F.window(F.col("ts").cast("timestamp"), "300 seconds", "60 seconds")
+    return (
+        ev.select("user_id", "value", win.alias("w"))
+        .groupBy("user_id", F.col("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(
+            "user_id",
+            F.round(F.unix_micros("w.start") / F.lit(1000000.0), 6).alias("win_start"),
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+@q(
+    "tumbling_time_features",
+    f"""
+    WITH t AS (
+      SELECT user_id, {EPOCH_DD} AS e, value,
+             value - lag(value) OVER (PARTITION BY user_id ORDER BY {EPOCH_DD}, event_id) AS d
+      FROM events)
+    SELECT user_id, floor(e / 600) * 600 AS win_start,
+           count(*) AS n,
+           round(avg(value), 6)          AS mean_v,
+           round(min(value), 6)          AS min_v,
+           round(max(value), 6)          AS max_v,
+           round(var_samp(value), 6)     AS var_v,
+           round(stddev_samp(value), 6)  AS sdnn_v,
+           round(sqrt(avg(d * d)), 6)    AS rmssd_v,
+           round(stddev_samp(d), 6)      AS sdsd_v,
+           sum(CASE WHEN abs(d) > 5.0 THEN 1 ELSE 0 END)::bigint AS nn_big
+    FROM t GROUP BY user_id, floor(e / 600) * 600
+    HAVING count(d) >= 2
+    """,
+)
+def tumbling_time_features(spark, sf_dir):
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("e", "event_id")
+    t = ev.withColumn("d", F.col("value") - F.lag("value").over(w))
+    return (
+        t.groupBy("user_id", (F.floor(F.col("e") / 600) * 600).alias("win_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("mean_v"),
+            F.round(F.min("value"), 6).alias("min_v"),
+            F.round(F.max("value"), 6).alias("max_v"),
+            F.round(F.var_samp("value"), 6).alias("var_v"),
+            F.round(F.stddev_samp("value"), 6).alias("sdnn_v"),
+            F.round(F.sqrt(F.avg(F.col("d") * F.col("d"))), 6).alias("rmssd_v"),
+            F.round(F.stddev_samp("d"), 6).alias("sdsd_v"),
+            F.sum(F.when(F.abs("d") > 5.0, 1).otherwise(0)).alias("nn_big"),
+            F.count("d").alias("__nd"),
+        )
+        .filter(F.col("__nd") >= 2)
+        .drop("__nd")
+        .withColumn("win_start", F.col("win_start").cast("double"))
+    )
+
+
+@q(
+    "fixed_sph_labels",
+    f"""
+    WITH base AS (
+      SELECT user_id, event_id, {EPOCH_DD} - min({EPOCH_DD}) OVER (PARTITION BY user_id) AS rel
+      FROM events),
+    seiz AS (
+      SELECT b.user_id, b.rel AS onset,
+             row_number() OVER (PARTITION BY b.user_id ORDER BY b.rel) AS seq
+      FROM base b JOIN events ev ON ev.event_id = b.event_id
+      WHERE ev.event_type = 'error'),
+    ivs AS (
+      SELECT user_id, seq * 3 + 2 AS pri, onset AS lo, onset + 60.0 AS hi, 2 AS label FROM seiz
+      UNION ALL
+      SELECT user_id, seq * 3 + 1 AS pri, onset - 180.0 - 15.0 AS lo, onset - 180.0 + 15.0 AS hi, 1 AS label
+      FROM seiz
+      WHERE onset - 180.0 >= 0 AND onset - 180.0 - 15.0 >= 0
+        AND onset - 180.0 + 15.0 <= onset)
+    SELECT b.event_id,
+           coalesce(max_by(ivs.label, ivs.pri), 0) AS label
+    FROM base b LEFT JOIN ivs
+      ON ivs.user_id = b.user_id AND b.rel >= ivs.lo AND b.rel < ivs.hi
+    GROUP BY b.event_id
+    """,
+)
+def fixed_sph_labels(spark, sf_dir):
+    ev = _ev(spark, sf_dir)
+    wmin = Window.partitionBy("user_id")
+    base = ev.select("user_id", "event_id", "event_type", (F.col("e") - F.min("e").over(wmin)).alias("rel"))
+    seiz = base.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("rel").alias("onset"),
+        F.row_number().over(Window.partitionBy("user_id").orderBy("rel")).alias("seq"),
+    )
+    ictal = seiz.select(
+        "user_id", (F.col("seq") * 3 + 2).alias("pri"),
+        F.col("onset").alias("lo"), (F.col("onset") + 60.0).alias("hi"), F.lit(2).alias("label"),
+    )
+    tgt = seiz.filter(
+        ((F.col("onset") - 180.0) >= 0)
+        & ((F.col("onset") - 195.0) >= 0)
+        & ((F.col("onset") - 165.0) <= F.col("onset"))
+    ).select(
+        "user_id", (F.col("seq") * 3 + 1).alias("pri"),
+        (F.col("onset") - 195.0).alias("lo"), (F.col("onset") - 165.0).alias("hi"), F.lit(1).alias("label"),
+    )
+    ivs = ictal.unionByName(tgt)
+    j = base.join(
+        F.broadcast(ivs),
+        (base.user_id == ivs.user_id) & (F.col("rel") >= F.col("lo")) & (F.col("rel") < F.col("hi")),
+        "left",
+    )
+    return j.groupBy("event_id").agg(
+        F.coalesce(F.max_by("label", "pri"), F.lit(0)).alias("label")
+    )
+
+
+@q(
+    "backfill_last_purchase",
+    f"""
+    WITH t AS (
+      SELECT event_id, user_id, {EPOCH_DD} AS e, event_id AS eid,
+             CASE WHEN event_type = 'purchase' THEN value END AS pv
+      FROM events)
+    SELECT event_id,
+           round(coalesce(last_value(pv IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY e, eid
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1.0), 6) AS last_purchase
+    FROM t
+    """,
+)
+def backfill_last_purchase(spark, sf_dir):
+    from ..operators.windows import backfill
+
+    ev = _ev(spark, sf_dir).withColumn(
+        "pv", F.when(F.col("event_type") == "purchase", F.col("value"))
+    ).withColumn("eid", F.col("event_id"))
+    w = Window.partitionBy("user_id").orderBy("e", "eid").rowsBetween(Window.unboundedPreceding, 0)
+    out = ev.withColumn("lp", F.last("pv", ignorenulls=True).over(w))
+    return out.select("event_id", F.round(F.coalesce("lp", F.lit(-1.0)), 6).alias("last_purchase"))
+
+
+@q(
+    "lag_lead_delta",
+    f"""
+    SELECT event_id,
+           round(coalesce(lag(value)  OVER w, -999.0), 6) AS prev_v,
+           round(coalesce(lead(value) OVER w, -999.0), 6) AS next_v,
+           round(coalesce(value - lag(value) OVER w, 0.0), 6) AS delta_prev
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY {EPOCH_DD}, event_id)
+    """,
+)
+def lag_lead_delta(spark, sf_dir):
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("e", "event_id")
+    return ev.select(
+        "event_id",
+        F.round(F.coalesce(F.lag("value").over(w), F.lit(-999.0)), 6).alias("prev_v"),
+        F.round(F.coalesce(F.lead("value").over(w), F.lit(-999.0)), 6).alias("next_v"),
+        F.round(F.coalesce(F.col("value") - F.lag("value").over(w), F.lit(0.0)), 6).alias("delta_prev"),
+    )
+
+
+@q(
+    "sequence_frames",
+    f"""
+    WITH t AS (
+      SELECT event_id, user_id, value, {EPOCH_DD} AS e FROM events)
+    SELECT event_id,
+           count(*) OVER w AS frame_n,
+           round(avg(value) OVER w, 6) AS frame_avg,
+           round(first_value(value) OVER w, 6) AS frame_first
+    FROM t WINDOW w AS (PARTITION BY user_id ORDER BY e, event_id
+                        ROWS BETWEEN 35 PRECEDING AND CURRENT ROW)
+    QUALIFY frame_n = 36
+    """,
+)
+def sequence_frames(spark, sf_dir):
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("e", "event_id").rowsBetween(-35, 0)
+    return (
+        ev.select(
+            "event_id",
+            F.count(F.lit(1)).over(w).alias("frame_n"),
+            F.round(F.avg("value").over(w), 6).alias("frame_avg"),
+            F.round(F.first("value").over(w), 6).alias("frame_first"),
+        )
+        .filter(F.col("frame_n") == 36)
+    )
+
+
+# ---------------------------------------------------------------------------
+# cleaning / stats (O11, O12, O35, O37, O38, O39)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "median_mad_filter",
+    """
+    WITH med AS (SELECT user_id, median(value)::double AS m FROM events GROUP BY user_id),
+         mad AS (SELECT e.user_id, median(abs(e.value - med.m))::double AS mad
+                 FROM events e JOIN med USING (user_id) GROUP BY e.user_id),
+         kept AS (
+           SELECT e.user_id, e.value
+           FROM events e JOIN med USING (user_id) JOIN mad ON mad.user_id = e.user_id
+           WHERE abs(e.value - med.m) <= 3.0 * mad.mad)
+    SELECT user_id, count(*) AS n_kept, round(sum(value), 4) AS sum_kept
+    FROM kept GROUP BY user_id
+    """,
+)
+def median_mad_filter_q(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    kept = median_mad_filter(ev, "value", "user_id")
+    return kept.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.round(F.sum("value"), 4).alias("sum_kept")
+    )
+
+
+@q(
+    "iqr_filter",
+    """
+    WITH qs AS (SELECT user_id,
+                       quantile_cont(value, 0.25)::double AS q25,
+                       quantile_cont(value, 0.75)::double AS q75
+                FROM events GROUP BY user_id)
+    SELECT e.user_id, count(*) AS n_kept, round(sum(e.value), 4) AS sum_kept
+    FROM events e JOIN qs USING (user_id)
+    WHERE e.value >= q25 - 1.5 * (q75 - q25) AND e.value <= q75 + 1.5 * (q75 - q25)
+    GROUP BY e.user_id
+    """,
+)
+def iqr_filter_q(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    kept = iqr_filter(ev, "value", "user_id")
+    return kept.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.round(F.sum("value"), 4).alias("sum_kept")
+    )
+
+
+@q(
+    "triangular_index_values",
+    """
+    WITH b AS (SELECT user_id, floor(value / 2.5) AS bin, count(*) AS c
+               FROM events GROUP BY user_id, floor(value / 2.5))
+    SELECT user_id, round(sum(c)::double / max(c), 6) AS tri_index
+    FROM b GROUP BY user_id
+    """,
+)
+def triangular_index_values(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy("user_id", F.floor(F.col("value") / 2.5).alias("bin")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return b.groupBy("user_id").agg(
+        F.round(F.sum("c").cast("double") / F.max("c"), 6).alias("tri_index")
+    )
+
+
+@q("label_histogram", "SELECT event_type, count(*) AS n FROM events GROUP BY event_type")
+def label_histogram_q(spark, sf_dir):
+    return load_table(spark, sf_dir, "events").groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@q(
+    "class_weights",
+    """
+    WITH c AS (SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type),
+         t AS (SELECT sum(cnt) AS n, count(*) AS k FROM c)
+    SELECT event_type, round(n / (k * cnt), 9) AS weight FROM c, t
+    """,
+)
+def class_weights_q(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return class_weights(ev, "event_type").select(
+        "event_type", F.round("weight", 9).alias("weight")
+    )
+
+
+@q(
+    "zscore_normalize",
+    """
+    WITH s AS (SELECT user_id, avg(value) AS mu, stddev_pop(value) AS sd
+               FROM events GROUP BY user_id)
+    SELECT e.event_id,
+           round(CASE WHEN s.sd > 0 THEN (e.value - s.mu) / s.sd ELSE 0.0 END, 6) AS z
+    FROM events e JOIN s USING (user_id)
+    """,
+)
+def zscore_normalize_q(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    z = zscore_normalize(ev, ["value"], by=["user_id"], ddof=0)
+    return z.select("event_id", F.round("value_z", 6).alias("z"))
+
+
+# ---------------------------------------------------------------------------
+# documents: dedup / text analysis (training-data ops)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "dedup_exact_docs",
+    """
+    SELECT substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 16) AS fp,
+           min(doc_id) AS keeper_id, count(*) AS group_size
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_exact(docs, "text", "doc_id")
+
+
+@q(
+    "minhash_signatures",
+    f"""
+    WITH w AS (SELECT doc_id, {WORDS_DD} AS ws FROM documents),
+         sh AS (SELECT doc_id,
+                       list_distinct(list_transform(generate_series(1, greatest(0, len(ws) - 2)),
+                                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sg
+                FROM w)
+    SELECT doc_id,
+           list_min(list_transform(sg, s -> md5('0:' || s))) AS mh0,
+           list_min(list_transform(sg, s -> md5('1:' || s))) AS mh1,
+           list_min(list_transform(sg, s -> md5('2:' || s))) AS mh2,
+           list_min(list_transform(sg, s -> md5('3:' || s))) AS mh3
+    FROM sh WHERE len(sg) > 0
+    """,
+)
+def minhash_signatures(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    sig = docs.select(
+        "doc_id", minhash_signature(word_shingles(F.col("text"), 3), 4).alias("sig")
+    ).filter(F.size(word_shingles(F.col("text"), 3)) > 0)
+    return sig.select(
+        "doc_id",
+        F.col("sig")[0].alias("mh0"),
+        F.col("sig")[1].alias("mh1"),
+        F.col("sig")[2].alias("mh2"),
+        F.col("sig")[3].alias("mh3"),
+    )
+
+
+@q(
+    "lsh_dup_pairs",
+    f"""
+    WITH w AS (SELECT doc_id, {WORDS_DD} AS ws FROM documents),
+         sh AS (SELECT doc_id,
+                       list_distinct(list_transform(generate_series(1, greatest(0, len(ws) - 2)),
+                                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sg
+                FROM w WHERE len(ws) >= 3),
+         sig AS (SELECT doc_id,
+                        list_min(list_transform(sg, s -> md5('0:' || s))) AS mh0,
+                        list_min(list_transform(sg, s -> md5('1:' || s))) AS mh1,
+                        list_min(list_transform(sg, s -> md5('2:' || s))) AS mh2,
+                        list_min(list_transform(sg, s -> md5('3:' || s))) AS mh3
+                 FROM sh),
+         bands AS (
+           SELECT doc_id, 0 AS band_idx, mh0 || '|' || mh1 AS band_val FROM sig
+           UNION ALL
+           SELECT doc_id, 1 AS band_idx, mh2 || '|' || mh3 AS band_val FROM sig)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    """,
+)
+def lsh_dup_pairs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "text", "doc_id", n_hashes=4, band_size=2, shingle_words=3)
+
+
+@q(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH w AS (SELECT doc_id, {WORDS_DD} AS ws FROM documents),
+         sh AS (SELECT doc_id, unnest(
+                  list_distinct(list_transform(generate_series(1, greatest(0, len(ws) - 2)),
+                                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+                FROM w),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b, n_inter,
+           round(n_inter::double / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_inter::double / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+    """,
+)
+def ngram_jaccard_pairs_q(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(docs, "text", "doc_id", shingle_words=3, min_jaccard=0.2)
+    return out.select("id_a", "id_b", "n_inter", F.round("jaccard", 6).alias("jaccard"))
+
+
+@q(
+    "simhash_docs",
+    f"""
+    WITH w AS (SELECT doc_id, {WORDS_DD} AS ws FROM documents),
+         h AS (SELECT doc_id,
+                      list_transform(ws, t -> ('0x' || substr(md5(t), 1, 15))::bigint) AS hs
+               FROM w)
+    SELECT doc_id,
+           list_sum(list_transform(generate_series(0, 59), k ->
+             CASE WHEN list_sum(list_transform(hs, h -> ((h >> k) & 1) * 2 - 1)) > 0
+                  THEN (1::bigint << k) ELSE 0::bigint END))::bigint AS simhash
+    FROM h
+    """,
+)
+def simhash_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash64(words(F.col("text"))).alias("simhash"))
+
+
+@q(
+    "token_count_docs",
+    f"""
+    WITH w AS (SELECT doc_id, {WORDS_DD} AS ws FROM documents)
+    SELECT doc_id, len(ws) AS n_words, len(list_distinct(ws)) AS n_distinct
+    FROM w
+    """,
+)
+def token_count_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    ws = words(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(ws).cast("long").alias("n_words"),
+        F.size(F.array_distinct(ws)).cast("long").alias("n_distinct"),
+    )
+
+
+@q(
+    "text_quality",
+    f"""
+    WITH w AS (SELECT doc_id, text, {WORDS_DD} AS ws FROM documents)
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(ws) AS n_words,
+           round(CASE WHEN len(ws) > 0
+                 THEN list_sum(list_transform(ws, x -> length(x)))::double / len(ws)
+                 ELSE 0.0 END, 6) AS avg_word_len,
+           round(CASE WHEN len(ws) > 0
+                 THEN len(list_filter(ws, x -> x IN ('the','a','an','and','of','to','in','is','it','that')))::double / len(ws)
+                 ELSE 0.0 END, 6) AS stopword_ratio
+    FROM w
+    """,
+)
+def text_quality(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    qf = quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        qf["n_chars"].cast("long").alias("n_chars"),
+        qf["n_words"].cast("long").alias("n_words"),
+        F.round(qf["avg_word_len"].cast("double"), 6).alias("avg_word_len"),
+        F.round(qf["stopword_ratio"].cast("double"), 6).alias("stopword_ratio"),
+    )
+
+
+@q(
+    "langid_docs",
+    f"""
+    WITH w AS (SELECT doc_id, {WORDS_DD} AS ws FROM documents),
+         sc AS (SELECT doc_id,
+                  len(list_filter(ws, x -> x IN ('the','and','of','is','to')))   AS s_en,
+                  len(list_filter(ws, x -> x IN ('der','die','und','ist','das'))) AS s_de,
+                  len(list_filter(ws, x -> x IN ('le','la','et','est','les')))    AS s_fr,
+                  len(list_filter(ws, x -> x IN ('el','la','y','es','los')))      AS s_es
+                FROM w),
+         best AS (SELECT doc_id, greatest(
+                    printf('%08d|%s', s_en, 'en'), printf('%08d|%s', s_de, 'de'),
+                    printf('%08d|%s', s_fr, 'fr'), printf('%08d|%s', s_es, 'es')) AS b
+                  FROM sc)
+    SELECT doc_id,
+           CASE WHEN substr(b, 1, 8) = '00000000' THEN 'und' ELSE substr(b, 10, 2) END AS lang_pred
+    FROM best
+    """,
+)
+def langid_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", langid(F.col("text")).alias("lang_pred"))
+
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search / near-dup
+# ---------------------------------------------------------------------------
+
+_DOT_DD = "list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i]))"
+
+
+@q(
+    "cosine_topk",
+    f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v
+               FROM embeddings WHERE vec_id < 300),
+         q AS (SELECT * FROM e WHERE vec_id < 10),
+         scored AS (
+           SELECT q.vec_id AS query_id, a.vec_id AS corpus_id,
+                  list_sum(list_transform(generate_series(1, 64), i -> q.v[i] * a.v[i]))
+                  / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> q.v[i] * q.v[i])))
+                   * sqrt(list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * a.v[i])))) AS cos
+           FROM q JOIN e a ON a.vec_id <> q.vec_id)
+    SELECT query_id, corpus_id, round(cos, 6) AS cos,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
+    FROM scored QUALIFY rank <= 3
+    """,
+)
+def cosine_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    qs = emb.filter(F.col("vec_id") < 10)
+    out = brute_force_topk(emb, qs, "embedding", "vec_id", k=3)
+    return out.select(
+        "query_id", "corpus_id", F.round("cos", 6).alias("cos"), F.col("rank").cast("long").alias("rank")
+    )
+
+
+@q(
+    "embedding_near_dup_pairs",
+    """
+    WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> x::double) AS v
+               FROM embeddings WHERE vec_id < 300)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i]))
+           / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * a.v[i])))
+            * sqrt(list_sum(list_transform(generate_series(1, 64), i -> b.v[i] * b.v[i])))), 6) AS cos
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i]))
+           / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * a.v[i])))
+            * sqrt(list_sum(list_transform(generate_series(1, 64), i -> b.v[i] * b.v[i])))) >= 0.25
+    """,
+)
+def embedding_near_dup_pairs(spark, sf_dir):
+    from ..operators.dedup import embedding_near_dups
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    out = embedding_near_dups(emb, "embedding", "vec_id", min_cosine=0.25)
+    return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
+@q("ivf_topk")  # iterative k-means: rows-only check (not SQL-expressible)
+def ivf_topk_q(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    qs = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(emb, qs, "embedding", "vec_id", k=3, n_lists=8, n_probe=3)
+
+
+# ---------------------------------------------------------------------------
+# the flagship engine on driver data (tokens derived from events)
+# ---------------------------------------------------------------------------
+
+
+@q("hrv_features_flagship")  # Arrow kernels + as-of labeling: rows-only here,
+def hrv_features_flagship(spark, sf_dir):
+    # np.allclose-gated against the NumPy oracle in tests/ (SURVEY.md §5.1)
+    from ..config import DEFAULT_CONFIG
+    from .hrv_pipeline import extract_features, with_output_ids
+
+    seq = sequences_from_events(spark, sf_dir)
+    ann = annotations_from_events(spark, sf_dir)
+    return with_output_ids(extract_features(seq, ann, DEFAULT_CONFIG))
+
+
+_TOK_DD = "cast(400 + cast(floor(value * 100) as bigint) % 1100 as int)"
+
+
+@q(
+    "hrv_time_features_windows",
+    f"""
+    WITH seq AS (
+      SELECT user_id, event_id, value,
+             {_TOK_DD} AS tok,
+             row_number() OVER (PARTITION BY user_id ORDER BY {EPOCH_DD}, event_id, value) AS rn
+      FROM events),
+    rr0 AS (
+      SELECT user_id, rn, (tok / 1000.0) AS rr_sec,
+             (tok / 1000.0) * 1000.0 AS rr_ms,
+             sum(tok / 1000.0) OVER (PARTITION BY user_id ORDER BY rn
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t,
+             (sum(tok::bigint) OVER (PARTITION BY user_id))::bigint AS total_ms
+      FROM seq),
+    rr AS (
+      -- per-window diffs == global diffs except at the window's first
+      -- beat, so compute the lag ONCE here (beats in a window are a
+      -- contiguous run) and null it out later via t_prev
+      SELECT rr0.*,
+             rr_ms - lag(rr_ms) OVER (PARTITION BY user_id ORDER BY rn) AS d_ms_g,
+             lag(t) OVER (PARTITION BY user_id ORDER BY rn) AS t_prev
+      FROM rr0),
+    wins AS (
+      SELECT user_id, (((max(total_ms) * 256) // 1000 - 7680) // 1280 + 1)::bigint AS n_win
+      FROM rr GROUP BY user_id
+      HAVING ((max(total_ms) * 256) // 1000 - 7680) // 1280 + 1 > 0),
+    assign AS (
+      SELECT rr.user_id, rr.rr_sec, rr.rr_ms, rr.t, rr.d_ms_g, rr.t_prev,
+             unnest(generate_series(greatest(0, ceil((rr.t - 30.0) / 5.0)::bigint),
+                                    least(w.n_win - 1, floor(rr.t / 5.0)::bigint))) AS win_id
+      FROM rr JOIN wins w ON w.user_id = rr.user_id),
+    member AS MATERIALIZED (
+      -- MATERIALIZED: DuckDB 1.0's binder mis-resolves an unnest-derived
+      -- column when this CTE is inlined into multiple consumers
+      SELECT user_id, win_id, rr_sec, rr_ms,
+             CASE WHEN t_prev >= win_id * 5.0 THEN d_ms_g END AS d_ms
+      FROM assign
+      WHERE t >= win_id * 5.0 AND t <= win_id * 5.0 + 30.0),
+    bins AS (
+      SELECT user_id, win_id, floor(rr_sec * 128.0) AS b, count(*) AS c
+      FROM member GROUP BY user_id, win_id, floor(rr_sec * 128.0)),
+    mx AS (SELECT user_id, win_id, max(c) AS mb FROM bins GROUP BY user_id, win_id),
+    agg AS (
+      SELECT user_id, win_id,
+             count(*) AS n_beats,
+             round(stddev_samp(rr_ms), 6) AS sdnn,
+             round(avg(rr_ms), 6) AS rr_mean,
+             round(min(rr_ms), 6) AS rr_min,
+             round(max(rr_ms), 6) AS rr_max,
+             round(var_samp(rr_ms), 6) AS rr_var,
+             round(sqrt(avg(d_ms * d_ms)), 6) AS rmssd,
+             round(stddev_samp(d_ms), 6) AS sdsd,
+             sum(CASE WHEN abs(d_ms) > 50.0 THEN 1 ELSE 0 END)::bigint AS nn50,
+             round(100.0 * sum(CASE WHEN abs(d_ms) > 50.0 THEN 1 ELSE 0 END) / count(d_ms), 6) AS pnn50
+      FROM member GROUP BY user_id, win_id)
+    SELECT 'user-' || agg.user_id::varchar AS doc_id, agg.win_id AS window_id,
+           n_beats, sdnn, rr_mean, rr_min, rr_max, rr_var, rmssd, sdsd,
+           nn50, pnn50,
+           round(n_beats::double / mx.mb, 6) AS tri_index
+    FROM agg JOIN mx ON mx.user_id = agg.user_id AND mx.win_id = agg.win_id
+    WHERE n_beats >= 5
+    """,
+)
+def hrv_time_features_windows(spark, sf_dir):
+    """Flagship kernel output restricted to the SQL-expressible columns —
+    the DuckDB twin recomputes the sliding grid + time-domain stats from
+    scratch, cross-checking token decode, window membership and the
+    time-domain math end-to-end."""
+    from ..config import DEFAULT_CONFIG
+    from .hrv_pipeline import extract_features
+
+    seq = sequences_from_events(spark, sf_dir)
+    feats = extract_features(seq, None, DEFAULT_CONFIG)
+    return feats.filter(F.col("n_beats") >= 5).select(
+        "doc_id",
+        "window_id",
+        F.col("n_beats").cast("long").alias("n_beats"),
+        F.round("SDNN", 6).alias("sdnn"),
+        F.round("RRMean", 6).alias("rr_mean"),
+        F.round("RRMin", 6).alias("rr_min"),
+        F.round("RRMax", 6).alias("rr_max"),
+        F.round("RRVar", 6).alias("rr_var"),
+        F.round("RMSSD", 6).alias("rmssd"),
+        F.round("SDSD", 6).alias("sdsd"),
+        F.col("NN50").cast("long").alias("nn50"),
+        F.round("pNN50", 6).alias("pnn50"),
+        F.round("TRI_INDEX", 6).alias("tri_index"),
+    )
+
+
+@q(
+    "sliding_grid",
+    f"""
+    WITH seq AS (SELECT user_id, {_TOK_DD} AS tok FROM events),
+         dims AS (SELECT user_id, ((sum(tok::bigint)::bigint * 256) // 1000)::bigint AS n_samples
+                  FROM seq GROUP BY user_id),
+         g AS (SELECT user_id, n_samples, ((n_samples - 7680) // 1280 + 1)::bigint AS n_win
+               FROM dims WHERE (n_samples - 7680) // 1280 + 1 > 0)
+    SELECT 'user-' || user_id::varchar AS doc_id,
+           unnest(generate_series(0, n_win - 1)) AS window_id,
+           unnest(generate_series(0, n_win - 1)) * 1280 AS start_sample,
+           unnest(generate_series(0, n_win - 1)) * 1280 + 3840 AS center_sample,
+           unnest(generate_series(0, n_win - 1)) * 1280 + 7680 AS end_sample
+    FROM g
+    """,
+)
+def sliding_grid(spark, sf_dir):
+    from ..config import DEFAULT_CONFIG as cfg
+    from .hrv_pipeline import doc_dimensions
+
+    seq = sequences_from_events(spark, sf_dir)
+    dims = doc_dimensions(seq, cfg)
+    grid = sliding_window_grid(dims, cfg.window_samples(), cfg.step_samples(), cfg.sampling_rate)
+    return grid.select("doc_id", "window_id", "start_sample", "center_sample", "end_sample")

@@ -1,0 +1,101 @@
+"""Table registry + derived inputs.
+
+``load_table`` reads the driver's parquet tables. ``sequences_from_events``
+derives a deterministic pre-tokenized sequences table (input_hint shape)
+from the generic ``events`` stream table, entirely with native
+expressions — used by queries()/bench so the flagship pipeline runs on
+driver-provided data without synthesizing files.
+
+Iceberg note: the org.apache.iceberg runtime jar is not in this
+container, so tables are plain parquet with the same layout (doc-id
+bucketed directories + manifest); the access pattern (partition-pruned
+scan by bucket, snapshot-style resume via the lineage manifest in
+checkpoint.py) matches what the Iceberg catalog would give us.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings".split()
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def sequences_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> (doc_id, tokens array<int>, n_tok, source).
+
+    One doc per user_id; tokens are RR-ish integer milliseconds derived
+    deterministically from the event values in time order:
+    tok = 400 + (floor(value * 100) mod 1100)  in [400, 1500) ms —
+    physiologic range per hrv_features.py:446. Ordering inside
+    collect_list is pinned by sorting the (ts, event_id, value) structs
+    after collection, so the result is plan-independent.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    tok = (F.lit(400) + F.pmod(F.floor(F.col("s.value") * 100), F.lit(1100))).cast("int")
+    return (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.col("ts").alias("ts"), F.col("event_id").alias("event_id"), F.col("value").alias("value")
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("s")).alias("evs"))
+        .select(
+            F.concat(F.lit("user-"), F.col("user_id").cast("string")).alias("doc_id"),
+            F.expr(
+                "transform(evs, s -> cast(400 + pmod(floor(s.value * 100), 1100) as int))"
+            ).alias("tokens"),
+        )
+        .withColumn("n_tok", F.size("tokens").cast("int"))
+        .withColumn("source", F.lit("derived-events-v1"))
+    )
+
+
+def annotations_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'error' events become seizure annotations on the derived docs.
+
+    onset = the error's position in the doc's RR timeline (seconds from
+    doc start), computed as the cumulative token time before it.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    tok = (F.lit(400) + F.pmod(F.floor(F.col("s.value") * 100), F.lit(1100))).cast("int")
+    per_user = (
+        ev.select(
+            "user_id",
+            F.struct("ts", "event_id", "value", "event_type").alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("s")).alias("evs"))
+    )
+    # onset of event i = sum of tokens of events 0..i-1, in seconds
+    exploded = per_user.select(
+        F.concat(F.lit("user-"), F.col("user_id").cast("string")).alias("doc_id"),
+        F.posexplode(
+            F.expr(
+                """
+                transform(evs, (s, i) ->
+                  named_struct(
+                    'event_type', s.event_type,
+                    'onset', aggregate(slice(evs, 1, i), 0L,
+                              (acc, p) -> acc + cast(400 + pmod(floor(p.value * 100), 1100) as long)) / 1000.0
+                  ))
+                """
+            )
+        ).alias("pos", "e"),
+    )
+    return exploded.filter(F.col("e.event_type") == "error").select(
+        "doc_id",
+        F.col("e.onset").alias("onset"),
+        F.lit(60.0).alias("duration"),
+        F.lit("sz").alias("event_type"),
+    )

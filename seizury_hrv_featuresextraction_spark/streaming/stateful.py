@@ -1,0 +1,122 @@
+"""Streaming-shaped operators (reference stream_emulator.py).
+
+The reference emulates a 5 s-step stream with a per-recording
+deque(maxlen=36) buffer (O47) and a consecutive-positive debounce with
+alarm latching (O48). Here:
+
+- batch equivalents are pure window functions
+  (operators.windows.trailing_frames / debounce);
+- ``streaming_feature_buffer`` gives the Structured Streaming form:
+  ``applyInPandasWithState`` keeping the last ``seq_len`` feature
+  vectors + debounce counters per doc_id, emitting a prediction row per
+  input row once the buffer is full (emit-on-full, skip-while-filling —
+  stream_emulator.py:184-188) and alarm transitions per the debounce
+  rules (:210-249).
+
+Event-time = window END (stream_emulator.py:279); pair with a watermark
+on that column when reading from a real source.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+PREDICTION_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("event_time", T.DoubleType(), False),
+        T.StructField("buffer_size", T.IntegerType(), False),
+        T.StructField("score", T.DoubleType(), True),
+        T.StructField("alarm", T.BooleanType(), False),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("buf", T.ArrayType(T.ArrayType(T.DoubleType())), True),
+        T.StructField("consec", T.IntegerType(), True),
+        T.StructField("active", T.BooleanType(), True),
+    ]
+)
+
+
+def make_buffer_fn(
+    feature_cols: list[str],
+    seq_len: int = 36,
+    threshold: float = 0.5,
+    k_consecutive: int = 3,
+    score_fn=None,
+):
+    """Build the applyInPandasWithState function.
+
+    score_fn(np.ndarray[seq_len, n_feat]) -> float; defaults to the mean
+    of the last feature vector mapped through a logistic — a stand-in for
+    the reference's LSTM inference (stream_emulator.py:191-208), which is
+    out of engine scope.
+    """
+
+    if score_fn is None:
+        def score_fn(x: np.ndarray) -> float:  # deterministic placeholder
+            return float(1.0 / (1.0 + np.exp(-x[-1].mean())))
+
+    def fn(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (doc_id,) = key
+        if state.exists:
+            buf_list, consec, active = state.get
+            buf = [np.asarray(v, dtype=np.float64) for v in (buf_list or [])]
+        else:
+            buf, consec, active = [], 0, False
+        out_rows = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("event_time", kind="mergesort")
+            feats = pdf[feature_cols].to_numpy(dtype=np.float64)
+            np.nan_to_num(feats, copy=False)
+            for i in range(len(pdf)):
+                buf.append(feats[i])
+                if len(buf) > seq_len:
+                    buf.pop(0)
+                full = len(buf) == seq_len
+                score = score_fn(np.asarray(buf)) if full else None
+                alarm = False
+                if full and score is not None and score >= threshold:
+                    consec += 1
+                    if consec >= k_consecutive and not active:
+                        alarm = True
+                        active = True
+                else:
+                    consec = 0
+                    active = False
+                out_rows.append(
+                    (doc_id, float(pdf["event_time"].iloc[i]), len(buf), score, alarm)
+                )
+        state.update(([list(map(float, v)) for v in buf], int(consec), bool(active)))
+        yield pd.DataFrame(out_rows, columns=["doc_id", "event_time", "buffer_size", "score", "alarm"])
+
+    return fn
+
+
+def streaming_feature_buffer(
+    features: DataFrame,
+    feature_cols: list[str],
+    seq_len: int = 36,
+    threshold: float = 0.5,
+    k_consecutive: int = 3,
+    event_time_col: str = "window_end_time",
+) -> DataFrame:
+    """Works on a streaming OR batch DataFrame of feature rows."""
+    fn = make_buffer_fn(feature_cols, seq_len, threshold, k_consecutive)
+    src = features.withColumn("event_time", F.col(event_time_col).cast("double"))
+    return src.groupBy("doc_id").applyInPandasWithState(
+        fn,
+        outputStructType=PREDICTION_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

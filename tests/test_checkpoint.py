@@ -1,0 +1,75 @@
+"""Resume test (SURVEY.md §5.5): kill after k buckets, restart, assert
+identical output and that finished buckets were skipped via the manifest."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from seizury_hrv_featuresextraction_spark.checkpoint import read_manifest, run_resumable
+from seizury_hrv_featuresextraction_spark.schemas import ANNOTATIONS_SCHEMA, SEQUENCES_SCHEMA
+from seizury_hrv_featuresextraction_spark.plans.hrv_pipeline import extract_features
+
+
+def test_resume_after_crash(spark, fixture_tables, tiny_cfg, tmp_path):
+    seq, ann = fixture_tables
+    seq = seq.iloc[:6]
+    ann = ann[ann["doc_id"].isin(seq["doc_id"])]
+    sdf = spark.createDataFrame(seq, schema=SEQUENCES_SCHEMA)
+    adf = spark.createDataFrame(ann, schema=ANNOTATIONS_SCHEMA)
+    out = str(tmp_path / "features_out")
+    n_buckets = 4
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_resumable(spark, sdf, adf, out, tiny_cfg, n_buckets=n_buckets, fail_after_bucket=2)
+    manifest_mid = read_manifest(out)
+    assert len(manifest_mid) == 2
+    first_done = sorted(manifest_mid)
+
+    results = run_resumable(spark, sdf, adf, out, tiny_cfg, n_buckets=n_buckets)
+    statuses = {r.bucket: r.status for r in results}
+    for k in first_done:
+        assert statuses[k] == "skipped"
+    assert all(s in ("ok", "skipped") for s in statuses.values())
+    # lineage carries rows + throughput
+    manifest = read_manifest(out)
+    assert all("rows_per_s" in m and m["row_count"] >= 0 for m in manifest.values())
+
+    # resumed output == single-shot output
+    resumed = (
+        spark.read.parquet(out + "/bucket=*")
+        .toPandas()
+        .sort_values(["doc_id", "window_id"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    single = (
+        extract_features(sdf, adf, tiny_cfg)
+        .toPandas()
+        .sort_values(["doc_id", "window_id"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert len(resumed) == len(single)
+    # float kernels are allclose-deterministic, not bitwise (BLAS matvec
+    # results shift by ~1 ulp with buffer alignment); keys/labels exact.
+    from conftest import assert_frames_allclose
+    from seizury_hrv_featuresextraction_spark.functions.hrv import ALL_FEATURES
+
+    assert_frames_allclose(resumed, single, float_cols=ALL_FEATURES, key_cols=["doc_id", "window_id"])
+    assert (
+        resumed.sort_values(["doc_id", "window_id"])["label"].to_numpy()
+        == single.sort_values(["doc_id", "window_id"])["label"].to_numpy()
+    ).all()
+
+
+def test_config_change_invalidates(spark, fixture_tables, tiny_cfg, tmp_path):
+    from dataclasses import replace
+
+    seq, ann = fixture_tables
+    seq = seq.iloc[:2]
+    sdf = spark.createDataFrame(seq, schema=SEQUENCES_SCHEMA)
+    adf = spark.createDataFrame(ann[ann["doc_id"].isin(seq["doc_id"])], schema=ANNOTATIONS_SCHEMA)
+    out = str(tmp_path / "f2")
+    run_resumable(spark, sdf, adf, out, tiny_cfg, n_buckets=2)
+    cfg2 = replace(tiny_cfg, sph_seconds=120.0)
+    results = run_resumable(spark, sdf, adf, out, cfg2, n_buckets=2)
+    assert all(r.status == "ok" for r in results)  # nothing skipped: config hash changed

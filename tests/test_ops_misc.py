@@ -1,0 +1,151 @@
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from seizury_hrv_featuresextraction_spark.operators.dedup import (
+    dedup_exact,
+    embedding_near_dups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+from seizury_hrv_featuresextraction_spark.operators.filters import iqr_filter, median_mad_filter
+from seizury_hrv_featuresextraction_spark.operators.similarity import brute_force_topk, ivf_topk
+from seizury_hrv_featuresextraction_spark.operators.stats import class_weights, zscore_normalize
+
+
+DOCS = pd.DataFrame(
+    {
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "text": [
+            "the quick brown fox jumps over the lazy dog",
+            "the quick brown fox jumps over the lazy dog",        # exact dup of 1
+            "the quick brown fox leaps over the lazy dog",        # near dup
+            "completely different words entirely here now",
+            "spark catalyst optimizer rewrites logical plans",
+            "spark catalyst optimizer rewrites physical plans",   # near dup of 5
+        ],
+    }
+)
+
+
+def test_dedup_exact(spark):
+    df = spark.createDataFrame(DOCS)
+    out = dedup_exact(df, "text", "doc_id").toPandas()
+    dup = out[out["group_size"] > 1]
+    assert len(dup) == 1 and dup["keeper_id"].iloc[0] == 1 and dup["group_size"].iloc[0] == 2
+    assert len(out) == 5  # 5 distinct fingerprints
+
+
+def test_minhash_and_jaccard(spark):
+    df = spark.createDataFrame(DOCS)
+    pairs = minhash_lsh_pairs(df, "text", "doc_id", n_hashes=8, band_size=2).toPandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    assert (1, 2) in got  # exact dups always collide
+    jac = ngram_jaccard_pairs(df, "text", "doc_id", shingle_words=3).toPandas()
+    jmap = {(r.id_a, r.id_b): r.jaccard for r in jac.itertuples()}
+    assert jmap[(1, 2)] == 1.0
+    assert 0.3 < jmap.get((1, 3), 0) < 1.0
+    assert (1, 4) not in jmap  # no shared shingles
+
+
+def test_simhash_near_dups(spark):
+    df = spark.createDataFrame(DOCS)
+    out = simhash_near_dups(df, "text", "doc_id", max_hamming=10).toPandas()
+    got = set(map(tuple, out[["id_a", "id_b"]].to_numpy()))
+    assert (1, 2) in got
+    if (1, 4) in got:  # unrelated docs must not be near at small hamming
+        row = out[(out.id_a == 1) & (out.id_b == 4)]
+        assert row["hamming"].iloc[0] > 3
+
+
+def _embs(n=40, d=16, seed=3):
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal((n, d))
+    v[1] = v[0] + 0.01 * rng.standard_normal(d)  # planted near-dup
+    return pd.DataFrame({"vec_id": range(n), "embedding": [list(map(float, r)) for r in v]})
+
+
+def test_embedding_near_dups_and_topk(spark):
+    pdf = _embs()
+    df = spark.createDataFrame(pdf)
+    pairs = embedding_near_dups(df, "embedding", "vec_id", min_cosine=0.95).toPandas()
+    assert (0, 1) in set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+
+    topk = brute_force_topk(df, df.filter(F.col("vec_id") == 0), "embedding", "vec_id", k=3).toPandas()
+    assert topk.sort_values("rank")["corpus_id"].iloc[0] == 1
+
+    # exact numpy cross-check of the full ranking for query 0
+    v = np.array([r for r in pdf["embedding"]])
+    cos = (v @ v[0]) / (np.linalg.norm(v, axis=1) * np.linalg.norm(v[0]))
+    cos[0] = -np.inf
+    exp_top = np.argsort(-cos)[:3]
+    assert topk.sort_values("rank")["corpus_id"].tolist() == list(exp_top)
+
+
+def test_ivf_topk_recall(spark):
+    pdf = _embs(n=60)
+    df = spark.createDataFrame(pdf)
+    q = df.filter(F.col("vec_id") < 3)
+    exact = brute_force_topk(df, q, "embedding", "vec_id", k=1).toPandas()
+    approx = ivf_topk(df, q, "embedding", "vec_id", k=1, n_lists=4, n_probe=4).toPandas()
+    # n_probe == n_lists -> exhaustive -> must equal exact top-1
+    e = exact.sort_values("query_id")["corpus_id"].tolist()
+    a = approx.sort_values("query_id")["corpus_id"].tolist()
+    assert a == e
+
+
+def test_filters_match_numpy(spark):
+    rng = np.random.default_rng(0)
+    vals = np.concatenate([rng.normal(0.8, 0.05, 200), [5.0, -3.0, 2.5]])
+    pdf = pd.DataFrame({"k": ["a"] * len(vals), "v": vals})
+    df = spark.createDataFrame(pdf)
+
+    med = np.median(vals)
+    mad = np.median(np.abs(vals - med))
+    exp_keep = np.abs(vals - med) <= 3 * mad
+    got = median_mad_filter(df, "v", "k").toPandas()
+    assert len(got) == exp_keep.sum()
+
+    q25, q75 = np.quantile(vals, [0.25, 0.75])
+    iqr = q75 - q25
+    exp_keep = (vals >= q25 - 1.5 * iqr) & (vals <= q75 + 1.5 * iqr)
+    got = iqr_filter(df, "v", "k").toPandas()
+    assert len(got) == exp_keep.sum()
+
+
+def test_zscore_and_class_weights(spark):
+    pdf = pd.DataFrame({"v": [1.0, 2.0, 3.0, 4.0], "label": [0, 0, 0, 1]})
+    df = spark.createDataFrame(pdf)
+    z = zscore_normalize(df, ["v"]).toPandas().sort_values("v")
+    exp = (pdf["v"] - pdf["v"].mean()) / pdf["v"].std(ddof=0)
+    assert np.allclose(sorted(z["v_z"]), sorted(exp))
+    cw = class_weights(df).toPandas().set_index("label")["weight"]
+    assert np.isclose(cw[0], 4 / (2 * 3)) and np.isclose(cw[1], 4 / (2 * 1))
+
+
+def test_multimodal_stub(spark):
+    from seizury_hrv_featuresextraction_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        frame_sample_plan,
+        image_features,
+    )
+
+    rows = [
+        ("m1", "image", bytearray(b"\x01\x02"), (8, 8, None, None, "image/fake")),
+        ("m2", "image", bytearray(b"\x03\x04"), (8, 8, None, None, "image/fake")),
+        ("v1", "video", bytearray(b"\x05"), (None, None, None, 3.5, "video/fake")),
+    ]
+    df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    feats = image_features(df, out_size=(8, 8), embed_dim=4).toPandas()
+    assert len(feats) == 2 and all(len(e) == 4 for e in feats["embedding"])
+    # determinism: same payload -> same features
+    feats2 = image_features(df, out_size=(8, 8), embed_dim=4).toPandas()
+    pd.testing.assert_frame_equal(
+        feats.sort_values("media_id").reset_index(drop=True),
+        feats2.sort_values("media_id").reset_index(drop=True),
+    )
+    frames = frame_sample_plan(df, every_s=1.0).toPandas()
+    assert frames["frame_idx"].tolist() == [0, 1, 2]

@@ -1,0 +1,114 @@
+"""Emulate the driver's correctness gate locally: run every queries()
+entry on Spark and its oracle_sql() twin on DuckDB at a given sf_dir,
+compare row count, schema (column names) and order-insensitive values.
+
+Usage: python tools/check_queries.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from seizury_hrv_featuresextraction_spark.sources.registry import TABLES  # noqa: E402
+from seizury_hrv_featuresextraction_spark.session import get_spark  # noqa: E402
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif np.issubdtype(df[c].dtype, np.floating):
+            df[c] = df[c].astype(np.float64)
+        elif np.issubdtype(df[c].dtype, np.integer):
+            df[c] = df[c].astype(np.int64)
+        elif df[c].dtype == bool:
+            df[c] = df[c].astype(np.int64)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(name: str, s: pd.DataFrame, d: pd.DataFrame) -> list[str]:
+    problems = []
+    if sorted(s.columns) != sorted(d.columns):
+        problems.append(f"schema: spark={sorted(s.columns)} duckdb={sorted(d.columns)}")
+        return problems
+    if len(s) != len(d):
+        problems.append(f"rows: spark={len(s)} duckdb={len(d)}")
+    cs, cd = canon(s), canon(d)
+    if len(cs) == len(cd):
+        for c in cs.columns:
+            a, b = cs[c], cd[c]
+            if np.issubdtype(a.dtype, np.floating):
+                eq = np.isclose(a.to_numpy(), b.to_numpy(dtype=float), rtol=0, atol=0, equal_nan=True)
+            else:
+                an, bn = a.isna().to_numpy(), b.isna().to_numpy()
+                eq = (a.fillna("__NA__").to_numpy() == b.fillna("__NA__").to_numpy()) | (an & bn)
+            if not eq.all():
+                idx = np.flatnonzero(~eq)[:3]
+                problems.append(
+                    f"values[{c}]: {int((~eq).sum())} mismatches, e.g. {list(zip(a.iloc[idx], b.iloc[idx]))}"
+                )
+    return problems
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(app_name="check-queries", master=f"local[{os.cpu_count()}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    def fresh_con():
+        c = duckdb.connect()
+        for t in TABLES:
+            p = os.path.join(sf_dir, f"{t}.parquet")
+            if os.path.exists(p):
+                c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        return c
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {str(e)[:300]}")
+            failed.append(name)
+            continue
+        if name not in oracles:
+            status = "rows-only"
+            print(f"OK?   {name}: {len(sdf)} rows ({status}) [{time.time()-t0:.1f}s]")
+            if len(sdf) == 0:
+                print(f"WARN  {name}: empty result")
+            continue
+        try:
+            ddf = fresh_con().execute(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
+            failed.append(name)
+            continue
+        problems = compare(name, sdf, ddf)
+        if problems:
+            print(f"FAIL  {name}: rows={len(sdf)}/{len(ddf)}")
+            for p in problems:
+                print(f"      {p}")
+            failed.append(name)
+        else:
+            flag = "" if len(sdf) else "  (EMPTY!)"
+            print(f"PASS  {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]{flag}")
+    print(f"\n{len(failed)} failures: {failed}" if failed else "\nALL PASS")
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
