@@ -197,6 +197,65 @@ def approximate_entropy(rr_sec: np.ndarray, m: int = 2, r_tol: float = 0.2) -> f
     return phi(m) - phi(m + 1)
 
 
+def batch_entropies(
+    Y: np.ndarray, m: int = 2, r_tol: float = 0.2, block: int = 64
+) -> tuple[np.ndarray, np.ndarray]:
+    """SampEn + ApEn for a (k, n) batch of same-length windows.
+
+    3D pairwise Chebyshev matrices per block — numerically identical to
+    the scalar kernels (same formulas, same guards), just evaluated for
+    `block` windows at once.
+    """
+    k, n = Y.shape
+    out_s = np.zeros(k)
+    out_a = np.zeros(k)
+    if n < m + 1:
+        return out_s, out_a
+    K = n - m + 1
+    iu = np.triu_indices(K, 1)
+    iu1 = np.triu_indices(K - 1, 1)
+    corr = (n - m + 2) / (n - m)
+    for lo in range(0, k, block):
+        Yb = Y[lo : lo + block]
+        kb = Yb.shape[0]
+        sd = Yb.std(axis=1)
+        ok = sd > 0
+        Z = (Yb - Yb.mean(axis=1, keepdims=True)) / np.where(sd == 0, 1.0, sd)[:, None]
+        r = r_tol * sd
+        D = None
+        for t in range(m):
+            A = np.abs(Z[:, t : t + K, None] - Z[:, None, t : t + K])
+            D = A if D is None else np.maximum(D, A)
+        b = (D[:, iu[0], iu[1]] <= r[:, None]).sum(axis=1)
+        A = np.abs(Z[:, m : m + K - 1, None] - Z[:, None, m : m + K - 1])
+        D1 = np.maximum(D[:, : K - 1, : K - 1], A)  # Chebyshev(m+1) >= Chebyshev(m)
+        a = (D1[:, iu1[0], iu1[1]] <= r[:, None]).sum(axis=1)
+        pos = (a > 0) & (b > 0) & ok
+        se = np.zeros(kb)
+        se[pos] = -np.log((a[pos] / b[pos]) * corr)
+        out_s[lo : lo + block] = se
+        # ApEn: self-matches included; log-of-fraction averaged
+        with np.errstate(divide="ignore", invalid="ignore"):
+            C2 = (D <= r[:, None, None]).sum(axis=2)
+            phi_m = np.where(C2 > 0, np.log(C2 / K), 0.0).sum(axis=1) / K
+            C3 = (D1 <= r[:, None, None]).sum(axis=2)
+            phi_m1 = np.where(C3 > 0, np.log(C3 / (K - 1)), 0.0).sum(axis=1) / (K - 1)
+        out_a[lo : lo + block] = np.where(ok, phi_m - phi_m1, 0.0)
+    return out_s, out_a
+
+
+def batch_triangular_index(Y: np.ndarray, bin_seconds: float) -> np.ndarray:
+    """Vectorized n / max-bin-count via per-row sort + max run length."""
+    k, n = Y.shape
+    B = np.floor(Y / bin_seconds).astype(np.int64)
+    S = np.sort(B, axis=1)
+    idx = np.arange(n)
+    newgrp = np.concatenate([np.ones((k, 1), bool), S[:, 1:] != S[:, :-1]], axis=1)
+    start_idx = np.maximum.accumulate(np.where(newgrp, idx[None, :], 0), axis=1)
+    maxrun = (idx[None, :] - start_idx + 1).max(axis=1)
+    return n / maxrun.astype(np.float64)
+
+
 def triangular_index(rr_sec: np.ndarray, bin_seconds: float) -> float:
     """n / max histogram count, bins = floor(rr / bin) anchored at 0."""
     if rr_sec.size == 0:
@@ -249,6 +308,13 @@ class WindowKernel:
         Window i covers samples [i*step, i*step + spw]; RR membership is
         start_time <= rr_t <= end_time, inclusive both ends
         (ecg_processing.py:365). Returns (win_ids, features[n_win, 23]).
+
+        Windows are batched BY BEAT COUNT: all windows with n beats share
+        one (k, n) matrix, so the time/frequency/Poincaré kernels become
+        row-wise array ops and the Lomb-Scargle becomes one (k, n) x
+        (n, n_freq) GEMM per group instead of n_win separate mat-vecs.
+        Only the entropy pair-counting and the histogram argmax stay
+        per-window (they are O(n^2)/O(n log n) on ~35 beats — cheap).
         """
         cfg = self.cfg
         fs = float(cfg.sampling_rate)
@@ -259,8 +325,105 @@ class WindowKernel:
         ends = (ids * step + spw) / fs
         lo_idx = np.searchsorted(rr_t, starts, side="left")
         hi_idx = np.searchsorted(rr_t, ends, side="right")
-        feats = np.empty((n_win, N_FEATURES), dtype=np.float64)
-        for k in range(n_win):
-            sl = slice(lo_idx[k], hi_idx[k])
-            feats[k] = self.feature_vector(rr_sec[sl], rr_t[sl])
+        lens = hi_idx - lo_idx
+        feats = np.full((n_win, N_FEATURES), np.nan, dtype=np.float64)
+
+        for n in np.unique(lens):
+            rows = np.flatnonzero(lens == n)
+            if n < cfg.min_beats_per_window:
+                continue  # all-NaN rows (data_processing_pipeline.py:724-728)
+            Y = rr_sec[lo_idx[rows][:, None] + np.arange(n)[None, :]]  # (k, n)
+            self._batch_time(Y, feats, rows)
+            self._batch_freq(Y, feats, rows)
+            self._batch_poincare(Y, feats, rows)
+            if n >= cfg.min_beats_entropy:
+                se, ae = batch_entropies(
+                    Y[:, : cfg.entropy_max_beats], cfg.entropy_m, cfg.entropy_r
+                )
+                feats[rows, 20] = se
+                feats[rows, 21] = ae
+            else:
+                feats[rows, 20] = 0.0
+                feats[rows, 21] = 0.0
+            feats[rows, 22] = batch_triangular_index(Y, cfg.tri_bin_seconds)
         return ids, feats
+
+    def _batch_time(self, Y: np.ndarray, feats: np.ndarray, rows: np.ndarray) -> None:
+        n = Y.shape[1]
+        if n < 2:
+            feats[rows, 0:9] = 0.0
+            return
+        ms = Y * 1000.0
+        d = np.diff(ms, axis=1)
+        nn50 = np.count_nonzero(np.abs(d) > 50.0, axis=1).astype(np.float64)
+        feats[rows, 0] = nn50
+        feats[rows, 1] = nn50 / d.shape[1] * 100.0
+        feats[rows, 2] = np.sqrt(np.mean(d * d, axis=1))
+        feats[rows, 3] = np.std(ms, axis=1, ddof=1)
+        feats[rows, 4] = np.std(d, axis=1, ddof=1) if d.shape[1] else 0.0
+        feats[rows, 5] = ms.mean(axis=1)
+        feats[rows, 6] = ms.min(axis=1)
+        feats[rows, 7] = ms.max(axis=1)
+        feats[rows, 8] = np.var(ms, axis=1, ddof=1)
+
+    def _batch_freq(self, Y: np.ndarray, feats: np.ndarray, rows: np.ndarray) -> None:
+        cfg = self.cfg
+        n = Y.shape[1]
+        if n < cfg.min_beats_frequency:
+            feats[rows, 9:17] = 0.0
+            return
+        if cfg.use_welch_fallback:
+            # fallback path needs per-window times; route through the
+            # scalar kernel (exercised only when explicitly configured)
+            t = np.cumsum(Y, axis=1)
+            out = np.empty(N_FEATURES)
+            for j, r in enumerate(rows):
+                self.freq_kernel(Y[j], t[j], out)
+                feats[r, 9:17] = out[9:17]
+            return
+        d = self.freq_kernel.cache.get(n)
+        fk = self.freq_kernel
+        s = cfg.power_scale
+        k = Y.shape[0]
+        total = np.empty(k)
+        vlf = np.empty(k)
+        lf = np.empty(k)
+        hf = np.empty(k)
+        # block the GEMM so the (blk x n_freq) periodogram and its
+        # temporaries stay cache-resident: at full fan-out the kernel is
+        # memory-bound, not FLOP-bound
+        blk = 64
+        for lo in range(0, k, blk):
+            Yb = Y[lo : lo + blk]
+            YC = Yb @ d.cosv.T  # (blk, F)
+            YS = Yb @ d.sinv.T
+            cterm = np.where(d.c_ok[None, :], YC * YC / d.cc[None, :], 0.0)
+            sterm = np.where(d.s_ok[None, :], YS * YS / d.ss[None, :], 0.0)
+            pgram = 0.5 * (cterm + sterm) * (2.0 / np.einsum("ij,ij->i", Yb, Yb))[:, None]
+            sl = slice(lo, lo + Yb.shape[0])
+            total[sl] = np.maximum(0.0, pgram @ fk.w_total) * s
+            vlf[sl] = np.maximum(0.0, pgram @ fk.w_vlf) * s
+            lf[sl] = np.maximum(0.0, pgram @ fk.w_lf) * s
+            hf[sl] = np.maximum(0.0, pgram @ fk.w_hf) * s
+        feats[rows, 9] = total
+        feats[rows, 10] = vlf
+        feats[rows, 11] = lf
+        feats[rows, 12] = hf
+        inv = np.where(total > 0, 100.0 / np.where(total > 0, total, 1.0), 0.0)
+        feats[rows, 13] = vlf * inv
+        feats[rows, 14] = lf * inv
+        feats[rows, 15] = hf * inv
+        feats[rows, 16] = np.where(hf > 0, lf / np.where(hf > 0, hf, 1.0), 0.0)
+
+    def _batch_poincare(self, Y: np.ndarray, feats: np.ndarray, rows: np.ndarray) -> None:
+        if Y.shape[1] < 2:
+            feats[rows, 17:20] = 0.0
+            return
+        ms = Y * 1000.0
+        diff = ms[:, :-1] - ms[:, 1:]
+        summ = ms[:, :-1] + ms[:, 1:]
+        sd1 = np.std(diff, axis=1, ddof=1) / np.sqrt(2.0)
+        sd2 = np.std(summ, axis=1, ddof=1) / np.sqrt(2.0)
+        feats[rows, 17] = sd1
+        feats[rows, 18] = sd2
+        feats[rows, 19] = np.where(sd2 > 0, sd1 / np.where(sd2 > 0, sd2, 1.0), 0.0)

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine, to_double
+from .dedup import spread
 
 
 def brute_force_topk(
@@ -28,7 +29,7 @@ def brute_force_topk(
     include_self: bool = False,
 ) -> DataFrame:
     """Exact cosine top-k per query. Queries are broadcast (small side)."""
-    c = corpus.select(F.col(id_col).alias("corpus_id"), to_double(F.col(vec_col)).alias("cv"))
+    c = spread(corpus).select(F.col(id_col).alias("corpus_id"), to_double(F.col(vec_col)).alias("cv"))
     q = queries.select(F.col(id_col).alias("query_id"), to_double(F.col(vec_col)).alias("qv"))
     joined = c.join(F.broadcast(q), F.lit(True))
     if not include_self:

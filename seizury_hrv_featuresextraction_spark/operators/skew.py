@@ -23,28 +23,48 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 
 from ..config import HRVConfig
 from ..schemas import CHUNKS_SCHEMA
 
 
-def _chunk_rows(pdf: pd.DataFrame, cfg: HRVConfig) -> pd.DataFrame:
+def _chunk_batch(batch: pa.RecordBatch, cfg: HRVConfig) -> pa.RecordBatch | None:
+    """One Arrow batch of (doc_id, tokens) -> one Arrow batch of chunks.
+
+    Zero-copy discipline: token values come out of the ListArray as one
+    flat numpy view; rr/rr_t slices go back in through
+    ListArray.from_arrays(offsets, flat_values) — no per-row Python
+    objects, no pandas object columns.
+    """
     fs = cfg.sampling_rate
     spw = cfg.window_samples()
     step = cfg.step_samples()
     wpc = max(1, cfg.max_windows_per_chunk)
-    out: dict[str, list] = {k: [] for k in ("doc_id", "chunk_id", "win_lo", "n_win", "n_samples", "rr", "rr_t")}
-    for doc_id, tokens in zip(pdf["doc_id"].to_numpy(), pdf["tokens"].to_numpy()):
-        tok = np.asarray(tokens, dtype=np.int64)
+
+    doc_ids = batch.column(0).to_pylist()
+    tok_list = batch.column(1)
+    offsets = tok_list.offsets.to_numpy(zero_copy_only=False)
+    flat_tok = tok_list.values.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    out_doc: list[str] = []
+    out_chunk: list[int] = []
+    out_win_lo: list[int] = []
+    out_n_win: list[int] = []
+    out_n_samples: list[int] = []
+    slice_bounds: list[tuple[int, int]] = []  # absolute (lo, hi) into flat arrays
+    flat_rr = flat_tok.astype(np.float64) / 1000.0
+
+    for i, doc_id in enumerate(doc_ids):
+        a, b = int(offsets[i]), int(offsets[i + 1])
+        tok = flat_tok[a:b]
         total_ms = int(tok.sum())
         n_samples = total_ms * fs // 1000
         n_windows = (n_samples - spw) // step + 1
         if n_windows <= 0:
             continue
-        rr = tok.astype(np.float64) / 1000.0
-        rr_t = np.cumsum(rr)
+        rr_t = np.cumsum(flat_rr[a:b])
         n_chunks = (n_windows + wpc - 1) // wpc
         for c in range(n_chunks):
             win_lo = c * wpc
@@ -53,25 +73,66 @@ def _chunk_rows(pdf: pd.DataFrame, cfg: HRVConfig) -> pd.DataFrame:
             t_hi = ((win_lo + n_win - 1) * step + spw) / fs
             lo = int(np.searchsorted(rr_t, t_lo, side="left"))
             hi = int(np.searchsorted(rr_t, t_hi, side="right"))
-            out["doc_id"].append(doc_id)
-            out["chunk_id"].append(c)
-            out["win_lo"].append(win_lo)
-            out["n_win"].append(n_win)
-            out["n_samples"].append(n_samples)
-            out["rr"].append(rr[lo:hi])
-            out["rr_t"].append(rr_t[lo:hi])
-    return pd.DataFrame(out)
+            out_doc.append(doc_id)
+            out_chunk.append(c)
+            out_win_lo.append(win_lo)
+            out_n_win.append(n_win)
+            out_n_samples.append(n_samples)
+            slice_bounds.append((a + lo, a + hi))
+
+    if not out_doc:
+        return None
+    # assemble rr / rr_t as ListArrays over one flat buffer each
+    lens = np.array([hi - lo for lo, hi in slice_bounds], dtype=np.int64)
+    new_offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=new_offsets[1:])
+    rr_vals = np.empty(int(new_offsets[-1]), dtype=np.float64)
+    rrt_vals = np.empty_like(rr_vals)
+    pos = 0
+    for lo, hi in slice_bounds:
+        k = hi - lo
+        rr_vals[pos : pos + k] = flat_rr[lo:hi]
+        pos += k
+    # rr_t must be the cumsum over the FULL doc (oracle parity): rebuild
+    # each doc's prefix sum once (chunks of a doc arrive consecutively)
+    pos = 0
+    cur_doc_range = None
+    cur_rr_t = None
+    for lo, hi in slice_bounds:
+        if cur_doc_range is None or not (cur_doc_range[0] <= lo < cur_doc_range[1]):
+            d = int(np.searchsorted(offsets, lo, side="right") - 1)
+            a, b = int(offsets[d]), int(offsets[d + 1])
+            cur_doc_range = (a, b)
+            cur_rr_t = np.cumsum(flat_rr[a:b])
+        k = hi - lo
+        rrt_vals[pos : pos + k] = cur_rr_t[lo - cur_doc_range[0] : hi - cur_doc_range[0]]
+        pos += k
+
+    off = pa.array(new_offsets, type=pa.int64())
+    arrays = [
+        pa.array(out_doc, type=pa.string()),
+        pa.array(out_chunk, type=pa.int32()),
+        pa.array(out_win_lo, type=pa.int64()),
+        pa.array(out_n_win, type=pa.int64()),
+        pa.array(out_n_samples, type=pa.int64()),
+        pa.LargeListArray.from_arrays(off, pa.array(rr_vals, type=pa.float64())).cast(pa.list_(pa.float64())),
+        pa.LargeListArray.from_arrays(off, pa.array(rrt_vals, type=pa.float64())).cast(pa.list_(pa.float64())),
+    ]
+    names = ["doc_id", "chunk_id", "win_lo", "n_win", "n_samples", "rr", "rr_t"]
+    return pa.RecordBatch.from_arrays(arrays, names=names)
 
 
 def explode_chunks(sequences: DataFrame, cfg: HRVConfig) -> DataFrame:
     """sequences (doc_id, tokens, ...) -> chunk rows (CHUNKS_SCHEMA)."""
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf):
-                yield _chunk_rows(pdf, cfg)
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            if batch.num_rows:
+                out = _chunk_batch(batch, cfg)
+                if out is not None:
+                    yield out
 
-    chunks = sequences.select("doc_id", "tokens").mapInPandas(gen, schema=CHUNKS_SCHEMA)
+    chunks = sequences.select("doc_id", "tokens").mapInArrow(gen, schema=CHUNKS_SCHEMA)
     if cfg.repartition_chunks:
         n = cfg.target_partitions or int(sequences.sparkSession.conf.get("spark.sql.shuffle.partitions"))
         chunks = chunks.repartition(n)

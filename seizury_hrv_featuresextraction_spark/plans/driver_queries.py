@@ -16,14 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import (
-    langid,
-    minhash_signature,
-    quality_features,
-    simhash64,
-    word_shingles,
-    words,
-)
+from ..functions.text import langid, quality_features, words
 from ..operators.asof import asof_join
 from ..operators.dedup import dedup_exact, minhash_lsh_pairs, ngram_jaccard_pairs
 from ..operators.filters import iqr_filter, median_mad_filter
@@ -601,16 +594,12 @@ def dedup_exact_docs(spark, sf_dir):
     """,
 )
 def minhash_signatures(spark, sf_dir):
+    from ..operators.dedup import minhash_signature_table
+
     docs = load_table(spark, sf_dir, "documents")
-    sig = docs.select(
-        "doc_id", minhash_signature(word_shingles(F.col("text"), 3), 4).alias("sig")
-    ).filter(F.size(word_shingles(F.col("text"), 3)) > 0)
+    sig = minhash_signature_table(docs, "text", "doc_id", n_hashes=4, shingle_words=3)
     return sig.select(
-        "doc_id",
-        F.col("sig")[0].alias("mh0"),
-        F.col("sig")[1].alias("mh1"),
-        F.col("sig")[2].alias("mh2"),
-        F.col("sig")[3].alias("mh3"),
+        F.col("id").alias("doc_id"), "mh0", "mh1", "mh2", "mh3"
     )
 
 
@@ -682,8 +671,13 @@ def ngram_jaccard_pairs_q(spark, sf_dir):
     """,
 )
 def simhash_docs(spark, sf_dir):
+    from ..operators.dedup import simhash_table
+
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash64(words(F.col("text"))).alias("simhash"))
+    # codegen'd aggregation variant (semantics == functions.text.simhash64)
+    return simhash_table(docs, "text", "doc_id").select(
+        F.col("id").alias("doc_id"), F.col("sh").alias("simhash")
+    )
 
 
 @q(

@@ -51,40 +51,65 @@ def _get_kernel(cfg: HRVConfig) -> WindowKernel:
 
 
 def _kernel_batches(cfg: HRVConfig):
+    import pyarrow as pa
+
     fs = float(cfg.sampling_rate)
     spw = cfg.window_samples()
     step = cfg.step_samples()
     half = spw // 2
+    names = (
+        ["doc_id", "window_id", "window_start_time", "window_center_time",
+         "window_end_time", "center_sample", "n_beats"] + list(ALL_FEATURES)
+    )
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         kernel = _get_kernel(cfg)
-        for pdf in batches:
-            frames = []
-            for row in pdf.itertuples(index=False):
-                rr = np.asarray(row.rr, dtype=np.float64)
-                rr_t = np.asarray(row.rr_t, dtype=np.float64)
-                ids, feats = kernel.windows_for_chunk(rr, rr_t, int(row.win_lo), int(row.n_win))
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            cols = {batch.schema.names[i]: batch.column(i) for i in range(batch.num_columns)}
+            doc_ids = cols["doc_id"].to_pylist()
+            win_lo_arr = cols["win_lo"].to_numpy(zero_copy_only=False)
+            n_win_arr = cols["n_win"].to_numpy(zero_copy_only=False)
+            rr_list = cols["rr"]
+            rrt_list = cols["rr_t"]
+            rr_off = rr_list.offsets.to_numpy(zero_copy_only=False)
+            rr_flat = rr_list.values.to_numpy(zero_copy_only=False)
+            rrt_flat = rrt_list.values.to_numpy(zero_copy_only=False)
+
+            total_win = int(n_win_arr.sum())
+            all_ids = np.empty(total_win, dtype=np.int64)
+            all_feats = np.empty((total_win, len(ALL_FEATURES)), dtype=np.float64)
+            all_beats = np.empty(total_win, dtype=np.int32)
+            doc_out: list[str] = []
+            pos = 0
+            for i in range(batch.num_rows):
+                a, b = int(rr_off[i]), int(rr_off[i + 1])
+                rr = rr_flat[a:b]
+                rr_t = rrt_flat[a:b]
+                ids, feats = kernel.windows_for_chunk(rr, rr_t, int(win_lo_arr[i]), int(n_win_arr[i]))
+                k = len(ids)
                 starts = ids * step
-                n_beats = (
+                all_ids[pos : pos + k] = ids
+                all_feats[pos : pos + k] = feats
+                all_beats[pos : pos + k] = (
                     np.searchsorted(rr_t, (starts + spw) / fs, side="right")
                     - np.searchsorted(rr_t, starts / fs, side="left")
-                ).astype(np.int32)
-                frame = pd.DataFrame(
-                    {
-                        "doc_id": row.doc_id,
-                        "window_id": ids,
-                        "window_start_time": starts / fs,
-                        "window_center_time": (starts + half) / fs,
-                        "window_end_time": (starts + spw) / fs,
-                        "center_sample": starts + half,
-                        "n_beats": n_beats,
-                    }
                 )
-                for j, name in enumerate(ALL_FEATURES):
-                    frame[name] = feats[:, j]
-                frames.append(frame)
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
+                doc_out.extend([doc_ids[i]] * k)
+                pos += k
+
+            starts = all_ids * step
+            arrays = [
+                pa.array(doc_out, type=pa.string()),
+                pa.array(all_ids, type=pa.int64()),
+                pa.array(starts / fs, type=pa.float64()),
+                pa.array((starts + half) / fs, type=pa.float64()),
+                pa.array((starts + spw) / fs, type=pa.float64()),
+                pa.array(starts + half, type=pa.int64()),
+                pa.array(all_beats, type=pa.int32()),
+            ] + [pa.array(all_feats[:, j], type=pa.float64()) for j in range(len(ALL_FEATURES))]
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
 
     return gen
 
@@ -107,7 +132,7 @@ def extract_features(
 ) -> DataFrame:
     """sequences + annotations -> labeled windowed feature table."""
     chunks = explode_chunks(sequences, cfg)
-    feats = chunks.mapInPandas(_kernel_batches(cfg), schema=FEATURES_KERNEL_SCHEMA)
+    feats = chunks.mapInArrow(_kernel_batches(cfg), schema=FEATURES_KERNEL_SCHEMA)
     if annotations is not None:
         dims = doc_dimensions(sequences, cfg)
         intervals = build_label_intervals(annotations, dims, cfg)
