@@ -114,6 +114,30 @@ def _kernel_batches(cfg: HRVConfig):
     return gen
 
 
+def _fused_batches(cfg: HRVConfig):
+    """tokens -> windowed features in ONE Arrow stage (no intermediate
+    chunk rows, no shuffle, one JVM<->Python crossing). The right plan
+    when doc lengths are bounded / pre-bucketed so no rebalancing is
+    needed; ``extract_features(..., fused=True)`` selects it."""
+    import pyarrow as pa
+
+    from ..operators.skew import _chunk_batch
+
+    kernel_gen = _kernel_batches(cfg)
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        def chunk_stream():
+            for batch in batches:
+                if batch.num_rows:
+                    out = _chunk_batch(batch, cfg)
+                    if out is not None:
+                        yield out
+
+        yield from kernel_gen(chunk_stream())
+
+    return gen
+
+
 def doc_dimensions(sequences: DataFrame, cfg: HRVConfig) -> DataFrame:
     """(doc_id, total_ms, n_samples) via a native array fold — exact
     integer arithmetic, stays in the JVM."""
@@ -129,10 +153,21 @@ def extract_features(
     sequences: DataFrame,
     annotations: DataFrame | None,
     cfg: HRVConfig = DEFAULT_CONFIG,
+    fused: bool = False,
 ) -> DataFrame:
-    """sequences + annotations -> labeled windowed feature table."""
-    chunks = explode_chunks(sequences, cfg)
-    feats = chunks.mapInArrow(_kernel_batches(cfg), schema=FEATURES_KERNEL_SCHEMA)
+    """sequences + annotations -> labeled windowed feature table.
+
+    fused=False (default): chunk-split -> repartition (skew rebalancing)
+    -> kernel. fused=True: a single narrow Arrow stage — use when the
+    input is already balanced (bucketed table, bounded doc length).
+    """
+    if fused:
+        feats = sequences.select("doc_id", "tokens").mapInArrow(
+            _fused_batches(cfg), schema=FEATURES_KERNEL_SCHEMA
+        )
+    else:
+        chunks = explode_chunks(sequences, cfg)
+        feats = chunks.mapInArrow(_kernel_batches(cfg), schema=FEATURES_KERNEL_SCHEMA)
     if annotations is not None:
         dims = doc_dimensions(sequences, cfg)
         intervals = build_label_intervals(annotations, dims, cfg)

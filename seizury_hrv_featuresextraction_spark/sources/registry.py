@@ -29,6 +29,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def read_annotations_tsv(spark: SparkSession, path: str, seizures_only: bool = True) -> DataFrame:
+    """O2: BIDS *_events.tsv-shaped annotation scan
+    (data_processing_pipeline.py:534-568) — tab-separated with header,
+    optionally filtered to seizure rows with the native O9 predicate."""
+    from ..operators.labeling import is_seizure_event
+
+    df = (
+        spark.read.option("sep", "\t")
+        .option("header", "true")
+        .csv(path)
+        .select(
+            F.col("doc_id"),
+            F.col("onset").cast("double").alias("onset"),
+            F.col("duration").cast("double").alias("duration"),
+            F.col("event_type"),
+        )
+    )
+    if seizures_only:
+        df = df.filter(is_seizure_event(F.col("event_type")))
+    return df
+
+
 def sequences_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events -> (doc_id, tokens array<int>, n_tok, source).
 

@@ -102,6 +102,16 @@ def make_buffer_fn(
     return fn
 
 
+class _BatchState:
+    """GroupState stand-in for the batch path (one group = whole history,
+    so state never persists beyond the call)."""
+
+    exists = False
+
+    def update(self, value) -> None:  # noqa: D401 - interface parity
+        pass
+
+
 def streaming_feature_buffer(
     features: DataFrame,
     feature_cols: list[str],
@@ -110,13 +120,28 @@ def streaming_feature_buffer(
     k_consecutive: int = 3,
     event_time_col: str = "window_end_time",
 ) -> DataFrame:
-    """Works on a streaming OR batch DataFrame of feature rows."""
+    """Works on a streaming OR batch DataFrame of feature rows.
+
+    Streaming: applyInPandasWithState (true incremental state).
+    Batch: the SAME state function through applyInPandas — Spark 4
+    rejects applyInPandasWithState in batch queries, and in batch each
+    group holds its full history anyway, so fresh state is correct.
+    """
     fn = make_buffer_fn(feature_cols, seq_len, threshold, k_consecutive)
     src = features.withColumn("event_time", F.col(event_time_col).cast("double"))
-    return src.groupBy("doc_id").applyInPandasWithState(
-        fn,
-        outputStructType=PREDICTION_SCHEMA,
-        stateStructType=STATE_SCHEMA,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
+    if src.isStreaming:
+        return src.groupBy("doc_id").applyInPandasWithState(
+            fn,
+            outputStructType=PREDICTION_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    def batch_fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        frames = list(fn(key, iter([pdf]), _BatchState()))
+        return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+            columns=[f.name for f in PREDICTION_SCHEMA.fields]
+        )
+
+    return src.groupBy("doc_id").applyInPandas(batch_fn, schema=PREDICTION_SCHEMA)

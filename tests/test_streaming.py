@@ -61,7 +61,9 @@ def test_batch_state_function_matches_deque(spark):
     feature_cols = ["f1", "f2"]
     df = spark.createDataFrame(pdf)
     got = (
-        streaming_feature_buffer(df, feature_cols, seq_len=5, threshold=0.5, k_consecutive=2)
+        streaming_feature_buffer(
+            df, feature_cols, seq_len=5, threshold=0.5, k_consecutive=2, event_time_col="event_time"
+        )
         .toPandas()
         .sort_values(["doc_id", "event_time"])
         .reset_index(drop=True)
