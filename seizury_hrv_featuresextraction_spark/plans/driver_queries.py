@@ -947,3 +947,151 @@ def sliding_grid(spark, sf_dir):
     dims = doc_dimensions(seq, cfg)
     grid = sliding_window_grid(dims, cfg.window_samples(), cfg.step_samples(), cfg.sampling_rate)
     return grid.select("doc_id", "window_id", "start_sample", "center_sample", "end_sample")
+
+
+# ---------------------------------------------------------------------------
+# round-1 additions: O14-as-asof over window centers, O40 metrics,
+# O52 arg-max, O57-O65 scalar functions
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "window_label_asof",
+    f"""
+    WITH base AS (
+      SELECT user_id, event_id, event_type,
+             {EPOCH_DD} - min({EPOCH_DD}) OVER (PARTITION BY user_id) AS rel
+      FROM events),
+    seq AS (SELECT user_id, {_TOK_DD} AS tok FROM events),
+    wins AS (
+      SELECT user_id,
+             ((((sum(tok::bigint)::bigint * 256) // 1000) - 7680) // 1280 + 1)::bigint AS n_win
+      FROM seq GROUP BY user_id
+      HAVING (((sum(tok::bigint)::bigint * 256) // 1000) - 7680) // 1280 + 1 > 0),
+    centers AS (
+      SELECT user_id, unnest(generate_series(0, n_win - 1)) AS window_id,
+             (unnest(generate_series(0, n_win - 1)) * 1280 + 3840) / 256.0 AS center_rel
+      FROM wins)
+    SELECT 'user-' || c.user_id::varchar AS doc_id, c.window_id,
+           coalesce(b.event_type, 'none') AS label_event
+    FROM centers c ASOF LEFT JOIN base b
+      ON b.user_id = c.user_id AND c.center_rel >= b.rel
+    """,
+)
+def window_label_asof(spark, sf_dir):
+    """O14 as a literal as-of join: each window center takes the latest
+    event at-or-before it (zero leakage) via the engine's native as-of
+    operator, checked against DuckDB's built-in ASOF JOIN."""
+    from ..config import DEFAULT_CONFIG as cfg
+    from .hrv_pipeline import doc_dimensions
+
+    ev = _ev(spark, sf_dir)
+    wmin = Window.partitionBy("user_id")
+    base = ev.select(
+        F.concat(F.lit("user-"), F.col("user_id").cast("string")).alias("doc_id"),
+        "event_type",
+        (F.col("e") - F.min("e").over(wmin)).alias("rel"),
+    )
+    seq = sequences_from_events(spark, sf_dir)
+    dims = doc_dimensions(seq, cfg)
+    grid = sliding_window_grid(dims, cfg.window_samples(), cfg.step_samples(), cfg.sampling_rate)
+    centers = grid.select("doc_id", "window_id", F.col("window_center_time").alias("rel"))
+    j = asof_join(centers, base, on="rel", by="doc_id", value_cols=["event_type"], direction="backward")
+    return j.select(
+        "doc_id", "window_id", F.coalesce("event_type", F.lit("none")).alias("label_event")
+    )
+
+
+@q(
+    "detection_metrics",
+    """
+    WITH scored AS (
+      SELECT CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS pos,
+             CASE WHEN value > 15.0 THEN 1 ELSE 0 END AS pred
+      FROM events)
+    SELECT sum(pos * pred)::bigint AS tp,
+           sum(pos * (1 - pred))::bigint AS fn,
+           sum((1 - pos) * pred)::bigint AS fp,
+           sum((1 - pos) * (1 - pred))::bigint AS tn,
+           round(sum(pos * pred)::double / nullif(sum(pos), 0), 6) AS sensitivity,
+           round(sum((1 - pos) * (1 - pred))::double / nullif(sum(1 - pos), 0), 6) AS specificity
+    FROM scored
+    """,
+)
+def detection_metrics_q(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    pos = (F.col("event_type") == "error").cast("int")
+    pred = (F.col("value") > 15.0).cast("int")
+    return ev.select(pos.alias("pos"), pred.alias("pred")).agg(
+        F.sum(F.col("pos") * F.col("pred")).alias("tp"),
+        F.sum(F.col("pos") * (1 - F.col("pred"))).alias("fn"),
+        F.sum((1 - F.col("pos")) * F.col("pred")).alias("fp"),
+        F.sum((1 - F.col("pos")) * (1 - F.col("pred"))).alias("tn"),
+        F.round(
+            F.sum(F.col("pos") * F.col("pred")) / F.nullif(F.sum("pos"), F.lit(0)), 6
+        ).alias("sensitivity"),
+        F.round(
+            F.sum((1 - F.col("pos")) * (1 - F.col("pred"))) / F.nullif(F.sum(1 - F.col("pos")), F.lit(0)), 6
+        ).alias("specificity"),
+    )
+
+
+@q(
+    "latest_alarm_before",
+    f"""
+    WITH errors AS (
+      SELECT user_id, {EPOCH_DD} AS onset FROM events WHERE event_type = 'error'),
+    clicks AS (
+      SELECT user_id, {EPOCH_DD} AS e FROM events WHERE event_type = 'click')
+    SELECT e.user_id, round(e.onset, 6) AS onset,
+           round(max(c.e), 6) AS latest_click,
+           round(e.onset - max(c.e), 6) AS warning_secs
+    FROM errors e JOIN clicks c ON c.user_id = e.user_id AND c.e < e.onset
+    GROUP BY e.user_id, e.onset
+    """,
+)
+def latest_alarm_before(spark, sf_dir):
+    from ..operators.evaluation import latest_alarm_before_onset
+
+    ev = _ev(spark, sf_dir)
+    alarms = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("doc_id"), F.col("e").alias("alarm_time")
+    )
+    events = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("doc_id"), F.col("e").alias("onset")
+    )
+    out = latest_alarm_before_onset(alarms, events)
+    return out.select(
+        F.col("doc_id").alias("user_id"),
+        F.round("onset", 6).alias("onset"),
+        F.round("latest_alarm", 6).alias("latest_click"),
+        F.round("warning_seconds", 6).alias("warning_secs"),
+    )
+
+
+@q(
+    "scalar_functions",
+    """
+    SELECT doc_id,
+           regexp_extract('sub-' || lpad(doc_id::varchar, 3, '0') || '_run-02', 'sub-([^_]+)', 1) AS subject_id,
+           regexp_extract('sub-' || lpad(doc_id::varchar, 3, '0') || '_run-02', '_run-([0-9]+)', 1) AS run_no,
+           lpad(doc_id::varchar, 6, '0') AS padded,
+           greatest(least(n_chars, 300), 100) AS clipped,
+           lower(trim('  ' || lang || ' ')) AS normed,
+           substr(md5(doc_id::varchar), 1, 8) AS id_hash
+    FROM documents
+    """,
+)
+def scalar_functions(spark, sf_dir):
+    """O57/O58/O59/O61/O63/O65 in one projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    name = F.concat(F.lit("sub-"), F.lpad(F.col("doc_id").cast("string"), 3, "0"), F.lit("_run-02"))
+    return docs.select(
+        "doc_id",
+        F.regexp_extract(name, r"sub-([^_]+)", 1).alias("subject_id"),
+        F.regexp_extract(name, r"_run-([0-9]+)", 1).alias("run_no"),
+        F.lpad(F.col("doc_id").cast("string"), 6, "0").alias("padded"),
+        F.greatest(F.least(F.col("n_chars"), F.lit(300)), F.lit(100)).alias("clipped"),
+        F.lower(F.trim(F.concat(F.lit("  "), F.col("lang"), F.lit(" ")))).alias("normed"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8).alias("id_hash"),
+    )
