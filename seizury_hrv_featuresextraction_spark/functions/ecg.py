@@ -235,3 +235,25 @@ def ecg_to_tokens(ecg: np.ndarray, sampling_rate: int = 256, artifact_method: st
     rr, rr_t = compute_rr_intervals(peaks, sampling_rate)
     rr, rr_t, _ = filter_artifacts(rr, rr_t, artifact_method)
     return np.rint(rr * 1000.0).astype(np.int32)
+
+
+def interpolate_artifacts(
+    rr: np.ndarray, rr_t: np.ndarray, artifact_mask: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Linear interpolation of artifact RRs at their original timestamps
+    (ecg_processing.py:249-280; linear + edge extrapolation)."""
+    if rr.size == 0 or np.all(artifact_mask):
+        return np.array([]), np.array([])
+    clean = ~artifact_mask
+    c_rr, c_t = rr[clean], rr_t[clean]
+    if c_rr.size < 2:
+        return c_rr, c_t
+    out = np.interp(rr_t, c_t, c_rr)
+    # linear extrapolation beyond the clean range (np.interp clamps)
+    lo_slope = (c_rr[1] - c_rr[0]) / (c_t[1] - c_t[0])
+    hi_slope = (c_rr[-1] - c_rr[-2]) / (c_t[-1] - c_t[-2])
+    before = rr_t < c_t[0]
+    after = rr_t > c_t[-1]
+    out[before] = c_rr[0] + lo_slope * (rr_t[before] - c_t[0])
+    out[after] = c_rr[-1] + hi_slope * (rr_t[after] - c_t[-1])
+    return out, rr_t

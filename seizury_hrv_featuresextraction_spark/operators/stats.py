@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -58,6 +58,36 @@ def zscore_normalize(
             F.when(sd > 0, (F.col(c) - F.col(f"__mu_{c}")) / sd).otherwise(F.lit(0.0)),
         )
     return out.drop(*[f"__mu_{c}" for c in cols], *[f"__sd_{c}" for c in cols])
+
+
+def patient_level_splits(
+    df: DataFrame,
+    subject_col: str = "subject_id",
+    test_frac: float = 0.2,
+    val_frac: float = 0.1,
+    seed: int = 42,
+) -> DataFrame:
+    """O20/O56: leakage-free subject-level train/val/test assignment
+    (lstm_sequences.py:444-565: seeded shuffle of unique subjects, then
+    whole subjects into splits). Deterministic via seeded xxhash ranking
+    of distinct subjects; returns df + a ``split`` column."""
+    subjects = (
+        df.select(subject_col)
+        .distinct()
+        .withColumn("__r", F.xxhash64(F.col(subject_col).cast("string"), F.lit(seed)))
+    )
+    w = Window.orderBy("__r", subject_col)
+    n_total = subjects.count()
+    n_test = int(round(n_total * test_frac))
+    n_val = int(round(n_total * val_frac))
+    ranked = subjects.withColumn("__rank", F.row_number().over(w)).select(
+        subject_col,
+        F.when(F.col("__rank") <= n_test, F.lit("test"))
+        .when(F.col("__rank") <= n_test + n_val, F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+    return df.join(F.broadcast(ranked), subject_col)
 
 
 def split_by_keys(

@@ -103,3 +103,31 @@ def test_spark_signals_to_features(spark):
     assert len(feats) > 0
     ok = feats[feats["n_beats"] >= 5]
     assert len(ok) > 0 and np.isfinite(ok["SDNN"]).all()
+
+
+def test_interpolate_artifacts():
+    from seizury_hrv_featuresextraction_spark.functions.ecg import interpolate_artifacts
+
+    rr = np.array([0.8, 0.8, 5.0, 0.9, 0.9])
+    t = np.array([1.0, 2.0, 3.0, 4.0, 5.0])
+    mask = np.array([False, False, True, False, False])
+    out, ot = interpolate_artifacts(rr, t, mask)
+    assert len(out) == 5 and abs(out[2] - 0.85) < 1e-12  # midpoint of 0.8 and 0.9
+    assert (ot == t).all()
+
+
+def test_patient_level_splits(spark):
+    from seizury_hrv_featuresextraction_spark.operators.stats import patient_level_splits
+    import pandas as pd
+
+    pdf = pd.DataFrame({"subject_id": [f"s{i:02d}" for i in range(20) for _ in range(5)], "v": 1.0})
+    out = patient_level_splits(spark.createDataFrame(pdf), test_frac=0.2, val_frac=0.1).toPandas()
+    per_subject = out.groupby("subject_id")["split"].nunique()
+    assert (per_subject == 1).all()  # no subject straddles splits
+    counts = out.drop_duplicates("subject_id")["split"].value_counts()
+    assert counts["test"] == 4 and counts["val"] == 2 and counts["train"] == 14
+    # deterministic across invocations
+    out2 = patient_level_splits(spark.createDataFrame(pdf), test_frac=0.2, val_frac=0.1).toPandas()
+    m1 = out.drop_duplicates("subject_id").set_index("subject_id")["split"]
+    m2 = out2.drop_duplicates("subject_id").set_index("subject_id")["split"]
+    assert (m1.sort_index() == m2.sort_index()).all()
