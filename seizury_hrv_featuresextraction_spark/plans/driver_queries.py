@@ -1095,3 +1095,42 @@ def scalar_functions(spark, sf_dir):
         F.lower(F.trim(F.concat(F.lit("  "), F.col("lang"), F.lit(" ")))).alias("normed"),
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8).alias("id_hash"),
     )
+
+
+@q(
+    "poincare_descriptors",
+    f"""
+    WITH t AS (
+      SELECT user_id, value,
+             lead(value) OVER (PARTITION BY user_id ORDER BY {EPOCH_DD}, event_id) AS nxt
+      FROM events),
+    pairs AS (SELECT user_id, value - nxt AS d, value + nxt AS s FROM t WHERE nxt IS NOT NULL)
+    SELECT user_id,
+           round(stddev_samp(d) / sqrt(2.0), 6) AS sd1,
+           round(stddev_samp(s) / sqrt(2.0), 6) AS sd2,
+           round(CASE WHEN stddev_samp(s) > 0
+                 THEN (stddev_samp(d) / sqrt(2.0)) / (stddev_samp(s) / sqrt(2.0))
+                 ELSE 0.0 END, 6) AS sd_ratio
+    FROM pairs GROUP BY user_id HAVING count(*) >= 2
+    """,
+)
+def poincare_descriptors(spark, sf_dir):
+    """O31/O43 as native SQL: SD1/SD2 from lag-1 pairs (the kernel keeps
+    its own copy for allclose parity; this checks the math standalone)."""
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("e", "event_id")
+    t = ev.withColumn("nxt", F.lead("value").over(w)).filter(F.col("nxt").isNotNull())
+    p = t.select("user_id", (F.col("value") - F.col("nxt")).alias("d"), (F.col("value") + F.col("nxt")).alias("s"))
+    sd1 = F.stddev_samp("d") / F.sqrt(F.lit(2.0))
+    sd2 = F.stddev_samp("s") / F.sqrt(F.lit(2.0))
+    return (
+        p.groupBy("user_id")
+        .agg(
+            F.round(sd1, 6).alias("sd1"),
+            F.round(sd2, 6).alias("sd2"),
+            F.round(F.when(sd2 > 0, sd1 / sd2).otherwise(F.lit(0.0)), 6).alias("sd_ratio"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .filter(F.col("__n") >= 2)
+        .drop("__n")
+    )
