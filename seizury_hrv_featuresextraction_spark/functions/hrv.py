@@ -325,6 +325,21 @@ class WindowKernel:
         ends = (ids * step + spw) / fs
         lo_idx = np.searchsorted(rr_t, starts, side="left")
         hi_idx = np.searchsorted(rr_t, ends, side="right")
+        return ids, self.windows_from_bounds(rr_sec, lo_idx, hi_idx, rr_t)
+
+    def windows_from_bounds(
+        self,
+        rr_sec: np.ndarray,
+        lo_idx: np.ndarray,
+        hi_idx: np.ndarray,
+        rr_t: np.ndarray | None = None,
+    ) -> np.ndarray:
+        """Features for windows given precomputed [lo, hi) beat bounds
+        (the shuffle-thin path: bounds travel as int32 pairs instead of
+        the rr_t array). ``rr_t`` is required only for the Welch
+        fallback."""
+        cfg = self.cfg
+        n_win = len(lo_idx)
         lens = hi_idx - lo_idx
         feats = np.full((n_win, N_FEATURES), np.nan, dtype=np.float64)
 
@@ -334,7 +349,7 @@ class WindowKernel:
                 continue  # all-NaN rows (data_processing_pipeline.py:724-728)
             Y = rr_sec[lo_idx[rows][:, None] + np.arange(n)[None, :]]  # (k, n)
             self._batch_time(Y, feats, rows)
-            self._batch_freq(Y, feats, rows)
+            self._batch_freq(Y, feats, rows, rr_t=rr_t, lo_idx=lo_idx[rows])
             self._batch_poincare(Y, feats, rows)
             if n >= cfg.min_beats_entropy:
                 se, ae = batch_entropies(
@@ -346,7 +361,7 @@ class WindowKernel:
                 feats[rows, 20] = 0.0
                 feats[rows, 21] = 0.0
             feats[rows, 22] = batch_triangular_index(Y, cfg.tri_bin_seconds)
-        return ids, feats
+        return feats
 
     def _batch_time(self, Y: np.ndarray, feats: np.ndarray, rows: np.ndarray) -> None:
         n = Y.shape[1]
@@ -366,19 +381,28 @@ class WindowKernel:
         feats[rows, 7] = ms.max(axis=1)
         feats[rows, 8] = np.var(ms, axis=1, ddof=1)
 
-    def _batch_freq(self, Y: np.ndarray, feats: np.ndarray, rows: np.ndarray) -> None:
+    def _batch_freq(
+        self,
+        Y: np.ndarray,
+        feats: np.ndarray,
+        rows: np.ndarray,
+        rr_t: np.ndarray | None = None,
+        lo_idx: np.ndarray | None = None,
+    ) -> None:
         cfg = self.cfg
         n = Y.shape[1]
         if n < cfg.min_beats_frequency:
             feats[rows, 9:17] = 0.0
             return
         if cfg.use_welch_fallback:
-            # fallback path needs per-window times; route through the
-            # scalar kernel (exercised only when explicitly configured)
-            t = np.cumsum(Y, axis=1)
+            # fallback path needs per-window ABSOLUTE times; route through
+            # the scalar kernel (exercised only when explicitly configured)
+            if rr_t is None:
+                raise ValueError("use_welch_fallback requires rr_t")
             out = np.empty(N_FEATURES)
             for j, r in enumerate(rows):
-                self.freq_kernel(Y[j], t[j], out)
+                t = rr_t[lo_idx[j] : lo_idx[j] + n]
+                self.freq_kernel(Y[j], t, out)
                 feats[r, 9:17] = out[9:17]
             return
         d = self.freq_kernel.cache.get(n)

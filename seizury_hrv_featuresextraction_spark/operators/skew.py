@@ -47,6 +47,7 @@ def _chunk_batch(batch: pa.RecordBatch, cfg: HRVConfig) -> pa.RecordBatch | None
     tok_list = batch.column(1)
     offsets = tok_list.offsets.to_numpy(zero_copy_only=False)
     flat_tok = tok_list.values.to_numpy(zero_copy_only=False).astype(np.int64)
+    ship_rr_t = cfg.use_welch_fallback  # only the Welch path consumes times
 
     out_doc: list[str] = []
     out_chunk: list[int] = []
@@ -54,7 +55,7 @@ def _chunk_batch(batch: pa.RecordBatch, cfg: HRVConfig) -> pa.RecordBatch | None
     out_n_win: list[int] = []
     out_n_samples: list[int] = []
     slice_bounds: list[tuple[int, int]] = []  # absolute (lo, hi) into flat arrays
-    flat_rr = flat_tok.astype(np.float64) / 1000.0
+    bounds_parts: list[np.ndarray] = []       # per-chunk interleaved [lo0,hi0,lo1,...]
 
     for i, doc_id in enumerate(doc_ids):
         a, b = int(offsets[i]), int(offsets[i + 1])
@@ -64,61 +65,82 @@ def _chunk_batch(batch: pa.RecordBatch, cfg: HRVConfig) -> pa.RecordBatch | None
         n_windows = (n_samples - spw) // step + 1
         if n_windows <= 0:
             continue
-        rr_t = np.cumsum(flat_rr[a:b])
+        rr_t = np.cumsum(tok.astype(np.float64) / 1000.0)
+        # per-window beat bounds against the FULL doc cumsum (exact
+        # oracle float parity), then rebased to the chunk slice
+        ids = np.arange(n_windows, dtype=np.int64)
+        lo_idx = np.searchsorted(rr_t, ids * step / fs, side="left")
+        hi_idx = np.searchsorted(rr_t, (ids * step + spw) / fs, side="right")
         n_chunks = (n_windows + wpc - 1) // wpc
         for c in range(n_chunks):
             win_lo = c * wpc
             n_win = min(wpc, n_windows - win_lo)
-            t_lo = win_lo * step / fs
-            t_hi = ((win_lo + n_win - 1) * step + spw) / fs
-            lo = int(np.searchsorted(rr_t, t_lo, side="left"))
-            hi = int(np.searchsorted(rr_t, t_hi, side="right"))
+            w_lo = lo_idx[win_lo : win_lo + n_win]
+            w_hi = hi_idx[win_lo : win_lo + n_win]
+            s_lo, s_hi = int(w_lo[0]), int(w_hi[-1])
+            inter = np.empty(2 * n_win, dtype=np.int32)
+            inter[0::2] = w_lo - s_lo
+            inter[1::2] = w_hi - s_lo
             out_doc.append(doc_id)
             out_chunk.append(c)
             out_win_lo.append(win_lo)
             out_n_win.append(n_win)
             out_n_samples.append(n_samples)
-            slice_bounds.append((a + lo, a + hi))
+            slice_bounds.append((a + s_lo, a + s_hi))
+            bounds_parts.append(inter)
 
     if not out_doc:
         return None
-    # assemble rr / rr_t as ListArrays over one flat buffer each
     lens = np.array([hi - lo for lo, hi in slice_bounds], dtype=np.int64)
     new_offsets = np.zeros(len(lens) + 1, dtype=np.int64)
     np.cumsum(lens, out=new_offsets[1:])
-    rr_vals = np.empty(int(new_offsets[-1]), dtype=np.float64)
-    rrt_vals = np.empty_like(rr_vals)
+    tok_vals = np.empty(int(new_offsets[-1]), dtype=np.int32)
     pos = 0
     for lo, hi in slice_bounds:
         k = hi - lo
-        rr_vals[pos : pos + k] = flat_rr[lo:hi]
-        pos += k
-    # rr_t must be the cumsum over the FULL doc (oracle parity): rebuild
-    # each doc's prefix sum once (chunks of a doc arrive consecutively)
-    pos = 0
-    cur_doc_range = None
-    cur_rr_t = None
-    for lo, hi in slice_bounds:
-        if cur_doc_range is None or not (cur_doc_range[0] <= lo < cur_doc_range[1]):
-            d = int(np.searchsorted(offsets, lo, side="right") - 1)
-            a, b = int(offsets[d]), int(offsets[d + 1])
-            cur_doc_range = (a, b)
-            cur_rr_t = np.cumsum(flat_rr[a:b])
-        k = hi - lo
-        rrt_vals[pos : pos + k] = cur_rr_t[lo - cur_doc_range[0] : hi - cur_doc_range[0]]
+        tok_vals[pos : pos + k] = flat_tok[lo:hi]
         pos += k
 
-    off = pa.array(new_offsets, type=pa.int64())
+    if ship_rr_t:
+        rrt_vals = np.empty(int(new_offsets[-1]), dtype=np.float64)
+        pos = 0
+        cur_doc_range = None
+        cur_rr_t = None
+        for lo, hi in slice_bounds:
+            if cur_doc_range is None or not (cur_doc_range[0] <= lo < cur_doc_range[1]):
+                d = int(np.searchsorted(offsets, lo, side="right") - 1)
+                a, b = int(offsets[d]), int(offsets[d + 1])
+                cur_doc_range = (a, b)
+                cur_rr_t = np.cumsum(flat_tok[a:b].astype(np.float64) / 1000.0)
+            k = hi - lo
+            rrt_vals[pos : pos + k] = cur_rr_t[lo - cur_doc_range[0] : hi - cur_doc_range[0]]
+            pos += k
+        rrt_off = new_offsets
+    else:
+        rrt_vals = np.array([], dtype=np.float64)
+        rrt_off = np.zeros(len(lens) + 1, dtype=np.int64)
+
+    b_lens = np.array([len(p) for p in bounds_parts], dtype=np.int64)
+    b_off = np.zeros(len(b_lens) + 1, dtype=np.int64)
+    np.cumsum(b_lens, out=b_off[1:])
+    b_vals = np.concatenate(bounds_parts) if bounds_parts else np.array([], dtype=np.int32)
+
+    def list_arr(off, vals, typ):
+        return pa.LargeListArray.from_arrays(
+            pa.array(off, type=pa.int64()), pa.array(vals, type=typ)
+        ).cast(pa.list_(typ))
+
     arrays = [
         pa.array(out_doc, type=pa.string()),
         pa.array(out_chunk, type=pa.int32()),
         pa.array(out_win_lo, type=pa.int64()),
         pa.array(out_n_win, type=pa.int64()),
         pa.array(out_n_samples, type=pa.int64()),
-        pa.LargeListArray.from_arrays(off, pa.array(rr_vals, type=pa.float64())).cast(pa.list_(pa.float64())),
-        pa.LargeListArray.from_arrays(off, pa.array(rrt_vals, type=pa.float64())).cast(pa.list_(pa.float64())),
+        list_arr(new_offsets, tok_vals, pa.int32()),
+        list_arr(b_off, b_vals, pa.int32()),
+        list_arr(rrt_off, rrt_vals, pa.float64()),
     ]
-    names = ["doc_id", "chunk_id", "win_lo", "n_win", "n_samples", "rr", "rr_t"]
+    names = ["doc_id", "chunk_id", "win_lo", "n_win", "n_samples", "tok", "bounds", "rr_t"]
     return pa.RecordBatch.from_arrays(arrays, names=names)
 
 

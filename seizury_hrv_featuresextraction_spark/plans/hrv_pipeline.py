@@ -71,10 +71,14 @@ def _kernel_batches(cfg: HRVConfig):
             doc_ids = cols["doc_id"].to_pylist()
             win_lo_arr = cols["win_lo"].to_numpy(zero_copy_only=False)
             n_win_arr = cols["n_win"].to_numpy(zero_copy_only=False)
-            rr_list = cols["rr"]
+            tok_list = cols["tok"]
+            bounds_list = cols["bounds"]
+            tok_off = tok_list.offsets.to_numpy(zero_copy_only=False)
+            tok_flat = tok_list.values.to_numpy(zero_copy_only=False)
+            b_off = bounds_list.offsets.to_numpy(zero_copy_only=False)
+            b_flat = bounds_list.values.to_numpy(zero_copy_only=False)
             rrt_list = cols["rr_t"]
-            rr_off = rr_list.offsets.to_numpy(zero_copy_only=False)
-            rr_flat = rr_list.values.to_numpy(zero_copy_only=False)
+            rrt_off = rrt_list.offsets.to_numpy(zero_copy_only=False)
             rrt_flat = rrt_list.values.to_numpy(zero_copy_only=False)
 
             total_win = int(n_win_arr.sum())
@@ -84,18 +88,20 @@ def _kernel_batches(cfg: HRVConfig):
             doc_out: list[str] = []
             pos = 0
             for i in range(batch.num_rows):
-                a, b = int(rr_off[i]), int(rr_off[i + 1])
-                rr = rr_flat[a:b]
-                rr_t = rrt_flat[a:b]
-                ids, feats = kernel.windows_for_chunk(rr, rr_t, int(win_lo_arr[i]), int(n_win_arr[i]))
-                k = len(ids)
-                starts = ids * step
+                a, b = int(tok_off[i]), int(tok_off[i + 1])
+                rr = tok_flat[a:b].astype(np.float64) / 1000.0
+                bounds = b_flat[int(b_off[i]) : int(b_off[i + 1])].astype(np.int64)
+                lo_idx = bounds[0::2]
+                hi_idx = bounds[1::2]
+                rr_t = None
+                if rrt_off[i + 1] > rrt_off[i]:
+                    rr_t = rrt_flat[int(rrt_off[i]) : int(rrt_off[i + 1])]
+                k = int(n_win_arr[i])
+                ids = np.arange(int(win_lo_arr[i]), int(win_lo_arr[i]) + k, dtype=np.int64)
+                feats = kernel.windows_from_bounds(rr, lo_idx, hi_idx, rr_t)
                 all_ids[pos : pos + k] = ids
                 all_feats[pos : pos + k] = feats
-                all_beats[pos : pos + k] = (
-                    np.searchsorted(rr_t, (starts + spw) / fs, side="right")
-                    - np.searchsorted(rr_t, starts / fs, side="left")
-                )
+                all_beats[pos : pos + k] = (hi_idx - lo_idx).astype(np.int32)
                 doc_out.extend([doc_ids[i]] * k)
                 pos += k
 

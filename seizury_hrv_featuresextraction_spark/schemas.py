@@ -26,7 +26,13 @@ ANNOTATIONS_SCHEMA = T.StructType(
     ]
 )
 
-# intermediate: one self-contained slice of one doc's tachogram
+# intermediate: one self-contained slice of one doc's tachogram.
+# tok is the int32 token slice (rr = tok/1000.0 is recomputed in the
+# kernel — exact) and bounds holds the per-window [lo, hi) beat indices
+# into tok, precomputed against the FULL doc's cumsum so float parity
+# with the oracle is preserved while the shuffle carries 4 bytes/beat
+# instead of 16. rr_t (absolute times) is shipped only when the Welch
+# fallback needs it.
 CHUNKS_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.StringType(), False),
@@ -34,8 +40,9 @@ CHUNKS_SCHEMA = T.StructType(
         T.StructField("win_lo", T.LongType(), False),
         T.StructField("n_win", T.LongType(), False),
         T.StructField("n_samples", T.LongType(), False),
-        T.StructField("rr", T.ArrayType(T.DoubleType(), False), False),
-        T.StructField("rr_t", T.ArrayType(T.DoubleType(), False), False),
+        T.StructField("tok", T.ArrayType(T.IntegerType(), False), False),
+        T.StructField("bounds", T.ArrayType(T.IntegerType(), False), False),
+        T.StructField("rr_t", T.ArrayType(T.DoubleType(), False), True),
     ]
 )
 
