@@ -52,3 +52,23 @@ def test_welch_fallback_kernel_path():
     mask = (t >= 0.0) & (t <= 30.0)
     v_win = k.feature_vector(rr[mask], t[mask])
     assert np.allclose(feats[0], v_win, rtol=1e-12, atol=0, equal_nan=True)
+
+
+def test_welch_spark_e2e(spark):
+    """Welch config through the full Spark plan: rr_t ships with chunks
+    only in this mode; staged and fused paths agree."""
+    import pandas as pd
+    from seizury_hrv_featuresextraction_spark.datagen import make_sequences
+    from seizury_hrv_featuresextraction_spark.schemas import SEQUENCES_SCHEMA
+    from seizury_hrv_featuresextraction_spark.plans.hrv_pipeline import extract_features
+
+    cfg = HRVConfig(use_welch_fallback=True, max_windows_per_chunk=32)
+    seq = make_sequences(3, seed=7, short_range=(400, 700), long_range=(800, 900))
+    sdf = spark.createDataFrame(seq, schema=SEQUENCES_SCHEMA)
+    a = extract_features(sdf, None, cfg).toPandas().sort_values(["doc_id", "window_id"]).reset_index(drop=True)
+    b = extract_features(sdf, None, cfg, fused=True).toPandas().sort_values(["doc_id", "window_id"]).reset_index(drop=True)
+    assert len(a) > 0 and len(a) == len(b)
+    full = a[a["n_beats"] >= 9]
+    assert len(full) > 0 and np.isfinite(full["TOTAL_POWER"]).all() and (full["TOTAL_POWER"] > 0).all()
+    for c in ("TOTAL_POWER", "LF_POWER", "HF_POWER", "SDNN"):
+        assert np.allclose(a[c].to_numpy(), b[c].to_numpy(), rtol=1e-9, atol=1e-12, equal_nan=True), c
