@@ -1134,3 +1134,63 @@ def poincare_descriptors(spark, sf_dir):
         .filter(F.col("__n") >= 2)
         .drop("__n")
     )
+
+
+@q(
+    "session_window_native",
+    f"""
+    WITH t AS (
+      SELECT user_id, {EPOCH_DD} AS e,
+             CASE WHEN {EPOCH_DD} - lag({EPOCH_DD}) OVER (PARTITION BY user_id ORDER BY {EPOCH_DD}) >= 1800.0
+                  THEN 1 ELSE 0 END AS brk
+      FROM events),
+    s AS (SELECT user_id, e,
+                 (sum(brk) OVER (PARTITION BY user_id ORDER BY e
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::bigint AS sid
+          FROM t)
+    SELECT user_id, round(min(e), 6) AS session_start,
+           round(max(e) + 1800.0, 6) AS session_end, count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def session_window_native(spark, sf_dir):
+    """O46/O66 via Spark's built-in session_window (batch form): session
+    end = last event + gap; a gap of exactly 1800 s starts a new session
+    (strict merge), mirrored in the oracle's >= split."""
+    ev = load_table(spark, sf_dir, "events")
+    sw = F.session_window(F.col("ts").cast("timestamp"), "30 minutes")
+    return (
+        ev.groupBy("user_id", sw.alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.round(F.unix_micros("w.start") / F.lit(1000000.0), 6).alias("session_start"),
+            F.round(F.unix_micros("w.end") / F.lit(1000000.0), 6).alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@q(
+    "dedup_keepers",
+    """
+    WITH fp AS (SELECT doc_id, n_chars,
+                       substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 16) AS f
+                FROM documents),
+         k AS (SELECT f, min(doc_id) AS keeper FROM fp GROUP BY f)
+    SELECT count(*) AS n_docs, count(DISTINCT fp.f) AS n_unique,
+           sum(CASE WHEN fp.doc_id = k.keeper THEN fp.n_chars ELSE 0 END)::bigint AS keeper_chars
+    FROM fp JOIN k ON k.f = fp.f
+    """,
+)
+def dedup_keepers(spark, sf_dir):
+    from ..operators.dedup import dedup_exact_keep
+
+    docs = load_table(spark, sf_dir, "documents")
+    keep = dedup_exact_keep(docs, "text", "doc_id")
+    total = load_table(spark, sf_dir, "documents").count()
+    return keep.agg(
+        F.lit(total).cast("long").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum("n_chars").alias("keeper_chars"),
+    )
