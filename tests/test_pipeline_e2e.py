@@ -100,3 +100,23 @@ def test_token_roundtrip_equality(spark, fixture_tables, tmp_path):
     assert list(back["doc_id"]) == list(orig["doc_id"])
     for got_tok, exp_tok in zip(back["tokens"], orig["tokens"]):
         assert np.array_equal(np.asarray(got_tok, dtype=np.int64), np.asarray(exp_tok, dtype=np.int64))
+
+
+def test_empty_and_degenerate_inputs(spark, tiny_cfg):
+    """Empty sequences table and all-too-short docs both yield zero
+    feature rows without erroring."""
+    import pandas as pd
+
+    empty = spark.createDataFrame(
+        pd.DataFrame({"doc_id": pd.Series(dtype=str), "tokens": pd.Series(dtype=object),
+                      "n_tok": pd.Series(dtype="int32"), "source": pd.Series(dtype=str)}),
+        schema=SEQUENCES_SCHEMA,
+    )
+    assert extract_features(empty, None, tiny_cfg).count() == 0
+
+    short = pd.DataFrame(
+        [{"doc_id": "tiny", "tokens": [800] * 5, "n_tok": 5, "source": "t"}]
+    )  # 4 s of signal < one 30 s window
+    sdf = spark.createDataFrame(short, schema=SEQUENCES_SCHEMA)
+    assert extract_features(sdf, None, tiny_cfg).count() == 0
+    assert extract_features(sdf, None, tiny_cfg, fused=True).count() == 0
