@@ -85,6 +85,20 @@ def bucket_of(doc_id_col, n_buckets: int):
     return F.pmod(F.xxhash64(doc_id_col), F.lit(n_buckets)).cast("int")
 
 
+def bucket_output_valid(output_path: str, bucket: int) -> bool:
+    """Structural validation before trusting a manifest line — the
+    reference's resume also checks the output exists and is well-formed
+    (hrv_pipeline.py:255-354), so a deleted/corrupted ``bucket=<k>``
+    directory with an intact manifest is recomputed, not skipped."""
+    out_dir = os.path.join(output_path, f"bucket={bucket}")
+    if not os.path.isdir(out_dir):
+        return False
+    names = os.listdir(out_dir)
+    has_data = any(n.endswith(".parquet") for n in names)
+    committed = "_SUCCESS" in names or has_data
+    return has_data and committed
+
+
 def run_resumable(
     spark: SparkSession,
     sequences: DataFrame,
@@ -108,18 +122,35 @@ def run_resumable(
     completed = 0
     for k in range(n_buckets):
         prev = done.get(k)
-        if prev and prev.get("config_hash") == cfg_hash and prev.get("status") == "ok":
+        if (
+            prev
+            and prev.get("config_hash") == cfg_hash
+            and prev.get("status") == "ok"
+            and bucket_output_valid(output_path, k)
+        ):
             results.append(
                 BucketResult(k, cfg_hash, prev["row_count"], prev["n_docs"], prev["elapsed_s"], "skipped")
             )
             continue
         t0 = time.time()
-        part = seq_b.filter(F.col("__bucket") == k).drop("__bucket")
-        feats = extract_features(part, annotations, cfg)
-        n_docs = part.count()
+        # observe() metrics ride the write job itself: ONE Spark action per
+        # bucket instead of count(input) + write + count(read-back)
+        from pyspark.sql import Observation
+
+        obs_in = Observation(f"bucket_{k}_in")
+        obs_out = Observation(f"bucket_{k}_out")
+        part = (
+            seq_b.filter(F.col("__bucket") == k)
+            .drop("__bucket")
+            .observe(obs_in, F.count(F.lit(1)).alias("n_docs"))
+        )
+        feats = extract_features(part, annotations, cfg).observe(
+            obs_out, F.count(F.lit(1)).alias("row_count")
+        )
         out_dir = os.path.join(output_path, f"bucket={k}")
         feats.write.mode("overwrite").parquet(out_dir)
-        rows = spark.read.parquet(out_dir).count()
+        n_docs = int(obs_in.get["n_docs"])
+        rows = int(obs_out.get["row_count"])
         res = BucketResult(k, cfg_hash, rows, n_docs, time.time() - t0, "ok")
         write_manifest_entry(output_path, res)
         results.append(res)

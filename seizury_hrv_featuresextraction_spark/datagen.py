@@ -88,22 +88,31 @@ def make_annotations(sequences: pd.DataFrame, seed: int = 42) -> pd.DataFrame:
     return df.sort_values(["doc_id", "onset"], kind="mergesort").reset_index(drop=True)
 
 
+# Full reference key set (data_processing_pipeline.py:463-501) and exact
+# term list (:526-530) — NOT 'ictal' (so interictal/preictal stay negative).
 SEIZURE_ILAE_CODES = {
-    "1.1", "1.2", "1.3", "2.1", "2.2", "3.1", "3.2", "4.1", "4.2",
-    "5.1", "5.2", "6.1", "6.2", "7.1", "7.2", "7.3", "7.4",
+    "1.1", "1.2", "1.3", "1.4", "1.5", "1.6", "1.7",
+    "2.1", "2.2", "2.3", "2.4", "2.5",
+    "3.1", "3.2", "3.3", "3.4", "3.5", "3.6", "3.7",
+    "4.1", "4.2", "4.3", "4.4",
+    "5.1", "5.2", "5.3",
+    "6.1", "6.2", "6.3", "6.4", "6.5", "6.6", "6.7", "6.8",
+    "7.1", "7.2", "7.3", "7.4",
 }
-SEIZURE_TERMS = ("seizure", "tonic", "clonic", "absence", "myoclonic", "atonic", "ictal")
+SEIZURE_TERMS = (
+    "seizure", "sz", "focal", "generalized", "tonic", "clonic",
+    "myoclonic", "absence", "atonic", "spasm", "automatism",
+)
 
 
 def is_seizure_event_mask(event_type: pd.Series) -> pd.Series:
     """Pandas twin of the native predicate (data_processing_pipeline.py:506-532)."""
-    et = event_type.astype(str).str.strip()
-    low = et.str.lower()
-    return (
-        et.isin(SEIZURE_ILAE_CODES)
+    low = event_type.astype(str).str.strip().str.lower()
+    return (low != "") & (
+        low.isin(SEIZURE_ILAE_CODES)
         | low.str.startswith("sz_")
-        | (low == "sz")
-        | low.str.contains("|".join(SEIZURE_TERMS))
+        | (event_type == "sz")
+        | low.str.contains("|".join(SEIZURE_TERMS), regex=True)
     )
 
 

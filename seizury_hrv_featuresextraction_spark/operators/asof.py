@@ -61,17 +61,27 @@ def asof_join(
     # "first over following" must still see same-ts right rows, so right
     # sorts BEFORE left there too when scanning forward from the current
     # row. We encode right=0, left=1 and pick frames accordingly.
+    #
+    # The payload is carried as ONE struct per right row (null for left
+    # rows), so last/first(ignorenulls) skips left rows but keeps a matched
+    # right row whose value columns are genuinely NULL — the same right-
+    # side NULL semantics as pd.merge_asof (asof_join_pandas).
+    import pyspark.sql.types as T
+
+    pay_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType, True) for c in value_cols]
+    )
     l_tag = left.select(
         *[F.col(c) for c in left.columns],
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias("__v_" + c) for c in value_cols],
+        F.lit(None).cast(pay_type).alias("__pay"),
     )
     r_tag = right.select(
         *by,
         F.col(on),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in set(by) | {on}],
         F.lit(0).alias("__side"),
-        *[F.col(c).alias("__v_" + c) for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("__pay"),
     ).select(*[c for c in l_tag.columns])  # align column order
 
     u = l_tag.unionByName(r_tag)
@@ -82,17 +92,18 @@ def asof_join(
             .orderBy(F.col(on).asc(), F.col("__side").asc())
             .rowsBetween(Window.unboundedPreceding, 0)
         )
-        carried = [F.last("__v_" + c, ignorenulls=True).over(w).alias(out_names[c]) for c in value_cols]
+        pay = F.last("__pay", ignorenulls=True).over(w)
     elif direction == "forward":
         w = (
             Window.partitionBy(*by)
             .orderBy(F.col(on).asc(), F.col("__side").desc())
             .rowsBetween(0, Window.unboundedFollowing)
         )
-        carried = [F.first("__v_" + c, ignorenulls=True).over(w).alias(out_names[c]) for c in value_cols]
+        pay = F.first("__pay", ignorenulls=True).over(w)
     else:
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
 
+    carried = [pay[c].alias(out_names[c]) for c in value_cols]
     return (
         u.select(*left.columns, F.col("__side"), *carried)
         .filter(F.col("__side") == 1)

@@ -118,12 +118,47 @@ def ngram_jaccard_pairs(
     min_jaccard: float = 0.0,
     candidates: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard for pairs sharing >=1 shingle (or a supplied
-    candidate-pair set): |A∩B| via a shingle self-join, |A∪B| = |A|+|B|-∩.
+    """Exact n-gram Jaccard: |A∩B| and |A∪B| = |A|+|B|-∩ over distinct
+    word shingles.
 
-    At scale: restrict with ``candidates`` (e.g. minhash_lsh_pairs) —
-    the unrestricted shingle join is quadratic in hot shingles.
+    Two plans:
+
+    - ``candidates`` given (THE SCALE PATH — e.g. ``minhash_lsh_pairs``):
+      candidate-pair VERIFICATION. Each doc's distinct-shingle set rides
+      as one array column; two hash joins on doc id attach both sets to
+      each candidate pair and the intersection is a native
+      ``array_intersect`` — work is O(|candidates| * shingles/doc), never
+      quadratic, and the shingle self-join is never built.
+    - ``candidates=None`` (correctness baseline, bounded inputs only):
+      the unrestricted shingle self-join — quadratic in hot-shingle
+      frequency, kept for oracle parity checks at small SF.
     """
+    if candidates is not None:
+        sets = spread(df).select(
+            F.col(id_col).alias("id"),
+            word_shingles(F.col(text_col), shingle_words).alias("sg"),
+        )
+        sa = sets.select(F.col("id").alias("id_a"), F.col("sg").alias("sg_a"))
+        sb = sets.select(F.col("id").alias("id_b"), F.col("sg").alias("sg_b"))
+        out = (
+            candidates.select("id_a", "id_b")
+            .join(sa, "id_a")
+            .join(sb, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.size(F.array_intersect("sg_a", "sg_b")).cast("long").alias("n_inter"),
+                F.size("sg_a").alias("n_a"),
+                F.size("sg_b").alias("n_b"),
+            )
+            .withColumn(
+                "jaccard", F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            )
+        )
+        return out.filter(F.col("jaccard") >= min_jaccard).select(
+            "id_a", "id_b", "n_inter", "jaccard"
+        )
+
     sh = spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), shingle_words)).alias("sh"),
@@ -136,8 +171,6 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    if candidates is not None:
-        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
     out = (
         inter.join(F.broadcast(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a")), "id_a")
         .join(F.broadcast(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b")), "id_b")

@@ -27,21 +27,39 @@ from pyspark.sql import functions as F
 
 from ..config import HRVConfig
 
+# The reference's full ILAE event_definitions key set
+# (data_processing_pipeline.py:463-501): 1.1-1.7, 2.1-2.5, 3.1-3.7,
+# 4.1-4.4, 5.1-5.3, 6.1-6.8, 7.1-7.4.
 ILAE_SEIZURE_CODES = [
-    "1.1", "1.2", "1.3", "2.1", "2.2", "3.1", "3.2", "4.1", "4.2",
-    "5.1", "5.2", "6.1", "6.2", "7.1", "7.2", "7.3", "7.4",
+    "1.1", "1.2", "1.3", "1.4", "1.5", "1.6", "1.7",
+    "2.1", "2.2", "2.3", "2.4", "2.5",
+    "3.1", "3.2", "3.3", "3.4", "3.5", "3.6", "3.7",
+    "4.1", "4.2", "4.3", "4.4",
+    "5.1", "5.2", "5.3",
+    "6.1", "6.2", "6.3", "6.4", "6.5", "6.6", "6.7", "6.8",
+    "7.1", "7.2", "7.3", "7.4",
 ]
-_SEIZURE_RLIKE = "seizure|tonic|clonic|absence|myoclonic|atonic|ictal"
+# Exact substring-term list of data_processing_pipeline.py:526-530.
+# Deliberately NOT 'ictal': the reference does not treat it as a term, so
+# 'interictal'/'preictal'/'postictal' annotations stay non-seizure.
+SEIZURE_TERMS = (
+    "seizure", "sz", "focal", "generalized", "tonic", "clonic",
+    "myoclonic", "absence", "atonic", "spasm", "automatism",
+)
+_SEIZURE_RLIKE = "|".join(SEIZURE_TERMS)
 
 
 def is_seizure_event(event_type: Column) -> Column:
-    """Native twin of the reference predicate (O9)."""
+    """Native twin of the reference predicate (O9,
+    data_processing_pipeline.py:506-532): stripped-lowered membership in
+    the ILAE code dict, ``startswith('sz_')``, raw ``== 'sz'``, or any
+    seizure term as a substring. Null/empty -> false."""
     et = F.trim(event_type)
     low = F.lower(et)
-    return (
-        et.isin(ILAE_SEIZURE_CODES)
+    return (low != F.lit("")) & (
+        low.isin(ILAE_SEIZURE_CODES)
         | low.startswith("sz_")
-        | (low == F.lit("sz"))
+        | (event_type == F.lit("sz"))
         | low.rlike(_SEIZURE_RLIKE)
     )
 

@@ -46,21 +46,31 @@ def brute_force_topk(
 
 
 def _assign_nearest(df: DataFrame, cent: DataFrame, vec: str, out: str) -> DataFrame:
-    """Add the id of the nearest (max-cosine) broadcast centroid."""
-    scored = df.join(F.broadcast(cent), F.lit(True)).withColumn(
-        "__cs", cosine(F.col(vec), F.col("cvec"))
+    """Add the id of the nearest (max-cosine) centroid — zero corpus-side
+    shuffle.
+
+    The centroid table is collapsed to ONE row holding an
+    array<struct<cid, cvec>> and broadcast; the nearest id is then a
+    native higher-order argmax (``array_max`` over struct<cos, -cid>,
+    lexicographic struct ordering = max cosine, ties to the smallest cid).
+    No row amplification, no window, no Exchange on the corpus — the
+    round-1 variant cross-joined corpus x centroids and shuffled the
+    n_lists-fold amplified set through a row_number window per Lloyd
+    iteration."""
+    cents = cent.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "cvec"))).alias("__cents")
     )
-    w = Window.partitionBy(*[c for c in df.columns if c != vec], vec).orderBy(
-        F.desc("__cs"), F.asc("cid")
+    scored = df.join(F.broadcast(cents), F.lit(True))
+    best = F.array_max(
+        F.transform(
+            F.col("__cents"),
+            lambda c: F.struct(
+                cosine(F.col(vec), c["cvec"]).alias("cs"),
+                (-c["cid"]).alias("ncid"),
+            ),
+        )
     )
-    # partitioning by all original cols incl. the vector keeps one row per
-    # input row; rank 1 = nearest centroid
-    return (
-        scored.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") == 1)
-        .withColumnRenamed("cid", out)
-        .drop("cvec", "__cs", "__r")
-    )
+    return scored.withColumn(out, (-best["ncid"]).cast("int")).drop("__cents")
 
 
 def train_centroids(

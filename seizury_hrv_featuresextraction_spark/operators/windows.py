@@ -142,14 +142,15 @@ def debounce(
     k: int,
     alarm_col: str = "alarm",
 ) -> DataFrame:
-    """O48: alarm fires on the k-th consecutive positive of a run and not
-    again until the run is broken (stream_emulator.py:210-249).
+    """O48: alarm fires on the k-th consecutive positive and then LATCHES
+    for the rest of the key — the reference's ``alarm_active`` is set once
+    (stream_emulator.py:231,242) and only reset between recordings
+    (``reset_state``, :122-127,263), so at most ONE alarm per key.
 
-    Batch gaps-and-islands: runs of positives get a run id; alarm =
-    (row_number within run == k).
+    Batch gaps-and-islands: runs of positives get a run id; the alarm is
+    the FIRST row whose within-run positive rank reaches k.
     """
     by = [by] if isinstance(by, str) else list(by)
-    w = Window.partitionBy(*by).orderBy(order_col)
     cum = Window.partitionBy(*by).orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
     pos = positive.cast("int")
     df = df.withColumn("__pos", pos)
@@ -157,5 +158,9 @@ def debounce(
     df = df.withColumn("__run", F.sum(1 - F.col("__pos")).over(cum))
     wrun = Window.partitionBy(*by, "__run").orderBy(order_col)
     df = df.withColumn("__pos_rank", F.sum("__pos").over(wrun.rowsBetween(Window.unboundedPreceding, 0)))
-    out = df.withColumn(alarm_col, (F.col("__pos") == 1) & (F.col("__pos_rank") == k))
-    return out.drop("__pos", "__run", "__pos_rank")
+    cand = ((F.col("__pos") == 1) & (F.col("__pos_rank") == k)).cast("int")
+    df = df.withColumn("__cand", cand)
+    out = df.withColumn(
+        alarm_col, (F.col("__cand") == 1) & (F.sum("__cand").over(cum) == 1)
+    )
+    return out.drop("__pos", "__run", "__pos_rank", "__cand")

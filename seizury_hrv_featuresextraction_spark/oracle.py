@@ -136,10 +136,14 @@ def oracle_feature_row(rr_sec: np.ndarray, rr_t: np.ndarray, cfg: HRVConfig = DE
         row["SD2"] = sd2
         row["SD1toSD2"] = sd1 / sd2 if sd2 > 0 else 0.0
 
-    # entropies (hrv_features.py:254-346, gate :372-377)
+    # entropies (hrv_features.py:254-346, gate :372-377). The engine caps
+    # the O(n^2) kernels at cfg.entropy_max_beats (a documented divergence
+    # from the reference, which runs the full window); the oracle applies
+    # the SAME cap so the allclose gate detects any other drift.
     if n >= cfg.min_beats_entropy:
-        row["SampEn"] = _sampen_loops(rr_sec, cfg.entropy_m, cfg.entropy_r)
-        row["ApEn"] = _apen_loops(rr_sec, cfg.entropy_m, cfg.entropy_r)
+        rr_e = rr_sec[: cfg.entropy_max_beats]
+        row["SampEn"] = _sampen_loops(rr_e, cfg.entropy_m, cfg.entropy_r)
+        row["ApEn"] = _apen_loops(rr_e, cfg.entropy_m, cfg.entropy_r)
     else:
         row["SampEn"] = 0.0
         row["ApEn"] = 0.0

@@ -29,6 +29,36 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def bucketed_documents_path(spark: SparkSession, sf_dir: str, n_buckets: int = 8) -> str:
+    """O3/O5: write the documents table once per sf_dir as a
+    ``bucket=<k>`` hash-partitioned directory layout (the same layout the
+    per-recording sink in checkpoint.py produces) and return its path.
+
+    The layout is created lazily under the system temp dir, keyed by the
+    absolute sf_dir, and reused when its ``_SUCCESS`` marker exists — so
+    repeated queries cost one directory listing, not a rewrite. ``bucket``
+    is ``doc_id % n_buckets`` (not xxhash64: the DuckDB oracle must
+    recompute it) — at 100 TB this layout is what an Iceberg/Hive
+    partitioned table gives you, and a bucket filter prunes the scan to
+    1/n_buckets of the files before any task launches."""
+    import hashlib
+    import tempfile
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    path = os.path.join(
+        tempfile.gettempdir(), f"seizury_catalog_{key}", f"documents_b{n_buckets}"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        docs = load_table(spark, sf_dir, "documents")
+        (
+            docs.withColumn("bucket", F.pmod(F.col("doc_id"), F.lit(n_buckets)).cast("int"))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(path)
+        )
+    return path
+
+
 def read_annotations_tsv(spark: SparkSession, path: str, seizures_only: bool = True) -> DataFrame:
     """O2: BIDS *_events.tsv-shaped annotation scan
     (data_processing_pipeline.py:534-568) — tab-separated with header,

@@ -91,8 +91,12 @@ def make_buffer_fn(
                         alarm = True
                         active = True
                 else:
+                    # negatives reset the consecutive counter only; the
+                    # reference never clears alarm_active within a
+                    # recording (stream_emulator.py:231,242; reset_state
+                    # only between recordings, :122-127,263) — at most one
+                    # alarm per doc_id stream
                     consec = 0
-                    active = False
                 out_rows.append(
                     (doc_id, float(pdf["event_time"].iloc[i]), len(buf), score, alarm)
                 )

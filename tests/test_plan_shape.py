@@ -56,6 +56,65 @@ def test_fused_plan_zero_shuffles(spark, tmp_path):
     assert "FileScan parquet" in plan
 
 
+def test_ivf_assignment_no_corpus_shuffle(spark):
+    """VERDICT r1 item 2: nearest-centroid assignment must not shuffle the
+    corpus — centroids ride as a single-row broadcast array and the argmax
+    is a native higher-order expression. Only the tiny centroid-side
+    collect_list agg may exchange (SinglePartition); hash/range
+    repartitioning of the corpus is a regression."""
+    import numpy as np
+
+    from seizury_hrv_featuresextraction_spark.operators.similarity import _assign_nearest
+
+    rng = np.random.default_rng(3)
+    corpus = spark.createDataFrame(
+        [(int(i), [float(x) for x in rng.normal(size=8)]) for i in range(50)],
+        "corpus_id int, cv array<double>",
+    )
+    cent = spark.createDataFrame(
+        [(int(i), [float(x) for x in rng.normal(size=8)]) for i in range(4)],
+        "cid int, cvec array<double>",
+    )
+    assigned = _assign_nearest(corpus, cent, "cv", "list_id")
+    plan = _plan(assigned)
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "Window" not in plan, plan
+    # correctness of the argmax vs a NumPy loop
+    got = {r.corpus_id: r.list_id for r in assigned.collect()}
+    C = {r.cid: np.array(r.cvec) for r in cent.collect()}
+    for r in corpus.collect():
+        v = np.array(r.cv)
+        best = min(
+            sorted(C),
+            key=lambda c: (-float(v @ C[c] / (np.linalg.norm(v) * np.linalg.norm(C[c]))), c),
+        )
+        assert got[r.corpus_id] == best
+
+
+def test_partition_pruned_bucket_scan(spark, tmp_path):
+    """O3/O5: a bucket filter over the bucket=<k> directory layout must
+    prune the file listing (PartitionFilters), not scan-and-discard."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    pdf = pd.DataFrame({"doc_id": range(64), "n_chars": [10 * i for i in range(64)]})
+    src = spark.createDataFrame(pdf).withColumn(
+        "bucket", F.pmod(F.col("doc_id"), F.lit(8)).cast("int")
+    )
+    path = str(tmp_path / "docs_bucketed")
+    src.write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+    scan = spark.read.parquet(path).filter(F.col("bucket") == 3)
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "bucket" in m.group(1) and "3" in m.group(1), plan
+    got = scan.agg(F.count(F.lit(1)).alias("n")).collect()[0].n
+    assert got == 8
+
+
 def test_label_side_stays_small_aggregates(spark, tmp_path):
     """The annotation branch may shuffle (it is tiny); the big side must
     not re-shuffle after the kernel stage."""

@@ -35,7 +35,9 @@ def deque_reference(pdf: pd.DataFrame, feature_cols, seq_len, threshold, k):
                 if consec >= k and not active:
                     alarm, active = True, True
             else:
-                consec, active = 0, False
+                # reference latches alarm_active within a recording — only
+                # the consecutive counter resets (stream_emulator.py:231)
+                consec = 0
             out.append((doc, r["event_time"], len(buf), score, alarm))
     return pd.DataFrame(out, columns=["doc_id", "event_time", "buffer_size", "score", "alarm"])
 

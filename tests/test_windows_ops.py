@@ -95,17 +95,22 @@ def test_sliding_window_grid_matches_oracle(spark):
 
 
 def test_debounce_run_length(spark):
-    # threshold run of 3: alarm on 3rd consecutive positive, latched until reset
+    # alarm on the 3rd consecutive positive, then LATCHED for the whole key
+    # (reference alarm_active is only reset between recordings,
+    # stream_emulator.py:122-127,231,242) — the second run never re-fires
     pdf = pd.DataFrame(
         {
-            "k": ["a"] * 10,
-            "ts": [float(i) for i in range(10)],
-            "p": [1, 1, 1, 1, 0, 1, 1, 1, 1, 1],
+            "k": ["a"] * 10 + ["b"] * 4,
+            "ts": [float(i) for i in range(10)] + [float(i) for i in range(4)],
+            "p": [1, 1, 1, 1, 0, 1, 1, 1, 1, 1] + [0, 1, 1, 1],
         }
     )
     out = (
         debounce(spark.createDataFrame(pdf), "k", "ts", F.col("p") == 1, k=3)
         .toPandas()
-        .sort_values("ts")
+        .sort_values(["k", "ts"])
     )
-    assert out["alarm"].tolist() == [False, False, True, False, False, False, False, True, False, False]
+    a = out[out["k"] == "a"]["alarm"].tolist()
+    b = out[out["k"] == "b"]["alarm"].tolist()
+    assert a == [False, False, True, False, False, False, False, False, False, False]
+    assert b == [False, False, False, True]  # latch is per key, not global
