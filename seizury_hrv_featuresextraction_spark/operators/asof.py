@@ -7,8 +7,10 @@ implementations:
 
 - ``asof_join`` (DEFAULT, fully native): union the two sides with a side
   tag, sort by (key, ts, side-priority) inside one window, and carry the
-  right side's payload with ``last(..., ignorenulls=True)`` (backward) or
-  ``first`` over the following frame (forward). One shuffle on the key —
+  right side's payload as ONE struct with ``last(..., ignorenulls=True)``
+  (backward) or ``first`` over the following frame (forward) — the struct
+  keeps a matched right row's genuine NULL values (same semantics as
+  pd.merge_asof). One shuffle on the key —
   identical to what a built-in sort-merge as-of would do; stays entirely
   in the JVM (whole-stage codegen, no Python).
 - ``asof_join_pandas`` (kernel variant): co-grouped applyInPandas running

@@ -79,19 +79,28 @@ def train_centroids(
     id_col: str,
     n_lists: int = 16,
     iters: int = 3,
+    train_cap: int = 65536,
 ) -> DataFrame:
     """k-means-lite: deterministic seeding (hash-ordered sample) + Lloyd
     iterations done as groupBy-avg over the elementwise-exploded vectors.
-    Returns (cid, cvec)."""
+    Returns (cid, cvec).
+
+    Lloyd runs on a deterministic hash-ordered sample of at most
+    ``train_cap`` rows (TakeOrdered, no full shuffle), so training cost is
+    bounded regardless of corpus size — at 100 TB only the FINAL
+    assignment touches every row, and that assignment is shuffle-free
+    (broadcast argmax). Inputs smaller than the cap train on everything,
+    so small-scale results are unchanged."""
     base = corpus.select(F.col(id_col).alias("id"), to_double(F.col(vec_col)).alias("v"))
+    hashed = base.withColumn("__h", F.xxhash64(F.col("id").cast("string")))
     cent = (
-        base.withColumn("__h", F.xxhash64(F.col("id").cast("string")))
-        .orderBy("__h")
+        hashed.orderBy("__h")
         .limit(n_lists)
         .select(F.row_number().over(Window.orderBy("__h")).alias("cid"), F.col("v").alias("cvec"))
     )
+    train = hashed.orderBy("__h").limit(train_cap).drop("__h")
     for _ in range(iters):
-        assigned = _assign_nearest(base, cent, "v", "cid")
+        assigned = _assign_nearest(train, cent, "v", "cid")
         # mean vector per cluster: posexplode -> avg per (cid, pos) -> re-assemble
         cent = (
             assigned.select("cid", F.posexplode("v").alias("pos", "x"))

@@ -101,3 +101,19 @@ def split_by_keys(
         df.join(F.broadcast(keys_df), on, "left_semi"),
         df.join(F.broadcast(keys_df), on, "left_anti"),
     )
+
+
+def zip_truncate(
+    a: DataFrame,
+    b: DataFrame,
+    by: Sequence[str] | str,
+    pos_col: str = "pos",
+) -> DataFrame:
+    """O18: align two per-key positional streams to their common prefix.
+
+    The reference truncates both arrays to ``min(len(a), len(b))``
+    (data_processing_pipeline.py:644-647); relationally that is an inner
+    join on (key, position) — naturally truncating, one shuffle on the
+    join key, no length pre-pass."""
+    by = [by] if isinstance(by, str) else list(by)
+    return a.join(b, [*by, pos_col])

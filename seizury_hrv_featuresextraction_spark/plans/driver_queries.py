@@ -456,6 +456,44 @@ def sequence_frames(spark, sf_dir):
     )
 
 
+@q(
+    "zip_truncate_streams",
+    f"""
+    WITH a AS (SELECT user_id, value AS v_a,
+                      row_number() OVER (PARTITION BY user_id ORDER BY {EPOCH_DD}, event_id) AS pos
+               FROM events WHERE event_type = 'click'),
+         b AS (SELECT user_id, value AS v_b,
+                      row_number() OVER (PARTITION BY user_id ORDER BY {EPOCH_DD}, event_id) AS pos
+               FROM events WHERE event_type = 'view')
+    SELECT a.user_id AS user_id, count(*) AS n_aligned,
+           round(sum(a.v_a + b.v_b), 4) AS sum_pairs
+    FROM a JOIN b ON a.user_id = b.user_id AND a.pos = b.pos
+    GROUP BY a.user_id
+    """,
+)
+def zip_truncate_streams(spark, sf_dir):
+    """O18: two per-user positional streams aligned to their common
+    prefix by the explicit zip-truncate operator (inner join on
+    (key, position) — the reference's min-length truncation,
+    data_processing_pipeline.py:644-647)."""
+    from ..operators.stats import zip_truncate
+
+    ev = _ev(spark, sf_dir)
+
+    def stream(kind: str, alias: str):
+        w = Window.partitionBy("user_id").orderBy("e", "event_id")
+        return (
+            ev.filter(F.col("event_type") == kind)
+            .select("user_id", F.col("value").alias(alias), F.row_number().over(w).alias("pos"))
+        )
+
+    z = zip_truncate(stream("click", "v_a"), stream("view", "v_b"), by="user_id")
+    return z.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_aligned"),
+        F.round(F.sum(F.col("v_a") + F.col("v_b")), 4).alias("sum_pairs"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # cleaning / stats (O11, O12, O35, O37, O38, O39)
 # ---------------------------------------------------------------------------

@@ -80,3 +80,35 @@ def test_unmatched_is_null(spark, sides):
     left, right = sides
     back = asof_join(left, right, on="ts", by="k", value_cols=["rv"], direction="backward").toPandas()
     assert back[back["k"] == "c"]["rv"].isna().all()
+
+
+def test_matched_null_payload_survives(spark):
+    """ADVICE r1: a matched right row whose value is genuinely NULL must
+    yield NULL (pd.merge_asof semantics), not an older right row's value."""
+    import pandas as pd
+    import numpy as np
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": ["a", "a"], "ts": [5.0, 9.0]})
+    )
+    # a TRUE SQL NULL payload (not NaN) on the matched right row
+    right = spark.createDataFrame(
+        [("a", 1.0, 100.0), ("a", 8.0, None)], schema="k string, ts double, rv double"
+    )
+    assert right.filter("rv IS NULL").count() == 1
+    out = (
+        asof_join(left, right, on="ts", by="k", value_cols=["rv"], direction="backward")
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    assert out.loc[0, "rv"] == 100.0        # ts=5 matches right ts=1
+    assert pd.isna(out.loc[1, "rv"])        # ts=9 matches right ts=8 (rv NULL)
+
+    pandas_twin = (
+        asof_join_pandas(left, right, on="ts", by="k", value_cols=["rv"], direction="backward")
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    assert pandas_twin["rv"].isna().tolist() == out["rv"].isna().tolist()
