@@ -1328,8 +1328,9 @@ _SEG_VLF = _band_segs(0.003, 0.04)
 _SEG_LF = _band_segs(0.04, 0.15)
 _SEG_HF = _band_segs(0.15, 0.4)
 
-_SPECTRAL_SQL = f"""
-    WITH seq AS (
+# shared CTE chain: token decode -> sliding grid -> per-window membership
+# (identical semantics to the flagship's chunked kernel input)
+_GRID_MEMBER_CTES = f"""seq AS (
       SELECT user_id, value, {_TOK_DD} AS tok,
              row_number() OVER (PARTITION BY user_id ORDER BY {EPOCH_DD}, event_id, value) AS rn
       FROM events),
@@ -1364,7 +1365,10 @@ _SPECTRAL_SQL = f"""
       SELECT user_id, win_id, rr_sec,
              row_number() OVER (PARTITION BY user_id, win_id ORDER BY rn) AS bx,
              count(*) OVER (PARTITION BY user_id, win_id) AS nb
-      FROM member),
+      FROM member)"""
+
+_SPECTRAL_SQL = f"""
+    WITH {_GRID_MEMBER_CTES},
     freqs(fidx, f) AS (VALUES {_FREQ_VALUES}),
     tg AS (
       -- tau per (window, freq): atan2(sum sin 2wx, sum cos 2wx)/(2w),
@@ -1465,6 +1469,94 @@ def hrv_spectral_poincare_windows(spark, sf_dir):
         F.round("SD1", 6).alias("sd1"),
         F.round("SD2", 6).alias("sd2"),
         F.round("SD1toSD2", 6).alias("sd_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# entropy driver oracle: SampEn/ApEn (m=2, r=0.2*sd) per window, twinned
+# as a bounded per-window template self-join. This closes the last
+# un-oracled slice of the 22-feature surface (VERDICT r1: "except
+# entropies"). Reference semantics (hrv_features.py:254-346, mirrored in
+# functions/hrv.py and oracle.py): z-normalize with the POPULATION std,
+# r = 0.2*sd; SampEn counts i<j template pairs at Chebyshev length m and
+# m+1 with the reference's (n-m+2)/(n-m) correction; ApEn includes
+# self-matches and averages log(count/K). Windows shorter than
+# min_beats_entropy=10 emit 0.0. (entropy_max_beats=4096 never binds at
+# ~40 beats/window.)
+# ---------------------------------------------------------------------------
+
+_ENTROPY_SQL = f"""
+    WITH {_GRID_MEMBER_CTES},
+    stats AS (
+      SELECT user_id, win_id, count(*) AS nb,
+             avg(rr_sec) AS mu, stddev_pop(rr_sec)::double AS sd
+      FROM member GROUP BY user_id, win_id),
+    ztab AS (
+      SELECT m.user_id, m.win_id, m.bx, s.nb, s.sd,
+             (m.rr_sec - s.mu) / s.sd AS z
+      FROM mem m JOIN stats s ON s.user_id = m.user_id AND s.win_id = m.win_id
+      WHERE s.sd > 0 AND s.nb >= 10),
+    tmpl AS MATERIALIZED (
+      SELECT user_id, win_id, bx, nb, sd, z AS z0,
+             lead(z, 1) OVER wn AS z1,
+             lead(z, 2) OVER wn AS z2
+      FROM ztab WINDOW wn AS (PARTITION BY user_id, win_id ORDER BY bx)),
+    pairs AS MATERIALIZED (
+      -- all ORDERED template pairs (incl. self) of length m=2;
+      -- d3 only where BOTH m+1 templates exist
+      SELECT a.user_id, a.win_id, a.nb, a.sd, a.bx AS ia, b.bx AS ib,
+             greatest(abs(a.z0 - b.z0), abs(a.z1 - b.z1)) AS d2,
+             CASE WHEN a.z2 IS NOT NULL AND b.z2 IS NOT NULL
+                  THEN greatest(abs(a.z0 - b.z0), abs(a.z1 - b.z1), abs(a.z2 - b.z2)) END AS d3
+      FROM tmpl a JOIN tmpl b
+        ON a.user_id = b.user_id AND a.win_id = b.win_id
+       AND a.z1 IS NOT NULL AND b.z1 IS NOT NULL),
+    samp AS (
+      SELECT user_id, win_id,
+             sum(CASE WHEN ia < ib AND d2 <= 0.2 * sd THEN 1 ELSE 0 END) AS b_cnt,
+             sum(CASE WHEN ia < ib AND d3 <= 0.2 * sd THEN 1 ELSE 0 END) AS a_cnt
+      FROM pairs GROUP BY user_id, win_id),
+    percnt AS (
+      SELECT user_id, win_id, ia, nb,
+             sum(CASE WHEN d2 <= 0.2 * sd THEN 1 ELSE 0 END) AS c2,
+             sum(CASE WHEN d3 <= 0.2 * sd THEN 1 ELSE 0 END) AS c3,
+             max(CASE WHEN d3 IS NOT NULL THEN 1 ELSE 0 END) AS has3
+      FROM pairs GROUP BY user_id, win_id, ia, nb, sd),
+    ap AS (
+      SELECT user_id, win_id,
+             sum(ln(c2::double / (nb - 1))) / (nb - 1) AS phi2,
+             sum(CASE WHEN has3 = 1 THEN ln(c3::double / (nb - 2)) END) / (nb - 2) AS phi3
+      FROM percnt GROUP BY user_id, win_id, nb)
+    SELECT 'user-' || st.user_id::varchar AS doc_id, st.win_id AS window_id,
+           st.nb::bigint AS n_beats,
+           round(CASE WHEN st.nb >= 10 AND st.sd > 0 AND s.a_cnt > 0 AND s.b_cnt > 0
+                 THEN -ln((s.a_cnt::double / s.b_cnt) * (st.nb::double / (st.nb - 2)))
+                 ELSE 0.0 END, 6) AS sampen,
+           round(CASE WHEN st.nb >= 10 AND st.sd > 0
+                 THEN ap.phi2 - ap.phi3 ELSE 0.0 END, 6) AS apen
+    FROM stats st
+    LEFT JOIN samp s ON s.user_id = st.user_id AND s.win_id = st.win_id
+    LEFT JOIN ap ON ap.user_id = st.user_id AND ap.win_id = st.win_id
+    WHERE st.nb >= 5
+"""
+
+
+@q("hrv_entropy_windows", _ENTROPY_SQL)
+def hrv_entropy_windows(spark, sf_dir):
+    """Flagship kernel's SampEn/ApEn columns against the per-window
+    template-self-join DuckDB twin — the last feature slice previously
+    guarded only by pytest allclose."""
+    from ..config import DEFAULT_CONFIG
+    from .hrv_pipeline import extract_features
+
+    seq = sequences_from_events(spark, sf_dir)
+    feats = extract_features(seq, None, DEFAULT_CONFIG)
+    return feats.filter(F.col("n_beats") >= 5).select(
+        "doc_id",
+        "window_id",
+        F.col("n_beats").cast("long").alias("n_beats"),
+        F.round("SampEn", 6).alias("sampen"),
+        F.round("ApEn", 6).alias("apen"),
     )
 
 
