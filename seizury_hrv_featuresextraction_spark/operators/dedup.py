@@ -280,3 +280,50 @@ def embedding_near_dups(
         )
         .filter(F.col("cos") >= min_cosine)
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    id_col_a: str = "id_a",
+    id_col_b: str = "id_b",
+    nodes: DataFrame | None = None,
+    max_iters: int = 25,
+) -> DataFrame:
+    """Dedup clustering: connected components over near-dup pairs.
+
+    Iterative min-label propagation (the standard Spark CC pattern):
+    every node starts as its own component; each round propagates the
+    smallest known component id across edges until a fixpoint. Rounds
+    needed = graph diameter (near-dup clusters are tiny, so 2-4 in
+    practice); each round is one shuffle on the node id, and
+    ``localCheckpoint`` truncates the lineage so plans stay flat at any
+    iteration count. The fixpoint is unique, so the result is
+    deterministic regardless of execution order.
+
+    ``nodes`` (one ``id`` column) adds isolated docs as singleton
+    components; defaults to the ids appearing in ``edges``.
+    Returns (id, component) with component = min id in the component.
+    """
+    e = edges.select(F.col(id_col_a).alias("src"), F.col(id_col_b).alias("dst"))
+    sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    if nodes is None:
+        nodes = sym.select(F.col("src").alias("id")).distinct()
+    labels = nodes.select("id", F.col("id").alias("comp")).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        prop = sym.join(labels, sym["src"] == labels["id"]).select(
+            F.col("dst").alias("id"), "comp"
+        )
+        new_labels = (
+            labels.unionByName(prop).groupBy("id").agg(F.min("comp").alias("comp"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -1616,3 +1616,49 @@ def partition_pruned_scan(spark, sf_dir):
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+@q(
+    "dedup_components",
+    f"""
+    WITH RECURSIVE
+         w AS (SELECT doc_id, {WORDS_DD} AS ws FROM documents),
+         sets AS (SELECT doc_id,
+                    list_distinct(list_transform(generate_series(1, greatest(0, len(ws) - 2)),
+                                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sg
+                  FROM w),
+         sig AS (SELECT doc_id,
+                        list_min(list_transform(sg, s -> md5('0:' || s))) AS mh0,
+                        list_min(list_transform(sg, s -> md5('1:' || s))) AS mh1,
+                        list_min(list_transform(sg, s -> md5('2:' || s))) AS mh2,
+                        list_min(list_transform(sg, s -> md5('3:' || s))) AS mh3
+                 FROM sets WHERE len(sg) > 0),
+         bands AS (
+           SELECT doc_id, 0 AS band_idx, mh0 || '|' || mh1 AS band_val FROM sig
+           UNION ALL
+           SELECT doc_id, 1 AS band_idx, mh2 || '|' || mh3 AS band_val FROM sig),
+         und AS (
+           SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+           FROM bands a JOIN bands b
+             ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+            AND a.doc_id <> b.doc_id),
+         walk(id, comp) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT u.dst, walk.comp FROM walk JOIN und u ON u.src = walk.id)
+    SELECT id AS doc_id, min(comp) AS component FROM walk GROUP BY id
+    """,
+)
+def dedup_components_q(spark, sf_dir):
+    """Dedup CLUSTERING: near-dup candidate pairs (MinHash-LSH banding)
+    grouped into connected components by iterative min-label propagation
+    (operators/dedup.py:connected_components); component = min doc id.
+    The DuckDB twin computes the same fixpoint with a recursive CTE, so
+    the iterative Spark algorithm is value-checked end-to-end."""
+    from ..operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", n_hashes=4, band_size=2, shingle_words=3)
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    comp = connected_components(pairs, nodes=nodes)
+    return comp.select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))

@@ -149,3 +149,16 @@ def test_multimodal_stub(spark):
     )
     frames = frame_sample_plan(df, every_s=1.0).toPandas()
     assert frames["frame_idx"].tolist() == [0, 1, 2]
+
+
+def test_connected_components_chain_and_singleton(spark):
+    """Min-label propagation: a 4-node chain (needs >1 round), a separate
+    pair, and an isolated node supplied via nodes=."""
+    from seizury_hrv_featuresextraction_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 3), (3, 4), (4, 5), (10, 11)], "id_a int, id_b int"
+    )
+    nodes = spark.createDataFrame([(i,) for i in (2, 3, 4, 5, 10, 11, 99)], "id int")
+    got = {r.id: r.comp for r in connected_components(edges, nodes=nodes).collect()}
+    assert got == {2: 2, 3: 2, 4: 2, 5: 2, 10: 10, 11: 10, 99: 99}
