@@ -1662,3 +1662,62 @@ def dedup_components_q(spark, sf_dir):
     nodes = docs.select(F.col("doc_id").alias("id"))
     comp = connected_components(pairs, nodes=nodes)
     return comp.select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
+
+
+_COS_DD = (
+    "list_sum(list_transform(generate_series(1, 64), i -> {a}[i] * {b}[i]))"
+    " / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> {a}[i] * {a}[i])))"
+    " * sqrt(list_sum(list_transform(generate_series(1, 64), i -> {b}[i] * {b}[i]))))"
+)
+
+
+@q(
+    "ivf_topk_fixed",
+    f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v
+               FROM embeddings WHERE vec_id < 200),
+         cent AS (SELECT (vec_id + 1)::int AS cid, v AS cvec FROM e WHERE vec_id < 8),
+         asg0 AS (
+           SELECT e.vec_id AS corpus_id, e.v AS cv, c.cid,
+                  row_number() OVER (PARTITION BY e.vec_id
+                                     ORDER BY {_COS_DD.format(a='e.v', b='c.cvec')} DESC, c.cid) AS rk
+           FROM e CROSS JOIN cent c),
+         asg AS (SELECT corpus_id, cv, cid AS list_id FROM asg0 WHERE rk = 1),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+         ql0 AS (
+           SELECT q.query_id, q.qv, c.cid,
+                  row_number() OVER (PARTITION BY q.query_id
+                                     ORDER BY {_COS_DD.format(a='q.qv', b='c.cvec')} DESC, c.cid) AS rk
+           FROM q CROSS JOIN cent c),
+         ql AS (SELECT query_id, qv, cid AS list_id FROM ql0 WHERE rk <= 3),
+         scored AS (
+           SELECT ql.query_id, a.corpus_id, {_COS_DD.format(a='ql.qv', b='a.cv')} AS cos
+           FROM ql JOIN asg a ON a.list_id = ql.list_id
+           WHERE a.corpus_id <> ql.query_id)
+    SELECT query_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank,
+           corpus_id, round(cos, 6) AS cos
+    FROM scored QUALIFY rank <= 3
+    """,
+)
+def ivf_topk_fixed(spark, sf_dir):
+    """IVF SEARCH path under a full DuckDB oracle: with a fixed centroid
+    table (the first 8 vectors) the whole pipeline — shuffle-free
+    broadcast-argmax assignment, n_probe list selection, in-list exact
+    top-k — is SQL-expressible. Only the k-means TRAINING loop stays
+    rows-only (ivf_topk above) with its pytest recall gate."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    from ..functions.vectors import to_double
+
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + 1).cast("int").alias("cid"),
+        to_double(F.col("embedding")).alias("cvec"),
+    )
+    qs = emb.filter(F.col("vec_id") < 5)
+    out = ivf_topk(emb, qs, "embedding", "vec_id", k=3, n_probe=3, centroids=cent)
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "corpus_id",
+        F.round("cos", 6).alias("cos"),
+    )
