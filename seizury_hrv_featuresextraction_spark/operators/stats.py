@@ -117,3 +117,47 @@ def zip_truncate(
     join key, no length pre-pass."""
     by = [by] if isinstance(by, str) else list(by)
     return a.join(b, [*by, pos_col])
+
+
+def hash_sample(df: DataFrame, id_col: str, rate: float, seed: str = "") -> DataFrame:
+    """Deterministic content-addressed sampling for training-data
+    pipelines: keep rows whose md5(seed || id) 16-bit prefix falls below
+    ``rate * 65536``. Unlike ``df.sample`` the selection is a pure
+    function of the row id — stable across runs, engines, partitionings
+    and resumes, and composable with joins (both sides sample the same ids). Pure
+    Catalyst expression evaluated in the scan stage (whole-stage
+    codegen); rows drop before any shuffle or Python."""
+    thr = int(rate * 65536)
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))), 1, 4),
+        16,
+        10,
+    ).cast("int")
+    return df.filter(h < thr)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    size_col: str,
+    budget: int,
+    n_shards: int = 16,
+) -> DataFrame:
+    """Contiguous sequence packing (pretraining batch assembly): docs are
+    ordered by id WITHIN a hash shard, and each doc joins the bin of its
+    starting offset (``floor(exclusive_cumsum / budget)``) — a doc may
+    straddle a boundary; the training loader continues into the next bin.
+
+    Sharding first means the sort is per-shard (one shuffle on the shard
+    key), never a global order — at 100 TB each worker packs its own
+    shard stream independently. Adds (shard, bin, offset) columns."""
+    shard = F.pmod(F.col(id_col), F.lit(n_shards)).cast("int")
+    out = df.withColumn("shard", shard)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum(size_col).over(w)
+    out = out.withColumn("offset", (cum - F.col(size_col)).cast("long"))
+    return out.withColumn("bin", F.floor(F.col("offset") / budget).cast("long"))

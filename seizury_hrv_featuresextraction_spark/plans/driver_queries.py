@@ -1721,3 +1721,49 @@ def ivf_topk_fixed(spark, sf_dir):
         "corpus_id",
         F.round("cos", 6).alias("cos"),
     )
+
+
+@q(
+    "deterministic_sample",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE ('0x' || substr(md5('s1' || doc_id::varchar), 1, 4))::int < 9830
+    """,
+)
+def deterministic_sample(spark, sf_dir):
+    """Content-addressed 15% sample (rate*65536 = 9830): identical row
+    selection on any engine/run/partitioning — the resumable, join-stable
+    alternative to df.sample for 100 TB training-data curation."""
+    from ..operators.stats import hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", rate=0.15, seed="s1").select("doc_id", "lang")
+
+
+@q(
+    "sequence_packing",
+    """
+    WITH s AS (
+      SELECT doc_id, n_chars, (doc_id % 16)::int AS shard,
+             (sum(n_chars) OVER (PARTITION BY doc_id % 16 ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_chars)::bigint AS off
+      FROM documents)
+    SELECT shard, (off // 4000)::bigint AS bin,
+           count(*) AS n_docs, sum(n_chars)::bigint AS total_chars
+    FROM s GROUP BY shard, off // 4000
+    """,
+)
+def sequence_packing(spark, sf_dir):
+    """Pretraining batch assembly: per-shard contiguous packing of docs
+    into 4000-char bins by exclusive running offset (one shuffle on the
+    shard key; no global sort). Returns per-bin occupancy."""
+    from ..operators.stats import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_sequences(docs, "doc_id", "n_chars", budget=4000, n_shards=16)
+    return packed.groupBy("shard", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
