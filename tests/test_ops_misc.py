@@ -162,3 +162,69 @@ def test_connected_components_chain_and_singleton(spark):
     nodes = spark.createDataFrame([(i,) for i in (2, 3, 4, 5, 10, 11, 99)], "id int")
     got = {r.id: r.comp for r in connected_components(edges, nodes=nodes).collect()}
     assert got == {2: 2, 3: 2, 4: 2, 5: 2, 10: 10, 11: 10, 99: 99}
+
+
+def test_connected_components_random_vs_union_find(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    n = 60
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, n, size=(50, 2)) if a != b]
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical component = min node id in the component
+    expected = {}
+    for v in range(n):
+        r = find(v)
+        expected.setdefault(r, []).append(v)
+    exp_map = {v: min(vs) for r, vs in expected.items() for v in vs}
+
+    from seizury_hrv_featuresextraction_spark.operators.dedup import connected_components
+
+    e = spark.createDataFrame(edges, "id_a int, id_b int")
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id int")
+    got = {r.id: r.comp for r in connected_components(e, nodes=nodes).collect()}
+    assert got == exp_map
+
+
+def test_pack_sequences_matches_pandas(spark):
+    import pandas as pd
+
+    from seizury_hrv_featuresextraction_spark.operators.stats import pack_sequences
+
+    pdf = pd.DataFrame({"doc_id": range(100), "sz": [(7 * i) % 23 + 1 for i in range(100)]})
+    got = (
+        pack_sequences(spark.createDataFrame(pdf), "doc_id", "sz", budget=40, n_shards=4)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pdf["shard"] = pdf["doc_id"] % 4
+    pdf["offset"] = pdf.groupby("shard")["sz"].cumsum() - pdf["sz"]
+    pdf["bin"] = pdf["offset"] // 40
+    for c in ("shard", "offset", "bin"):
+        assert got[c].tolist() == pdf[c].tolist(), c
+
+
+def test_hash_sample_partitioning_invariant(spark):
+    from seizury_hrv_featuresextraction_spark.operators.stats import hash_sample
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = sorted(r.doc_id for r in hash_sample(df, "doc_id", 0.2).collect())
+    b = sorted(
+        r.doc_id for r in hash_sample(df.repartition(13), "doc_id", 0.2).collect()
+    )
+    assert a == b and 0 < len(a) < 2000
+    # rate is approximately honored (binomial bounds, wide margin)
+    assert 250 < len(a) < 550
