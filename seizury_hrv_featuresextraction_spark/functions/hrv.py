@@ -317,14 +317,18 @@ class WindowKernel:
         per-window (they are O(n^2)/O(n log n) on ~35 beats — cheap).
         """
         cfg = self.cfg
-        fs = float(cfg.sampling_rate)
+        fs = cfg.sampling_rate
         spw = cfg.window_samples()
         step = cfg.step_samples()
         ids = np.arange(win_lo, win_lo + n_win, dtype=np.int64)
-        starts = ids * step / fs
-        ends = (ids * step + spw) / fs
-        lo_idx = np.searchsorted(rr_t, starts, side="left")
-        hi_idx = np.searchsorted(rr_t, ends, side="right")
+        # EXACT membership: rr_sec values are integer-millisecond tokens
+        # (the engine's input contract), so recover the ms grid and
+        # compare ms*fs vs samples*1000 in int64 — identical on every
+        # engine; a float cumsum flips boundary-exact beats (see skew.py)
+        tok_ms = np.rint(np.asarray(rr_sec, dtype=np.float64) * 1000.0).astype(np.int64)
+        t_scaled = np.cumsum(tok_ms) * fs
+        lo_idx = np.searchsorted(t_scaled, ids * step * 1000, side="left")
+        hi_idx = np.searchsorted(t_scaled, (ids * step + spw) * 1000, side="right")
         return ids, self.windows_from_bounds(rr_sec, lo_idx, hi_idx, rr_t)
 
     def windows_from_bounds(

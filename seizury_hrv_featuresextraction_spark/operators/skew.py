@@ -65,12 +65,16 @@ def _chunk_batch(batch: pa.RecordBatch, cfg: HRVConfig) -> pa.RecordBatch | None
         n_windows = (n_samples - spw) // step + 1
         if n_windows <= 0:
             continue
-        rr_t = np.cumsum(tok.astype(np.float64) / 1000.0)
-        # per-window beat bounds against the FULL doc cumsum (exact
-        # oracle float parity), then rebased to the chunk slice
+        # EXACT membership: beat times are integer milliseconds and window
+        # bounds are integer samples, so compare in the common integer
+        # grid (ms * fs vs samples * 1000) — a float cumsum puts beats
+        # landing exactly on a boundary (common with integer tokens) on a
+        # rounding-noise-dependent side, which no two summation orders
+        # agree on (engine vs any SQL oracle)
+        t_scaled = np.cumsum(tok) * fs
         ids = np.arange(n_windows, dtype=np.int64)
-        lo_idx = np.searchsorted(rr_t, ids * step / fs, side="left")
-        hi_idx = np.searchsorted(rr_t, (ids * step + spw) / fs, side="right")
+        lo_idx = np.searchsorted(t_scaled, ids * step * 1000, side="left")
+        hi_idx = np.searchsorted(t_scaled, (ids * step + spw) * 1000, side="right")
         n_chunks = (n_windows + wpc - 1) // wpc
         for c in range(n_chunks):
             win_lo = c * wpc

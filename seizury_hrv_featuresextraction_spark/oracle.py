@@ -302,12 +302,16 @@ def oracle_pipeline(
     for _, srow in sequences.iterrows():
         doc = srow["doc_id"]
         rr_sec, rr_t, total_ms = decode_tokens(srow["tokens"])
+        # EXACT membership (mirrors skew.py/hrv.py): integer-ms beat times
+        # vs integer-sample bounds in the common ms*fs grid — float cumsum
+        # noise must not decide boundary-exact beats
+        t_scaled = np.cumsum(np.asarray(srow["tokens"], dtype=np.int64)) * fs
         n_samp = n_samples_for(total_ms, cfg)
         ev = seiz[seiz["doc_id"] == doc]
         labels = oracle_labels(n_samp, ev, cfg)
         for win_id, start, center, end in window_grid(n_samp, cfg):
             t0, tc, t1 = start / fs, center / fs, end / fs
-            mask = (rr_t >= t0) & (rr_t <= t1)
+            mask = (t_scaled >= start * 1000) & (t_scaled <= end * 1000)
             w_rr = rr_sec[mask]
             w_t = rr_t[mask]
             if w_rr.size >= cfg.min_beats_per_window:

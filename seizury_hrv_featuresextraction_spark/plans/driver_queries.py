@@ -958,46 +958,58 @@ def hrv_features_flagship(spark, sf_dir):
 
 _TOK_DD = "cast(400 + cast(floor(value * 100) as bigint) % 1100 as int)"
 
-
-@q(
-    "hrv_time_features_windows",
-    f"""
-    WITH seq AS (
-      SELECT user_id, event_id, value,
-             {_TOK_DD} AS tok,
+# Shared CTE chain: token decode -> sliding grid -> per-window membership
+# (identical semantics to the flagship's chunked kernel input). Membership
+# is EXACT integer arithmetic: beat time in cumulative integer
+# milliseconds (t_ms) against integer window bounds (win_id*5000 /
+# +30000 ms for the default fs=256, step=1280, spw=7680 grid) — a float
+# cumsum would classify beats landing exactly on a boundary by summation-
+# order rounding noise, which the engine and any SQL oracle disagree on.
+# ceil for the first candidate window is (a + 4999) // 5000, correct for
+# the clipped-at-0 range under either floor or truncating // semantics.
+_GRID_MEMBER_CTES = f"""seq AS (
+      SELECT user_id, value, {_TOK_DD} AS tok,
              row_number() OVER (PARTITION BY user_id ORDER BY {EPOCH_DD}, event_id, value) AS rn
       FROM events),
     rr0 AS (
-      SELECT user_id, rn, (tok / 1000.0) AS rr_sec,
-             (tok / 1000.0) * 1000.0 AS rr_ms,
-             sum(tok / 1000.0) OVER (PARTITION BY user_id ORDER BY rn
-                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t,
+      SELECT user_id, rn, (tok / 1000.0) AS rr_sec, (tok / 1000.0) * 1000.0 AS rr_ms,
+             (sum(tok::bigint) OVER (PARTITION BY user_id ORDER BY rn
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::bigint AS t_ms,
              (sum(tok::bigint) OVER (PARTITION BY user_id))::bigint AS total_ms
       FROM seq),
     rr AS (
-      -- per-window diffs == global diffs except at the window's first
-      -- beat, so compute the lag ONCE here (beats in a window are a
-      -- contiguous run) and null it out later via t_prev
       SELECT rr0.*,
              rr_ms - lag(rr_ms) OVER (PARTITION BY user_id ORDER BY rn) AS d_ms_g,
-             lag(t) OVER (PARTITION BY user_id ORDER BY rn) AS t_prev
+             rr_ms + lag(rr_ms) OVER (PARTITION BY user_id ORDER BY rn) AS s_ms_g,
+             lag(t_ms) OVER (PARTITION BY user_id ORDER BY rn) AS t_prev_ms
       FROM rr0),
     wins AS (
       SELECT user_id, (((max(total_ms) * 256) // 1000 - 7680) // 1280 + 1)::bigint AS n_win
       FROM rr GROUP BY user_id
       HAVING ((max(total_ms) * 256) // 1000 - 7680) // 1280 + 1 > 0),
     assign AS (
-      SELECT rr.user_id, rr.rr_sec, rr.rr_ms, rr.t, rr.d_ms_g, rr.t_prev,
-             unnest(generate_series(greatest(0, ceil((rr.t - 30.0) / 5.0)::bigint),
-                                    least(w.n_win - 1, floor(rr.t / 5.0)::bigint))) AS win_id
+      SELECT rr.user_id, rr.rn, rr.rr_sec, rr.rr_ms, rr.d_ms_g, rr.s_ms_g,
+             rr.t_prev_ms, rr.t_ms,
+             unnest(generate_series(greatest(0, (rr.t_ms - 30000 + 4999) // 5000),
+                                    least(w.n_win - 1, rr.t_ms // 5000))) AS win_id
       FROM rr JOIN wins w ON w.user_id = rr.user_id),
     member AS MATERIALIZED (
-      -- MATERIALIZED: DuckDB 1.0's binder mis-resolves an unnest-derived
-      -- column when this CTE is inlined into multiple consumers
-      SELECT user_id, win_id, rr_sec, rr_ms,
-             CASE WHEN t_prev >= win_id * 5.0 THEN d_ms_g END AS d_ms
+      SELECT user_id, win_id, rn, rr_sec, rr_ms,
+             CASE WHEN t_prev_ms >= win_id * 5000 THEN d_ms_g END AS d_ms,
+             CASE WHEN t_prev_ms >= win_id * 5000 THEN s_ms_g END AS s_ms
       FROM assign
-      WHERE t >= win_id * 5.0 AND t <= win_id * 5.0 + 30.0),
+      WHERE t_ms >= win_id * 5000 AND t_ms <= win_id * 5000 + 30000),
+    mem AS MATERIALIZED (
+      SELECT user_id, win_id, rr_sec,
+             row_number() OVER (PARTITION BY user_id, win_id ORDER BY rn) AS bx,
+             count(*) OVER (PARTITION BY user_id, win_id) AS nb
+      FROM member)"""
+
+
+@q(
+    "hrv_time_features_windows",
+    f"""
+    WITH {_GRID_MEMBER_CTES},
     bins AS (
       SELECT user_id, win_id, floor(rr_sec * 128.0) AS b, count(*) AS c
       FROM member GROUP BY user_id, win_id, floor(rr_sec * 128.0)),
@@ -1327,45 +1339,6 @@ _SEG_TOTAL = _band_segs(float(_SPEC_FREQS[0]), float(_SPEC_FREQS[-1]))
 _SEG_VLF = _band_segs(0.003, 0.04)
 _SEG_LF = _band_segs(0.04, 0.15)
 _SEG_HF = _band_segs(0.15, 0.4)
-
-# shared CTE chain: token decode -> sliding grid -> per-window membership
-# (identical semantics to the flagship's chunked kernel input)
-_GRID_MEMBER_CTES = f"""seq AS (
-      SELECT user_id, value, {_TOK_DD} AS tok,
-             row_number() OVER (PARTITION BY user_id ORDER BY {EPOCH_DD}, event_id, value) AS rn
-      FROM events),
-    rr0 AS (
-      SELECT user_id, rn, (tok / 1000.0) AS rr_sec, (tok / 1000.0) * 1000.0 AS rr_ms,
-             sum(tok / 1000.0) OVER (PARTITION BY user_id ORDER BY rn
-                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t,
-             (sum(tok::bigint) OVER (PARTITION BY user_id))::bigint AS total_ms
-      FROM seq),
-    rr AS (
-      SELECT rr0.*,
-             rr_ms - lag(rr_ms) OVER (PARTITION BY user_id ORDER BY rn) AS d_ms_g,
-             rr_ms + lag(rr_ms) OVER (PARTITION BY user_id ORDER BY rn) AS s_ms_g,
-             lag(t) OVER (PARTITION BY user_id ORDER BY rn) AS t_prev
-      FROM rr0),
-    wins AS (
-      SELECT user_id, (((max(total_ms) * 256) // 1000 - 7680) // 1280 + 1)::bigint AS n_win
-      FROM rr GROUP BY user_id
-      HAVING ((max(total_ms) * 256) // 1000 - 7680) // 1280 + 1 > 0),
-    assign AS (
-      SELECT rr.user_id, rr.rn, rr.rr_sec, rr.d_ms_g, rr.s_ms_g, rr.t_prev, rr.t,
-             unnest(generate_series(greatest(0, ceil((rr.t - 30.0) / 5.0)::bigint),
-                                    least(w.n_win - 1, floor(rr.t / 5.0)::bigint))) AS win_id
-      FROM rr JOIN wins w ON w.user_id = rr.user_id),
-    member AS MATERIALIZED (
-      SELECT user_id, win_id, rn, rr_sec,
-             CASE WHEN t_prev >= win_id * 5.0 THEN d_ms_g END AS d_ms,
-             CASE WHEN t_prev >= win_id * 5.0 THEN s_ms_g END AS s_ms
-      FROM assign
-      WHERE t >= win_id * 5.0 AND t <= win_id * 5.0 + 30.0),
-    mem AS MATERIALIZED (
-      SELECT user_id, win_id, rr_sec,
-             row_number() OVER (PARTITION BY user_id, win_id ORDER BY rn) AS bx,
-             count(*) OVER (PARTITION BY user_id, win_id) AS nb
-      FROM member)"""
 
 _SPECTRAL_SQL = f"""
     WITH {_GRID_MEMBER_CTES},
