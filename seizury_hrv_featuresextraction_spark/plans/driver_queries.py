@@ -891,18 +891,30 @@ def embedding_near_dup_pairs(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
 
 
-# deterministic trig-lattice hyperplane projection (functions/vectors.py:43):
-# plane p weight at dim i = sin(7 + p*10007 + i*97); sin/atan2 are
-# bit-identical across Spark (java.lang.Math), NumPy and DuckDB (libm) for
-# these arguments — verified empirically before registering this oracle.
-def _lsh_bucket_dd(n_planes: int, seed: int = 7) -> str:
-    terms = [
-        f"(CASE WHEN list_sum(list_transform(generate_series(1, 64), "
-        f"i -> v[i] * sin({float(seed + p * 10007)!r} + (i - 1) * 97.0))) > 0 "
-        f"THEN {1 << p} ELSE 0 END)"
-        for p in range(n_planes)
-    ]
+# deterministic md5-derived hyperplane weights (functions/vectors.py
+# plane_weights): every weight is a 32-bit int / 2^31 - 1, an EXACTLY
+# representable double, inlined as a literal on both sides — no
+# transcendental whose last ulp differs between JVM and libm (the old
+# sin lattice measurably did, ~0.2% of points at 1 ulp).
+def _lsh_band_bucket_dd(band: int, n_planes: int, seed: int = 7, dim: int = 64) -> str:
+    from ..functions.vectors import plane_weights
+
+    terms = []
+    for p in range(n_planes):
+        ws = plane_weights(dim, band * n_planes + p, seed)
+        lit = "[" + ", ".join(repr(w) for w in ws) + "]::double[]"
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(generate_series(1, {dim}), "
+            f"i -> v[i] * ({lit})[i])) > 0 THEN {1 << p} ELSE 0 END)"
+        )
     return " + ".join(terms)
+
+
+def _lsh_bands_cte(n_planes: int, n_bands: int) -> str:
+    return " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS band_idx, {_lsh_band_bucket_dd(t, n_planes)} AS bucket FROM e"
+        for t in range(n_bands)
+    )
 
 
 @q(
@@ -910,26 +922,35 @@ def _lsh_bucket_dd(n_planes: int, seed: int = 7) -> str:
     f"""
     WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v
                FROM embeddings WHERE vec_id < 300),
-         b AS (SELECT vec_id, v, {_lsh_bucket_dd(4)} AS bucket FROM e)
-    SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
-           round(list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b2.v[i]))
-           / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * a.v[i])))
-            * sqrt(list_sum(list_transform(generate_series(1, 64), i -> b2.v[i] * b2.v[i])))), 6) AS cos
-    FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
-    WHERE list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b2.v[i]))
-           / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * a.v[i])))
-            * sqrt(list_sum(list_transform(generate_series(1, 64), i -> b2.v[i] * b2.v[i])))) >= 0.25
+         b AS ({_lsh_bands_cte(3, 12)}),
+         cand AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+                  FROM b a JOIN b b2
+                    ON a.band_idx = b2.band_idx AND a.bucket = b2.bucket
+                   AND a.vec_id < b2.vec_id)
+    SELECT c.id_a, c.id_b,
+           round(list_sum(list_transform(generate_series(1, 64), i -> ea.v[i] * eb.v[i]))
+           / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> ea.v[i] * ea.v[i])))
+            * sqrt(list_sum(list_transform(generate_series(1, 64), i -> eb.v[i] * eb.v[i])))), 6) AS cos
+    FROM cand c JOIN e ea ON ea.vec_id = c.id_a JOIN e eb ON eb.vec_id = c.id_b
+    WHERE list_sum(list_transform(generate_series(1, 64), i -> ea.v[i] * eb.v[i]))
+           / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> ea.v[i] * ea.v[i])))
+            * sqrt(list_sum(list_transform(generate_series(1, 64), i -> eb.v[i] * eb.v[i])))) >= 0.25
     """,
 )
 def embedding_near_dup_pairs_lsh(spark, sf_dir):
-    """THE SCALE PATH: random-hyperplane LSH blocking (n_planes=4, 16
-    buckets) — pairs only form inside a bucket, so the join is linear in
-    bucket occupancy instead of quadratic in corpus size. The brute-force
-    row above stays as the bounded-input baseline."""
+    """THE SCALE PATH: band-OR random-hyperplane LSH (12 bands x 3
+    planes) — a pair is a candidate if ANY band bucket matches, then the
+    exact cosine verifies each candidate. Measured recall at sf0.1 vs the
+    brute-force tau=0.25 baseline: 0.94 (the single-table r2 path: 0.12);
+    see BENCH/dedup_paths.md for the recall/cost curve and the
+    high-threshold regime where LSH is also sub-quadratic. The
+    brute-force row above stays as the bounded-input baseline."""
     from ..operators.dedup import embedding_near_dups
 
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
-    out = embedding_near_dups(emb, "embedding", "vec_id", min_cosine=0.25, n_planes=4)
+    out = embedding_near_dups(
+        emb, "embedding", "vec_id", min_cosine=0.25, n_planes=3, n_bands=12
+    )
     return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
 
 

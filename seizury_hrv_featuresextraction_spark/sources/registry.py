@@ -43,19 +43,40 @@ def bucketed_documents_path(spark: SparkSession, sf_dir: str, n_buckets: int = 8
     1/n_buckets of the files before any task launches."""
     import hashlib
     import tempfile
+    import uuid
 
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    # key the cache on CONTENT, not just the path: the source parquet's
+    # (name, size, mtime_ns) triple invalidates the layout when the table
+    # under the same sf_dir is rewritten
+    src = os.path.join(sf_dir, "documents.parquet")
+    stamp: list[str] = [os.path.abspath(sf_dir)]
+    for p in sorted([src] if os.path.isfile(src) else [
+        os.path.join(src, n) for n in os.listdir(src) if n.endswith(".parquet")
+    ] if os.path.isdir(src) else []):
+        st = os.stat(p)
+        stamp.append(f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}")
+    key = hashlib.md5("|".join(stamp).encode()).hexdigest()[:16]
     path = os.path.join(
         tempfile.gettempdir(), f"seizury_catalog_{key}", f"documents_b{n_buckets}"
     )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        # write to a unique temp dir, then atomically rename into place so
+        # a concurrent creator can never interleave with a reader (losing
+        # the rename race just means another session finished first)
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
         docs = load_table(spark, sf_dir, "documents")
         (
             docs.withColumn("bucket", F.pmod(F.col("doc_id"), F.lit(n_buckets)).cast("int"))
             .write.mode("overwrite")
             .partitionBy("bucket")
-            .parquet(path)
+            .parquet(tmp)
         )
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race: reuse winner's
     return path
 
 

@@ -228,3 +228,40 @@ def test_hash_sample_partitioning_invariant(spark):
     assert a == b and 0 < len(a) < 2000
     # rate is approximately honored (binomial bounds, wide margin)
     assert 250 < len(a) < 550
+
+
+def test_embedding_banded_lsh_subset_and_recall(spark):
+    """Band-OR LSH (the registered scale path): candidates verified by
+    exact cosine must be a SUBSET of brute force, and with enough bands
+    the planted high-cosine near-dups must all be recalled."""
+    pdf = _embs(n=60, d=16, seed=5)
+    # plant 5 more near-dup pairs at cos ~0.999
+    rng = np.random.default_rng(11)
+    v = np.array([r for r in pdf["embedding"]])
+    for k in range(5):
+        v[10 + k] = v[20 + k] + 0.01 * rng.standard_normal(16)
+    pdf["embedding"] = [list(map(float, r)) for r in v]
+    df = spark.createDataFrame(pdf)
+
+    brute = embedding_near_dups(df, "embedding", "vec_id", min_cosine=0.95)
+    bset = set(map(tuple, brute.toPandas()[["id_a", "id_b"]].to_numpy()))
+    lsh = embedding_near_dups(
+        df, "embedding", "vec_id", min_cosine=0.95, n_planes=8, n_bands=8, dim=16
+    )
+    lset = set(map(tuple, lsh.toPandas()[["id_a", "id_b"]].to_numpy()))
+    assert lset <= bset
+    # r=8, B=8 at cos>=0.95: per-band q ~= 0.43, miss prob ~= 0.57^8 < 2%
+    assert len(bset) >= 6 and lset == bset, (len(bset), len(lset))
+
+
+def test_plane_weights_exact_and_stable():
+    """md5-derived plane weights: in [-1, 1), exactly-representable
+    (value * 2^31 is an integer), deterministic across calls."""
+    from seizury_hrv_featuresextraction_spark.functions.vectors import plane_weights
+
+    w1 = plane_weights(64, 3)
+    w2 = plane_weights(64, 3)
+    assert w1 == w2 and len(w1) == 64
+    assert all(-1.0 <= w < 1.0 for w in w1)
+    assert all(float((w + 1.0) * 2**31) == round((w + 1.0) * 2**31) for w in w1)
+    assert plane_weights(64, 4) != w1

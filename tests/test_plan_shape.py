@@ -124,3 +124,25 @@ def test_label_side_stays_small_aggregates(spark, tmp_path):
     assert "Exchange" not in after_kernel.split("BroadcastExchange")[0].replace(
         "BroadcastExchange", ""
     )
+
+
+def test_dedup_keeper_no_broadcast_of_groups(spark):
+    """VERDICT r2 item 2: the exact-dedup keeper view must not broadcast
+    the fingerprint-groups table (one row per DISTINCT document — an
+    unbounded side at 100 TB). The window formulation shuffles once on
+    the 16-byte fp and never broadcasts."""
+    import pandas as pd
+
+    from seizury_hrv_featuresextraction_spark.operators.dedup import dedup_exact_keep
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(40), "text": [f"doc {i % 10} body" for i in range(40)]}
+    )
+    keep = dedup_exact_keep(spark.createDataFrame(pdf), "text", "doc_id")
+    plan = _plan(keep)
+    assert "BroadcastExchange" not in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    # exactly one shuffle: the fp window partitioning
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    got = sorted(r.doc_id for r in keep.collect())
+    assert got == list(range(10))
