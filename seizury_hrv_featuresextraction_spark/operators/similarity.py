@@ -92,7 +92,12 @@ def train_centroids(
     (broadcast argmax). Inputs smaller than the cap train on everything,
     so small-scale results are unchanged."""
     base = corpus.select(F.col(id_col).alias("id"), to_double(F.col(vec_col)).alias("v"))
-    hashed = base.withColumn("__h", F.xxhash64(F.col("id").cast("string")))
+    # md5-based deterministic order (not xxhash64): reproducible on ANY
+    # engine, which lets the DuckDB twin replay the seeding + Lloyd loop
+    # exactly ('0x'||substr(md5(id),1,15) in SQL == this expression)
+    hashed = base.withColumn(
+        "__h", F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10).cast("long")
+    )
     cent = (
         hashed.orderBy("__h")
         .limit(n_lists)

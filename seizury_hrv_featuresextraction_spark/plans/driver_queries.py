@@ -954,11 +954,9 @@ def embedding_near_dup_pairs_lsh(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
 
 
-@q("ivf_topk")  # iterative k-means: rows-only check (not SQL-expressible)
-def ivf_topk_q(spark, sf_dir):
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
-    qs = emb.filter(F.col("vec_id") < 5)
-    return ivf_topk(emb, qs, "embedding", "vec_id", k=3, n_lists=8, n_probe=3)
+# ivf_topk (the TRAINED path) is registered at the end of this module —
+# its DuckDB twin unrolls the fixed-iteration Lloyd loop and needs the
+# cosine helper defined below.
 
 
 # ---------------------------------------------------------------------------
@@ -1919,4 +1917,82 @@ def hrv_features_flagship(spark, sf_dir):
         F.round("ApEn", 6).alias("apen"),
         F.round("TRI_INDEX", 6).alias("tri_index"),
         F.col("label").cast("long").alias("label"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TRAINED IVF twin (VERDICT r2 item 4): the k-means training loop is
+# deterministic (md5-hash-ordered seeding, fixed 3 Lloyd iterations,
+# bounded train sample), so it unrolls into three chained
+# assign -> mean-per-(cid,pos) -> reassemble CTE blocks; search then
+# mirrors the ivf_topk_fixed twin on the trained centroids.
+# ---------------------------------------------------------------------------
+
+
+def _lloyd_iter_cte(i: int) -> str:
+    cos = _COS_DD.format(a="t.v", b="c.cvec")
+    return f"""a{i} AS (
+      SELECT t.vec_id, t.v, c.cid,
+             row_number() OVER (PARTITION BY t.vec_id
+                                ORDER BY {cos} DESC, c.cid) AS rk
+      FROM e t CROSS JOIN cent{i - 1} c),
+    m{i} AS (
+      SELECT a.cid, p.pos, avg(a.v[p.pos]) AS mx
+      FROM a{i} a CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) p
+      WHERE a.rk = 1
+      GROUP BY a.cid, p.pos),
+    cent{i} AS (SELECT cid, list(mx ORDER BY pos) AS cvec FROM m{i} GROUP BY cid)"""
+
+
+_IVF_TRAINED_SQL = f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v
+               FROM embeddings WHERE vec_id < 200),
+         h AS (SELECT vec_id, v, ('0x' || substr(md5(vec_id::varchar), 1, 15))::bigint AS hh
+               FROM e),
+         cent0 AS (
+           SELECT row_number() OVER (ORDER BY hh) AS cid, v AS cvec
+           FROM h QUALIFY row_number() OVER (ORDER BY hh) <= 8),
+    {_lloyd_iter_cte(1)},
+    {_lloyd_iter_cte(2)},
+    {_lloyd_iter_cte(3)},
+         asg0 AS (
+           SELECT e.vec_id AS corpus_id, e.v AS cv, c.cid,
+                  row_number() OVER (PARTITION BY e.vec_id
+                                     ORDER BY {_COS_DD.format(a='e.v', b='c.cvec')} DESC, c.cid) AS rk
+           FROM e CROSS JOIN cent3 c),
+         asg AS (SELECT corpus_id, cv, cid AS list_id FROM asg0 WHERE rk = 1),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+         ql0 AS (
+           SELECT q.query_id, q.qv, c.cid,
+                  row_number() OVER (PARTITION BY q.query_id
+                                     ORDER BY {_COS_DD.format(a='q.qv', b='c.cvec')} DESC, c.cid) AS rk
+           FROM q CROSS JOIN cent3 c),
+         ql AS (SELECT query_id, qv, cid AS list_id FROM ql0 WHERE rk <= 3),
+         scored AS (
+           SELECT ql.query_id, a.corpus_id, {_COS_DD.format(a='ql.qv', b='a.cv')} AS cos
+           FROM ql JOIN asg a ON a.list_id = ql.list_id
+           WHERE a.corpus_id <> ql.query_id)
+    SELECT query_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank,
+           corpus_id, round(cos, 6) AS cos
+    FROM scored QUALIFY rank <= 3
+"""
+
+
+@q("ivf_topk", _IVF_TRAINED_SQL)
+def ivf_topk_q(spark, sf_dir):
+    """IVF with TRAINED centroids under a full DuckDB oracle: Lloyd on
+    the md5-hash-ordered sample is deterministic and fixed-iteration, so
+    the twin replays seeding + 3 assign/mean rounds as unrolled CTEs.
+    (Was rows-only through r2 — 'iterative k-means: not SQL-expressible'
+    stopped being true once dedup_components shipped an iterated-CTE
+    twin.) Recall vs exact search is separately pytest-gated."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    qs = emb.filter(F.col("vec_id") < 5)
+    out = ivf_topk(emb, qs, "embedding", "vec_id", k=3, n_lists=8, n_probe=3)
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "corpus_id",
+        F.round("cos", 6).alias("cos"),
     )

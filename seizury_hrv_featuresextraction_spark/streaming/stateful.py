@@ -149,3 +149,78 @@ def streaming_feature_buffer(
         )
 
     return src.groupBy("doc_id").applyInPandas(batch_fn, schema=PREDICTION_SCHEMA)
+
+
+ALARM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("event_time", T.DoubleType(), False),
+        T.StructField("n_consecutive", T.IntegerType(), False),
+    ]
+)
+
+ALARM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("consec", T.IntegerType(), True),
+        T.StructField("active", T.BooleanType(), True),
+    ]
+)
+
+
+def streaming_alarm_log(
+    df: DataFrame,
+    positive_col: str,
+    k: int = 3,
+    event_time_col: str = "window_end_time",
+) -> DataFrame:
+    """O69: the debounce -> ALARM-LOG sink shape — emits ONE row per
+    alarm transition (the reference appends alarm events to a log file,
+    stream_emulator.py:424-447), not one row per input.
+
+    Streaming input: applyInPandasWithState keeping (consecutive-positive
+    count, latched) per doc_id — identical semantics to the batch
+    ``operators.windows.debounce`` (k-th consecutive positive fires, then
+    latches for the rest of the key). Batch input: the window-function
+    debounce filtered to alarm rows, so both paths are testable against
+    each other.
+    """
+    src = df.withColumn("event_time", F.col(event_time_col).cast("double"))
+
+    if not src.isStreaming:
+        from ..operators.windows import debounce
+
+        out = debounce(src, "doc_id", "event_time", F.col(positive_col), k)
+        return out.filter(F.col("alarm")).select(
+            "doc_id", "event_time", F.lit(k).cast("int").alias("n_consecutive")
+        )
+
+    def fn(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (doc_id,) = key
+        consec, active = (state.get if state.exists else (0, False))
+        rows = []
+        # one sort over the WHOLE microbatch group: the Arrow chunks of
+        # pdf_iter arrive in shuffle order, so sorting each chunk
+        # independently would misorder events that straddle chunks
+        chunks = [c for c in pdf_iter if len(c)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                "event_time", kind="mergesort"
+            )
+            for et, pos in zip(pdf["event_time"], pdf[positive_col]):
+                if bool(pos):
+                    consec += 1
+                    if consec >= k and not active:
+                        active = True
+                        rows.append((doc_id, float(et), int(consec)))
+                else:
+                    consec = 0
+        state.update((int(consec), bool(active)))
+        yield pd.DataFrame(rows, columns=["doc_id", "event_time", "n_consecutive"])
+
+    return src.groupBy("doc_id").applyInPandasWithState(
+        fn,
+        outputStructType=ALARM_SCHEMA,
+        stateStructType=ALARM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
