@@ -176,3 +176,32 @@ def langid(text: Column) -> Column:
     )
     best = F.array_max(scored)  # struct compare: score first, then lang
     return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def tfidf_top_terms(df, text_col: str, id_col: str, k: int = 3):
+    """TF-IDF top-k terms per document (E16), pure Catalyst:
+
+    explode words -> tf per (doc, term) -> document frequency per term
+    (one agg over the same exploded set) -> idf = ln(N/df) -> top-k per
+    doc by (score desc, term asc). Two shuffles total (term stats, the
+    per-doc window); at corpus scale the df table is the only global
+    state and it is bounded by vocabulary size, not corpus size.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    toks = df.select(F.col(id_col).alias("id"), F.explode(words(F.col(text_col))).alias("w"))
+    tf = toks.groupBy("id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.countDistinct(F.col(id_col)).alias("n"))
+    scored = (
+        tf.join(dfreq, "w")
+        .join(F.broadcast(n_docs))
+        .withColumn("score", F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")))
+    )
+    win = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("w"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("id", "rank", "w", "tf", "df", "score")
+    )

@@ -161,3 +161,42 @@ def pack_sequences(
     cum = F.sum(size_col).over(w)
     out = out.withColumn("offset", (cum - F.col(size_col)).cast("long"))
     return out.withColumn("bin", F.floor(F.col("offset") / budget).cast("long"))
+
+
+def stratified_hash_sample(
+    df: DataFrame, id_col: str, stratum_col: str, rates: dict[str, float],
+    default_rate: float = 0.0, seed: str = ""
+) -> DataFrame:
+    """Per-stratum deterministic sampling (E14): each stratum keeps rows
+    whose content hash falls under ITS rate — the standard rebalancing
+    move for skewed training corpora (e.g. downsample head languages,
+    keep all of the tail). Same md5-prefix construction as
+    ``hash_sample``: stable across runs/engines/partitionings, pure
+    codegen'd scan-stage filter, no shuffle, no RNG state. The rates map
+    is a literal CASE expression — it is configuration, not data, so
+    nothing is broadcast or joined at any corpus size."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))), 1, 4),
+        16,
+        10,
+    ).cast("int")
+    thr = F.lit(int(default_rate * 65536))
+    for stratum, rate in sorted(rates.items()):
+        thr = F.when(F.col(stratum_col) == stratum, F.lit(int(rate * 65536))).otherwise(thr)
+    return df.filter(h < thr)
+
+
+def cap_per_group(df: DataFrame, id_col: str, group_col: str, k: int) -> DataFrame:
+    """Per-group quota (E15): keep at most ``k`` rows per group, chosen
+    by deterministic hash order (NOT arrival order — stable under any
+    partitioning and resume). The training-data use is per-domain /
+    per-source caps so no single crawl source dominates the mix. One
+    shuffle on the group key; the rank is a plain window, so AQE's skew
+    handling applies to hot groups."""
+    h = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(h, id_col)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

@@ -1996,3 +1996,111 @@ def ivf_topk_q(spark, sf_dir):
         "corpus_id",
         F.round("cos", 6).alias("cos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r3 training-data curation additions (SURVEY §2.12 E14-E17): stratified
+# rebalancing, per-source quotas, TF-IDF salient terms, semi-structured
+# (JSON) metadata extraction — each pure Catalyst with a DuckDB twin.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "stratified_sample",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE ('0x' || substr(md5('s2' || doc_id::varchar), 1, 4))::int
+          < (CASE WHEN lang = 'en' THEN 6553 ELSE 39321 END)
+    """,
+)
+def stratified_sample(spark, sf_dir):
+    """E14: skew-rebalancing sample — head language (en) kept at 10%,
+    tail languages at 60%; selection is content-addressed (md5 prefix)
+    so it is stable across runs, engines and resumes. Scan-stage filter,
+    zero shuffle."""
+    from ..operators.stats import stratified_hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = stratified_hash_sample(
+        docs, "doc_id", "lang", {"en": 0.1}, default_rate=0.6, seed="s2"
+    )
+    return out.select("doc_id", "lang")
+
+
+@q(
+    "cap_per_source",
+    """
+    SELECT doc_id, source
+    FROM (SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY md5(doc_id::varchar), doc_id) AS rk
+          FROM documents)
+    WHERE rk <= 5
+    """,
+)
+def cap_per_source(spark, sf_dir):
+    """E15: per-source quota (anti-domination cap for crawl sources) —
+    at most 5 docs per source in deterministic hash order."""
+    from ..operators.stats import cap_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cap_per_group(docs, "doc_id", "source", k=5).select("doc_id", "source")
+
+
+@q(
+    "tfidf_top_terms",
+    f"""
+    WITH w AS (SELECT doc_id, unnest({WORDS_DD}) AS w FROM documents),
+         tf AS (SELECT doc_id, w, count(*) AS tf FROM w GROUP BY doc_id, w),
+         dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+         n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+         scored AS (
+           SELECT tf.doc_id, tf.w, tf.tf, dfreq.df,
+                  tf.tf * ln(n.n::double / dfreq.df) AS score
+           FROM tf JOIN dfreq USING (w) CROSS JOIN n)
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS rank,
+           w, tf, df, round(score, 6) AS score
+    FROM scored QUALIFY rank <= 3
+    """,
+)
+def tfidf_top_terms_q(spark, sf_dir):
+    """E16: TF-IDF top-3 salient terms per document — document
+    fingerprinting for clustering/near-dup triage; vocabulary-bounded
+    global state, two shuffles."""
+    from ..functions.text import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = tfidf_top_terms(docs, "text", "doc_id", k=3)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "w",
+        "tf",
+        "df",
+        F.round("score", 6).alias("score"),
+    )
+
+
+@q(
+    "json_props_rollup",
+    """
+    SELECT event_type,
+           count(json_extract_string(props, '$.k')) AS n_with_k,
+           sum(json_extract_string(props, '$.k')::int)::bigint AS sum_k,
+           max(json_extract_string(props, '$.k')::int) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def json_props_rollup(spark, sf_dir):
+    """E17: semi-structured metadata extraction — typed field pulled out
+    of a JSON props column in the scan stage (no UDF), then rolled up.
+    The training-data shape: crawl/page metadata riding as JSON."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count(k).alias("n_with_k"),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )
