@@ -216,16 +216,23 @@ def simhash_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long"),
         ).alias("h"),
     )
+    # two-stage: collapse repeated tokens per doc FIRST (cheap 2-column
+    # hash agg), then run the 60 wide bit-sums over the distinct-hash
+    # rows weighted by count — sum over tokens of (2b-1) == sum over
+    # distinct hashes of (2b-1)*cnt, with ~word-repetition-factor fewer
+    # rows entering the expensive 60-aggregate stage
+    per_hash = toks.groupBy("id", "h").agg(F.count("h").alias("cnt"))
     bit_sums = [
         F.sum(
             F.when(
                 F.col("h").isNotNull(),
-                F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1).cast("long")) * 2 - 1,
+                (F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1).cast("long")) * 2 - 1)
+                * F.col("cnt"),
             ).otherwise(F.lit(0))
         ).alias(f"b{k}")
         for k in range(60)
     ]
-    agg = toks.groupBy("id").agg(*bit_sums)
+    agg = per_hash.groupBy("id").agg(*bit_sums)
     sh = None
     for k in range(60):
         term = F.when(F.col(f"b{k}") > 0, F.lit(1 << k).cast("long")).otherwise(F.lit(0).cast("long"))

@@ -265,3 +265,61 @@ def test_plane_weights_exact_and_stable():
     assert all(-1.0 <= w < 1.0 for w in w1)
     assert all(float((w + 1.0) * 2**31) == round((w + 1.0) * 2**31) for w in w1)
     assert plane_weights(64, 4) != w1
+
+
+def test_stratified_sample_and_cap_properties(spark):
+    from seizury_hrv_featuresextraction_spark.operators.stats import (
+        cap_per_group,
+        stratified_hash_sample,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(2000),
+            "lang": ["en" if i % 2 == 0 else ("de" if i % 4 == 1 else "fr") for i in range(2000)],
+            "src": [f"s{i % 7}" for i in range(2000)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    samp = stratified_hash_sample(df, "doc_id", "lang", {"en": 0.1}, default_rate=0.6, seed="s2")
+    out = samp.toPandas()
+    # subset + per-stratum rates within binomial tolerance
+    assert set(out["doc_id"]) <= set(pdf["doc_id"])
+    en = (out["lang"] == "en").sum() / 1000
+    rest = (out["lang"] != "en").sum() / 1000
+    assert 0.06 < en < 0.14 and 0.52 < rest < 0.68, (en, rest)
+    # deterministic: repartitioned input selects the SAME ids
+    out2 = stratified_hash_sample(
+        df.repartition(13), "doc_id", "lang", {"en": 0.1}, default_rate=0.6, seed="s2"
+    ).toPandas()
+    assert set(out2["doc_id"]) == set(out["doc_id"])
+
+    capped = cap_per_group(df, "doc_id", "src", k=11).toPandas()
+    assert capped.groupby("src").size().max() <= 11
+    capped2 = cap_per_group(df.repartition(17), "doc_id", "src", k=11).toPandas()
+    assert set(capped2["doc_id"]) == set(capped["doc_id"])
+
+
+def test_tfidf_top_terms_properties(spark):
+    from seizury_hrv_featuresextraction_spark.functions.text import tfidf_top_terms
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "apple apple banana common common common",
+                "banana cherry common common",
+                "cherry durian common",
+            ],
+        }
+    )
+    out = tfidf_top_terms(spark.createDataFrame(pdf), "text", "doc_id", k=2).toPandas()
+    # ranks 1..k, scores non-increasing within each doc
+    for _, g in out.groupby("id"):
+        g = g.sort_values("rank")
+        assert g["rank"].tolist() == list(range(1, len(g) + 1))
+        assert (g["score"].diff().dropna() <= 1e-12).all()
+    # 'common' appears in every doc -> idf 0 -> can never outrank a
+    # distinctive term with positive score
+    top1 = out[out["rank"] == 1]
+    assert "common" not in set(top1["w"])
