@@ -178,7 +178,7 @@ def langid(text: Column) -> Column:
     return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
-def tfidf_top_terms(df, text_col: str, id_col: str, k: int = 3):
+def tfidf_top_terms(df, text_col: str, id_col: str, k: int = 3, rank_round: int | None = None):
     """TF-IDF top-k terms per document (E16), pure Catalyst:
 
     explode words -> tf per (doc, term) -> document frequency per term
@@ -186,6 +186,12 @@ def tfidf_top_terms(df, text_col: str, id_col: str, k: int = 3):
     doc by (score desc, term asc). Two shuffles total (term stats, the
     per-doc window); at corpus scale the df table is the only global
     state and it is bounded by vocabulary size, not corpus size.
+
+    ``rank_round``: rank on round(score, n) instead of the raw score —
+    cross-engine rank stability for the oracle twin (ln() can differ by
+    1 ulp between the JVM and libm, which could flip the order of two
+    nearly-tied DIFFERENT terms; ranking on the rounded score pins the
+    comparison to the same 6-decimal values both engines emit).
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -199,7 +205,8 @@ def tfidf_top_terms(df, text_col: str, id_col: str, k: int = 3):
         .join(F.broadcast(n_docs))
         .withColumn("score", F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")))
     )
-    win = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("w"))
+    rank_key = F.round("score", rank_round) if rank_round is not None else F.col("score")
+    win = Window.partitionBy("id").orderBy(F.desc(rank_key), F.asc("w"))
     return (
         scored.withColumn("rank", F.row_number().over(win))
         .filter(F.col("rank") <= k)

@@ -2060,7 +2060,7 @@ def cap_per_source(spark, sf_dir):
                   tf.tf * ln(n.n::double / dfreq.df) AS score
            FROM tf JOIN dfreq USING (w) CROSS JOIN n)
     SELECT doc_id,
-           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS rank,
+           row_number() OVER (PARTITION BY doc_id ORDER BY round(score, 6) DESC, w) AS rank,
            w, tf, df, round(score, 6) AS score
     FROM scored QUALIFY rank <= 3
     """,
@@ -2072,7 +2072,7 @@ def tfidf_top_terms_q(spark, sf_dir):
     from ..functions.text import tfidf_top_terms
 
     docs = load_table(spark, sf_dir, "documents")
-    out = tfidf_top_terms(docs, "text", "doc_id", k=3)
+    out = tfidf_top_terms(docs, "text", "doc_id", k=3, rank_round=6)
     return out.select(
         F.col("id").alias("doc_id"),
         F.col("rank").cast("long").alias("rank"),

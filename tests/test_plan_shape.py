@@ -146,3 +146,30 @@ def test_dedup_keeper_no_broadcast_of_groups(spark):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
     got = sorted(r.doc_id for r in keep.collect())
     assert got == list(range(10))
+
+
+def test_curation_ops_plan_shapes(spark):
+    """E14/E15 scale contracts: the stratified sample is a scan-stage
+    filter (zero Exchange); the per-group cap shuffles exactly once (the
+    group-key window) and never broadcasts."""
+    import pandas as pd
+
+    from seizury_hrv_featuresextraction_spark.operators.stats import (
+        cap_per_group,
+        stratified_hash_sample,
+    )
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(100), "lang": ["en" if i % 2 else "de" for i in range(100)],
+         "src": [f"s{i % 5}" for i in range(100)]}
+    )
+    df = spark.createDataFrame(pdf)
+
+    samp = stratified_hash_sample(df, "doc_id", "lang", {"en": 0.2}, default_rate=0.7)
+    plan = _plan(samp)
+    assert "Exchange" not in plan, plan
+
+    capped = cap_per_group(df, "doc_id", "src", k=3)
+    plan = _plan(capped)
+    assert "BroadcastExchange" not in plan, plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
