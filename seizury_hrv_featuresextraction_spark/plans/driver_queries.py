@@ -2104,3 +2104,90 @@ def json_props_rollup(spark, sf_dir):
         F.sum(k).cast("long").alias("sum_k"),
         F.max(k).alias("max_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming-flagship twin (r3): the token-chunk streaming operator's
+# batch path against the same composed feature SQL as the flagship (the
+# streaming/batch equivalence itself is pytest-gated end-to-end in
+# tests/test_streaming_hrv.py with a true availableNow run).
+# ---------------------------------------------------------------------------
+
+_STREAM_FLAGSHIP_SQL = f"""
+    WITH {_GRID_MEMBER_CTES},
+    {_TIME_CTES},
+    {_SPECTRAL_CTES},
+    {_ENTROPY_CTES}
+    SELECT 'user-' || t.user_id::varchar AS doc_id,
+           t.win_id AS window_id,
+           t.n_beats,
+           t.nn50, t.pnn50, t.rmssd, t.sdnn, t.sdsd,
+           t.rr_mean, t.rr_min, t.rr_max, t.rr_var,
+           round(coalesce(b.total_u, 0.0), 6) AS total_p,
+           round(coalesce(b.hf_u, 0.0), 6) AS hf_p,
+           round(po.sd1, 6) AS sd1,
+           round(po.sd2, 6) AS sd2,
+           round(CASE WHEN st.nb >= 10 AND st.sd > 0 AND s.a_cnt > 0 AND s.b_cnt > 0
+                 THEN -ln((s.a_cnt::double / s.b_cnt) * (st.nb::double / (st.nb - 2)))
+                 ELSE 0.0 END, 6) AS sampen,
+           round(t.n_beats::double / mx.mb, 6) AS tri_index
+    FROM agg t
+    JOIN mx ON mx.user_id = t.user_id AND mx.win_id = t.win_id
+    JOIN poin po ON po.user_id = t.user_id AND po.win_id = t.win_id
+    JOIN stats st ON st.user_id = t.user_id AND st.win_id = t.win_id
+    LEFT JOIN bands b ON b.user_id = t.user_id AND b.win_id = t.win_id
+    LEFT JOIN samp s ON s.user_id = t.user_id AND s.win_id = t.win_id
+    WHERE t.n_beats >= 5
+"""
+
+
+@q("hrv_features_streaming_op", _STREAM_FLAGSHIP_SQL)
+def hrv_features_streaming_op(spark, sf_dir):
+    """The token-chunk STREAMING operator (streaming/hrv_stream.py) run
+    on its batch path over the derived sequences split into 4 chunks per
+    doc — checked against the same composed window-feature SQL as the
+    flagship (representative column slice). True incremental
+    microbatch == batch equivalence is separately gated by
+    tests/test_streaming_hrv.py."""
+    from ..config import HRVConfig
+    from ..streaming.hrv_stream import streaming_hrv_features
+
+    cfg = HRVConfig(freq_min=0.003, freq_max=0.4, n_freqs=12)
+    sc = cfg.power_scale
+    seq = sequences_from_events(spark, sf_dir)
+    n_chunks = 4
+    size = (F.size("tokens") + F.lit(n_chunks - 1)) / F.lit(n_chunks)
+    chunks = seq.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_chunks - 1)),
+                lambda c: F.slice(
+                    F.col("tokens"),
+                    (c * F.ceil(size).cast("int") + 1).cast("int"),
+                    F.ceil(size).cast("int"),
+                ),
+            )
+        ).alias("chunk_idx", "tokens"),
+    ).filter(F.size("tokens") > 0)
+    out = streaming_hrv_features(chunks, cfg)
+    return out.filter(F.col("n_beats") >= 5).select(
+        "doc_id",
+        "window_id",
+        F.col("n_beats").cast("long").alias("n_beats"),
+        F.col("NN50").cast("long").alias("nn50"),
+        F.round("pNN50", 6).alias("pnn50"),
+        F.round("RMSSD", 6).alias("rmssd"),
+        F.round("SDNN", 6).alias("sdnn"),
+        F.round("SDSD", 6).alias("sdsd"),
+        F.round("RRMean", 6).alias("rr_mean"),
+        F.round("RRMin", 6).alias("rr_min"),
+        F.round("RRMax", 6).alias("rr_max"),
+        F.round("RRVar", 6).alias("rr_var"),
+        F.round(F.col("TOTAL_POWER") / sc, 6).alias("total_p"),
+        F.round(F.col("HF_POWER") / sc, 6).alias("hf_p"),
+        F.round("SD1", 6).alias("sd1"),
+        F.round("SD2", 6).alias("sd2"),
+        F.round("SampEn", 6).alias("sampen"),
+        F.round("TRI_INDEX", 6).alias("tri_index"),
+    )

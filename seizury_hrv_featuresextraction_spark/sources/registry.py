@@ -49,10 +49,14 @@ def bucketed_documents_path(spark: SparkSession, sf_dir: str, n_buckets: int = 8
     # (name, size, mtime_ns) triple invalidates the layout when the table
     # under the same sf_dir is rewritten
     src = os.path.join(sf_dir, "documents.parquet")
-    stamp: list[str] = [os.path.abspath(sf_dir)]
-    for p in sorted([src] if os.path.isfile(src) else [
-        os.path.join(src, n) for n in os.listdir(src) if n.endswith(".parquet")
-    ] if os.path.isdir(src) else []):
+    if os.path.isfile(src):
+        parts = [src]
+    elif os.path.isdir(src):
+        parts = [os.path.join(src, n) for n in os.listdir(src) if n.endswith(".parquet")]
+    else:
+        parts = []
+    stamp = [os.path.abspath(sf_dir)]
+    for p in sorted(parts):
         st = os.stat(p)
         stamp.append(f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}")
     key = hashlib.md5("|".join(stamp).encode()).hexdigest()[:16]

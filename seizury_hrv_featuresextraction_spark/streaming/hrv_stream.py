@@ -1,0 +1,157 @@
+"""True-streaming flagship: token chunks in, HRV feature windows out.
+
+The batch flagship consumes whole pre-tokenized documents
+(plans/hrv_pipeline.py). This module is its Structured Streaming twin:
+token CHUNKS of a document arrive over microbatches (the shape a live
+recording feed produces — reference stream_emulator.py emulates exactly
+this with a 5 s step), and a per-doc ``applyInPandasWithState`` operator
+maintains the minimal tail of the RR stream needed to finish the next
+sliding window, emitting each window's 23-feature row THE MOMENT its
+end boundary is passed.
+
+Key properties:
+
+- **Identical output to batch.** A window is emitted exactly when the
+  cumulative stream duration reaches its end boundary (same exact-int
+  arithmetic as the batch grid: t_ms*fs vs samples*1000 in int64), and
+  the feature vector comes from the SAME ``WindowKernel`` — after the
+  stream drains, the emitted set equals ``extract_features`` on the
+  concatenated document, feature-for-feature (allclose; tested).
+- **Bounded state.** Per doc the state is the token tail from the start
+  of the next unfinished window (~window_seconds of beats, a few dozen
+  ints) plus two counters — independent of stream length, so a
+  1000-executor deployment holds state proportional to ACTIVE docs, not
+  history.
+- **In-order contract.** Chunks must arrive per-doc in order
+  (``chunk_idx`` sorts within a microbatch; cross-batch order is the
+  ingestion layer's guarantee, as with any event-time-ordered feed).
+
+Reference: windows/grid data_processing_pipeline.py:692-716, streaming
+emulation stream_emulator.py:150-260.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..config import DEFAULT_CONFIG, HRVConfig
+from ..functions.hrv import ALL_FEATURES
+from ..plans.hrv_pipeline import _get_kernel
+
+STREAM_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("window_id", T.LongType(), False),
+        T.StructField("n_beats", T.IntegerType(), False),
+    ]
+    + [T.StructField(name, T.DoubleType(), True) for name in ALL_FEATURES]
+)
+
+STREAM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("buf", T.ArrayType(T.IntegerType()), True),
+        T.StructField("off_ms", T.LongType(), True),
+        T.StructField("next_win", T.LongType(), True),
+    ]
+)
+
+
+def make_hrv_stream_fn(cfg: HRVConfig):
+    fs = cfg.sampling_rate
+    spw = cfg.window_samples()
+    step = cfg.step_samples()
+    cols = ["doc_id", "window_id", "n_beats"] + list(ALL_FEATURES)
+
+    def fn(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (doc_id,) = key
+        if state.exists:
+            buf, off_ms, next_win = state.get
+            buf = list(buf or [])
+        else:
+            buf, off_ms, next_win = [], 0, 0
+        chunks = [c for c in pdf_iter if len(c)]
+        if not chunks:
+            state.update((buf, int(off_ms), int(next_win)))
+            yield pd.DataFrame(columns=cols)
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("chunk_idx", kind="mergesort")
+        new_toks = np.concatenate([np.asarray(t, dtype=np.int64) for t in pdf["tokens"]])
+        tok = np.concatenate([np.asarray(buf, dtype=np.int64), new_toks])
+
+        # exact integer grid arithmetic, identical to the batch plan
+        # (operators/skew.py / functions/hrv.py windows_for_chunk)
+        t_ms = int(off_ms) + np.cumsum(tok)
+        t_total = int(t_ms[-1]) if tok.size else int(off_ms)
+        n_samples = (t_total * fs) // 1000
+        n_win_avail = (n_samples - spw) // step + 1  # windows fully past their end
+        out = pd.DataFrame(columns=cols)
+        if n_win_avail > next_win:
+            ids = np.arange(next_win, n_win_avail, dtype=np.int64)
+            t_scaled = t_ms * fs
+            lo_idx = np.searchsorted(t_scaled, ids * step * 1000, side="left")
+            hi_idx = np.searchsorted(t_scaled, (ids * step + spw) * 1000, side="right")
+            kernel = _get_kernel(cfg)
+            feats = kernel.windows_from_bounds(tok.astype(np.float64) / 1000.0, lo_idx, hi_idx)
+            out = pd.DataFrame(
+                {
+                    "doc_id": doc_id,
+                    "window_id": ids,
+                    "n_beats": (hi_idx - lo_idx).astype(np.int32),
+                }
+            )
+            for j, name in enumerate(ALL_FEATURES):
+                out[name] = feats[:, j]
+            next_win = int(n_win_avail)
+
+        # retain only beats that can still belong to an unfinished window
+        # (t >= next window's start boundary, inclusive — membership is
+        # start <= t <= end)
+        t_scaled = t_ms * fs
+        drop = int(np.searchsorted(t_scaled, next_win * step * 1000, side="left"))
+        new_off = int(t_ms[drop - 1]) if drop > 0 else int(off_ms)
+        state.update(([int(x) for x in tok[drop:]], new_off, int(next_win)))
+        yield out
+
+    return fn
+
+
+class _BatchState:
+    exists = False
+
+    def update(self, value) -> None:
+        pass
+
+
+def streaming_hrv_features(
+    chunks: DataFrame, cfg: HRVConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """(doc_id, chunk_idx, tokens array<int>) stream -> feature rows.
+
+    Streaming input: true incremental state. Batch input: the same state
+    function through ``applyInPandas`` (one group = the whole history),
+    so the operator is testable batch-vs-stream like the other stateful
+    ops."""
+    fn = make_hrv_stream_fn(cfg)
+    if chunks.isStreaming:
+        return chunks.groupBy("doc_id").applyInPandasWithState(
+            fn,
+            outputStructType=STREAM_FEATURES_SCHEMA,
+            stateStructType=STREAM_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    def batch_fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        frames = list(fn(key, iter([pdf]), _BatchState()))
+        return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+            columns=[f.name for f in STREAM_FEATURES_SCHEMA.fields]
+        )
+
+    return chunks.groupBy("doc_id").applyInPandas(batch_fn, schema=STREAM_FEATURES_SCHEMA)
