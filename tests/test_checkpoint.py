@@ -111,3 +111,50 @@ def test_config_change_invalidates(spark, fixture_tables, tiny_cfg, tmp_path):
     cfg2 = replace(tiny_cfg, sph_seconds=120.0)
     results = run_resumable(spark, sdf, adf, out, cfg2, n_buckets=2)
     assert all(r.status == "ok" for r in results)  # nothing skipped: config hash changed
+
+
+def test_snapshot_time_travel(spark, fixture_tables, tiny_cfg, tmp_path):
+    """Iceberg-lite snapshot log: each full run commits a version; a
+    pinned read validates the live buckets against the snapshot and
+    refuses stale versions after a config rewrite."""
+    from dataclasses import replace
+
+    import pytest as _pytest
+
+    from seizury_hrv_featuresextraction_spark.checkpoint import (
+        list_snapshots,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    seq, ann = fixture_tables
+    seq = seq.iloc[:2]
+    sdf = spark.createDataFrame(seq, schema=SEQUENCES_SCHEMA)
+    adf = spark.createDataFrame(ann[ann["doc_id"].isin(seq["doc_id"])], schema=ANNOTATIONS_SCHEMA)
+    out = str(tmp_path / "f3")
+
+    r1 = run_resumable(spark, sdf, adf, out, tiny_cfg, n_buckets=2)
+    snaps = list_snapshots(out)
+    assert [s["version"] for s in snaps] == [1]
+    df1 = read_snapshot(spark, out, version=1)
+    assert df1.count() == sum(r.row_count for r in r1)
+
+    # re-run same config: all buckets skipped -> state unchanged -> NO new
+    # snapshot version (like Iceberg skipping an empty commit)
+    run_resumable(spark, sdf, adf, out, tiny_cfg, n_buckets=2)
+    assert [s["version"] for s in list_snapshots(out)] == [1]
+    assert read_snapshot(spark, out).count() == df1.count()  # latest
+
+    # config rewrite invalidates v1 (buckets rewritten in place)
+    cfg2 = replace(tiny_cfg, sph_seconds=120.0)
+    run_resumable(spark, sdf, adf, out, cfg2, n_buckets=2)
+    assert [s["version"] for s in list_snapshots(out)] == [1, 2]
+    assert read_snapshot(spark, out, version=2).count() > 0
+    with _pytest.raises(ValueError, match="stale"):
+        read_snapshot(spark, out, version=1)
+
+    # unknown version
+    with _pytest.raises(ValueError, match="not found"):
+        read_snapshot(spark, out, version=99)
+    # manual commit on top of live manifests works
+    assert write_snapshot(out) == 3
