@@ -2217,3 +2217,35 @@ def binary_payload_stats(spark, sf_dir):
         F.encode("text", "UTF-8").alias("payload"),
     )
     return payload_stats(media)
+
+
+@q(
+    "numeric_profile",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           round(min(value), 6) AS v_min,
+           round(max(value), 6) AS v_max,
+           round(avg(value), 6) AS v_mean,
+           round(stddev_samp(value), 6) AS v_std,
+           round(quantile_cont(value, 0.5), 6) AS v_p50,
+           round(quantile_cont(value, 0.95), 6) AS v_p95
+    FROM events GROUP BY event_type
+    """,
+)
+def numeric_profile(spark, sf_dir):
+    """Data-profiling rollup (training-data QA): per-type count / min /
+    max / mean / std / exact interpolated p50+p95. Spark's percentile()
+    and DuckDB's quantile_cont share the linear-interpolation
+    definition, so the twin is exact. (At 100 TB swap percentile() for
+    percentile_approx — same query shape, sketch-mergeable.)"""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 6).alias("v_min"),
+        F.round(F.max("value"), 6).alias("v_max"),
+        F.round(F.avg("value"), 6).alias("v_mean"),
+        F.round(F.stddev_samp("value"), 6).alias("v_std"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("v_p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("v_p95"),
+    )
