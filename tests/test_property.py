@@ -86,3 +86,61 @@ def test_kernel_matches_oracle_on_random_series(seed, n):
     got = kern.feature_vector(rr, t)
     exp = np.array([oracle_feature_row(rr, t, DEFAULT_CONFIG)[f] for f in ALL_FEATURES])
     assert np.allclose(got, exp, rtol=1e-9, atol=1e-12, equal_nan=True)
+
+
+# --- streaming flagship chunk-boundary invariance (E18) ----------------
+
+tok_lists = st.lists(st.integers(min_value=400, max_value=1499), min_size=60, max_size=400)
+cut_fracs = st.lists(st.floats(min_value=0.02, max_value=0.98), min_size=1, max_size=6)
+
+
+@given(toks=tok_lists, cuts=cut_fracs)
+@SETTINGS
+def test_streaming_hrv_chunking_invariant(spark, toks, cuts):
+    """However a doc's token stream is cut into ordered chunks, the
+    streaming operator's (batch-path) output equals the whole-doc batch
+    kernel — window ids, beat counts and every feature (allclose)."""
+    import numpy as np
+    import pandas as pd
+
+    from seizury_hrv_featuresextraction_spark.config import HRVConfig
+    from seizury_hrv_featuresextraction_spark.functions.hrv import ALL_FEATURES
+    from seizury_hrv_featuresextraction_spark.plans.hrv_pipeline import extract_features
+    from seizury_hrv_featuresextraction_spark.streaming.hrv_stream import (
+        streaming_hrv_features,
+    )
+
+    cfg = HRVConfig(n_freqs=16)
+    bounds = sorted({max(1, min(len(toks) - 1, int(f * len(toks)))) for f in cuts})
+    pieces = np.split(np.asarray(toks, dtype=np.int64), bounds)
+    chunks = pd.DataFrame(
+        {
+            "doc_id": "d0",
+            "chunk_idx": range(len(pieces)),
+            "tokens": [[int(x) for x in p] for p in pieces],
+        }
+    )
+    got = (
+        streaming_hrv_features(
+            spark.createDataFrame(chunks, "doc_id string, chunk_idx int, tokens array<int>"),
+            cfg,
+        )
+        .toPandas()
+        .sort_values("window_id")
+        .reset_index(drop=True)
+    )
+    seq = pd.DataFrame({"doc_id": ["d0"], "tokens": [list(toks)], "n_tok": [len(toks)], "source": ["t"]})
+    exp = (
+        extract_features(spark.createDataFrame(seq), None, cfg)
+        .select("window_id", "n_beats", *ALL_FEATURES)
+        .toPandas()
+        .sort_values("window_id")
+        .reset_index(drop=True)
+    )
+    assert got["window_id"].tolist() == exp["window_id"].tolist()
+    assert got["n_beats"].tolist() == exp["n_beats"].tolist()
+    for name in ALL_FEATURES:
+        assert np.allclose(
+            got[name].to_numpy(float), exp[name].to_numpy(float),
+            rtol=1e-9, atol=1e-12, equal_nan=True,
+        ), name
