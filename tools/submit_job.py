@@ -47,10 +47,18 @@ def main():
     seq = spark.read.parquet(args.sequences)
     ann = spark.read.parquet(args.annotations) if args.annotations else None
     results = run_resumable(spark, seq, ann, args.output, cfg, n_buckets=args.buckets)
-    print(json.dumps([
-        {"bucket": r.bucket, "status": r.status, "rows": r.row_count, "rows_per_s": round(r.rows_per_s, 1)}
-        for r in results
-    ]))
+    from seizury_hrv_featuresextraction_spark.checkpoint import list_snapshots
+
+    snaps = list_snapshots(args.output)
+    print(json.dumps({
+        "buckets": [
+            {"bucket": r.bucket, "status": r.status, "rows": r.row_count,
+             "rows_per_s": round(r.rows_per_s, 1)}
+            for r in results
+        ],
+        "snapshot": snaps[-1]["version"] if snaps else None,
+        "config_hash": cfg.config_hash(),
+    }))
 
 
 if __name__ == "__main__":
