@@ -37,7 +37,9 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     ann = annotations_from_events(spark, sf_dir)
     rows = []
-    for repeat in (10, 40, 200, 1000):
+    repeats = tuple(int(x) for x in os.environ.get(
+        "SWEEP_REPEATS", "10,40,200,1000,2500").split(","))
+    for repeat in repeats:
         seq = sequences_from_events(spark, sf_dir)
         seq = seq.withColumn(
             "tokens", F.flatten(F.array_repeat(F.col("tokens"), repeat))
