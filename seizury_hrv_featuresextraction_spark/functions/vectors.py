@@ -69,12 +69,33 @@ def _plane_sign(vec: Column, dim: int, g: int, bit: int, seed: int) -> Column:
     return F.when(proj > 0, F.lit(1 << bit)).otherwise(F.lit(0))
 
 
+def _dim_guard(vec: Column, dim: int, out: Column) -> Column:
+    """Fail loudly when ``vec``'s length differs from the plane dim.
+
+    zip_with pads the shorter array with nulls, so a dim mismatch would
+    silently make every projection NULL -> every vector lands in bucket 0
+    -> the LSH blocking degenerates into an all-pairs cross join (output
+    stays correct via the cosine verify, but the scale contract is gone).
+    assert_true raises at runtime instead; it returns NULL on success, so
+    when(guard.isNull(), out) == out for every valid row.
+    """
+    guard = F.assert_true(
+        F.size(vec) == F.lit(dim),
+        F.concat(
+            F.lit(f"lsh: vector length != configured dim={dim} (got "),
+            F.size(vec).cast("string"),
+            F.lit(")"),
+        ),
+    )
+    return F.when(guard.isNull(), out)
+
+
 def lsh_bucket(vec: Column, n_planes: int = 8, seed: int = 7, dim: int = 64) -> Column:
     """Random-hyperplane LSH bucket id in [0, 2^n_planes)."""
     out = F.lit(0)
     for p in range(n_planes):
         out = out + _plane_sign(vec, dim, p, p, seed)
-    return out
+    return _dim_guard(vec, dim, out)
 
 
 def lsh_band_buckets(
@@ -89,7 +110,7 @@ def lsh_band_buckets(
     1-(1-p^r)^B instead of the single-table p^r (the classic AND-OR
     amplification, mirroring the MinHash banding in operators/dedup.py).
     """
-    return F.array(
+    out = F.array(
         *[
             sum(
                 (_plane_sign(vec, dim, t * n_planes + p, p, seed) for p in range(1, n_planes)),
@@ -98,3 +119,4 @@ def lsh_band_buckets(
             for t in range(n_bands)
         ]
     )
+    return _dim_guard(vec, dim, out)

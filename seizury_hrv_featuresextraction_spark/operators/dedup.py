@@ -19,9 +19,18 @@ def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     parquet file read as 1 split) up to cluster parallelism. At 100 TB
     inputs already arrive in many splits and this is a no-op."""
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
-    # unconditional: the inputs this guards are tiny (the repartition is
-    # cheap) and touching df.rdd to inspect partitioning would bypass
-    # Catalyst; AQE coalesces right back if the input was already wide
+    # conditional: df.repartition() ALWAYS materializes a RoundRobin
+    # exchange (AQE can coalesce its output but never delete it), so at
+    # 100 TB an unconditional call would shuffle the full raw corpus at
+    # the head of every dedup/similarity op. getNumPartitions() is a
+    # plan-time metadata lookup (no job); when the scan already has >=
+    # target splits the input stays exactly where the source put it.
+    try:
+        n_parts = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - non-scan plans where the RDD
+        n_parts = 0  # conversion is unsupported: fall through to repartition
+    if n_parts >= target:
+        return df
     return df.repartition(target)
 
 

@@ -323,3 +323,26 @@ def test_tfidf_top_terms_properties(spark):
     # distinctive term with positive score
     top1 = out[out["rank"] == 1]
     assert "common" not in set(top1["w"])
+
+
+def test_lsh_dim_guard_raises_on_mismatch(spark):
+    """ADVICE r3 (medium): a vector whose length differs from the plane
+    dim must raise, never silently hash every row to bucket 0 (zip_with
+    null-pads, degenerating LSH blocking into an all-pairs join)."""
+    import pytest as _pytest
+
+    from seizury_hrv_featuresextraction_spark.functions.vectors import (
+        lsh_band_buckets,
+        lsh_bucket,
+    )
+
+    df = spark.createDataFrame([(1, [0.5] * 8)], "id int, v array<double>")
+    with _pytest.raises(Exception, match="dim"):
+        df.select(lsh_bucket(F.col("v"), 4, dim=64).alias("b")).collect()
+    with _pytest.raises(Exception, match="dim"):
+        df.select(lsh_band_buckets(F.col("v"), 3, 2, dim=64).alias("b")).collect()
+    # matching dim still hashes normally
+    [r] = df.select(lsh_bucket(F.col("v"), 4, dim=8).alias("b")).collect()
+    assert 0 <= r.b < 16
+    [r] = df.select(lsh_band_buckets(F.col("v"), 3, 2, dim=8).alias("b")).collect()
+    assert len(r.b) == 2

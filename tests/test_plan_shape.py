@@ -173,3 +173,22 @@ def test_curation_ops_plan_shapes(spark):
     plan = _plan(capped)
     assert "BroadcastExchange" not in plan, plan
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_spread_conditional_no_shuffle_on_wide_input(spark, tmp_path):
+    """VERDICT r3 item 2: spread() must NOT add a RoundRobin exchange when
+    the scan already has >= defaultParallelism splits — at 100 TB an
+    unconditional repartition would shuffle the full raw corpus at the
+    head of every dedup/similarity op. A 1-split input must still be
+    spread (the manufactured-parallelism case this helper exists for)."""
+    from seizury_hrv_featuresextraction_spark.operators.dedup import spread
+
+    wide = str(tmp_path / "wide")
+    spark.range(0, 4000).repartition(16).write.mode("overwrite").parquet(wide)
+    out = spread(spark.read.parquet(wide))
+    assert "RoundRobinPartitioning" not in _plan(out), _plan(out)
+
+    narrow = str(tmp_path / "narrow")
+    spark.range(0, 4000).coalesce(1).write.mode("overwrite").parquet(narrow)
+    out2 = spread(spark.read.parquet(narrow))
+    assert "RoundRobinPartitioning" in _plan(out2), _plan(out2)
