@@ -89,16 +89,21 @@ def main():
     flagship_s, n_windows = 1e18, 0
     for _ in range(best_of):
         t0 = time.time()
-        feats = extract_features(seq, ann, DEFAULT_CONFIG)
+        feats = extract_features(seq, ann, DEFAULT_CONFIG, fused=False)
         n_windows = feats.count()
         flagship_s = min(flagship_s, time.time() - t0)
     results["hrv_features_flagship"] = round(flagship_s, 3)
-    # the FUSED zero-shuffle variant (extract_features(..., fused=True))
-    # is the right plan when docs are bounded / pre-bucketed (here: yes)
-    # — reported alongside, but the headline stays the skew-safe chunked
-    # plan so round-over-round numbers compare the conservative default
-    fused_s = 0.0
+    # the FUSED zero-shuffle variant and the AUTO selection
+    # (extract_features default: choose_fused from table stats) are
+    # reported alongside; the headline stays the skew-safe chunked plan
+    # so round-over-round numbers compare the same physical plan
+    fused_s, auto_s, auto_pick = 0.0, 0.0, None
     if os.environ.get("SPARK_GRAFT_BENCH_ONLY_FLAGSHIP", "") != "1":
+        from seizury_hrv_featuresextraction_spark.plans.hrv_pipeline import (
+            choose_fused,
+            plan_stats,
+        )
+
         fused_s = 1e18
         for _ in range(best_of):
             t0 = time.time()
@@ -106,6 +111,14 @@ def main():
                 "noop"
             ).mode("overwrite").save()
             fused_s = min(fused_s, time.time() - t0)
+        auto_pick = "fused" if choose_fused(plan_stats(seq, DEFAULT_CONFIG), DEFAULT_CONFIG) else "chunked"
+        auto_s = 1e18
+        for _ in range(best_of):
+            t0 = time.time()
+            extract_features(seq, ann, DEFAULT_CONFIG).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            auto_s = min(auto_s, time.time() - t0)
     seq.unpersist()
 
     if os.environ.get("SPARK_GRAFT_BENCH_ONLY_FLAGSHIP", "") != "1":
@@ -134,6 +147,8 @@ def main():
             "windows_per_sec": round(n_windows / flagship_s, 1) if flagship_s > 0 else None,
             "sequences_per_sec": round(n_docs / flagship_s, 3) if flagship_s > 0 else None,
             "fused_tokens_per_sec": round(n_tokens / fused_s, 1) if fused_s > 0 else None,
+            "auto_tokens_per_sec": round(n_tokens / auto_s, 1) if auto_s > 0 else None,
+            "auto_plan": auto_pick,
         },
     }
     print(json.dumps(out))

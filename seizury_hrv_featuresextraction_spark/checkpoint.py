@@ -118,12 +118,16 @@ def run_resumable(
     ``fail_after_bucket`` injects a crash after k completed buckets (test
     hook for the kill/restart scenario in SURVEY.md §5.5).
     """
-    from .plans.hrv_pipeline import extract_features
+    from .plans.hrv_pipeline import extract_features, plan_stats
 
     cfg_hash = cfg.config_hash()
     done = read_manifest(output_path)
     results: list[BucketResult] = []
     seq_b = sequences.withColumn("__bucket", bucket_of(F.col("doc_id"), n_buckets))
+    # physical-plan stats probed ONCE for the whole table and reused per
+    # bucket (a bucket filter is a narrow op — same split count): the
+    # fused/chunked auto-selection must not pay one stats job per bucket
+    stats = plan_stats(sequences, cfg)
     completed = 0
     for k in range(n_buckets):
         prev = done.get(k)
@@ -149,7 +153,7 @@ def run_resumable(
             .drop("__bucket")
             .observe(obs_in, F.count(F.lit(1)).alias("n_docs"))
         )
-        feats = extract_features(part, annotations, cfg).observe(
+        feats = extract_features(part, annotations, cfg, stats=stats).observe(
             obs_out, F.count(F.lit(1)).alias("row_count")
         )
         out_dir = os.path.join(output_path, f"bucket={k}")
@@ -163,8 +167,18 @@ def run_resumable(
         if fail_after_bucket is not None and completed >= fail_after_bucket:
             raise RuntimeError(f"injected failure after {completed} fresh buckets (bucket {k})")
     # all buckets landed (fresh or validated) -> commit a snapshot version
-    # so readers can pin this run's exact output (write_snapshot below)
-    if completed > 0 and all(r.status in ("ok", "skipped") for r in results):
+    # so readers can pin this run's exact output (write_snapshot below).
+    # The change test is STATE-BASED, not completed>0: a crash between the
+    # last manifest write and the snapshot commit leaves manifests newer
+    # than the latest snapshot — the resumed run skips every bucket
+    # (completed == 0) but still commits the missing snapshot. Conversely
+    # an all-skipped rerun whose state already matches the latest snapshot
+    # commits nothing (stable version across idempotent reruns).
+    if (
+        results
+        and all(r.status in ("ok", "skipped") for r in results)
+        and not snapshot_is_current(output_path)
+    ):
         write_snapshot(output_path)
     return results
 
@@ -197,15 +211,35 @@ def list_snapshots(output_path: str) -> list[dict]:
     return sorted(out, key=lambda s: s["version"])
 
 
+def snapshot_is_current(output_path: str) -> bool:
+    """True iff the latest snapshot pins exactly the live manifest state
+    (same bucket set, same config_hash + completed_at per bucket)."""
+    snaps = list_snapshots(output_path)
+    if not snaps:
+        return False
+    live = read_manifest(output_path)
+    pinned = snaps[-1]["buckets"]
+    if set(pinned) != {str(k) for k in live}:
+        return False
+    for k, p in pinned.items():
+        cur = live[int(k)]
+        if cur["config_hash"] != p["config_hash"] or cur["completed_at"] != p["completed_at"]:
+            return False
+    return True
+
+
 def write_snapshot(output_path: str) -> int:
-    """Commit the current manifest state as the next snapshot version."""
+    """Commit the current manifest state as the next snapshot version.
+
+    The final vN.json is created with O_CREAT|O_EXCL and the version
+    retried on EEXIST, so two concurrent committers can never silently
+    overwrite each other's snapshot — the append-only log invariant holds
+    under races (each committer lands a distinct version).
+    """
     manifests = read_manifest(output_path)
     if not manifests:
         raise ValueError(f"no bucket manifests under {output_path}")
-    prev = list_snapshots(output_path)
-    version = (prev[-1]["version"] + 1) if prev else 1
     snap = {
-        "version": version,
         "committed_at": time.time(),
         "buckets": {
             str(k): {
@@ -218,11 +252,29 @@ def write_snapshot(output_path: str) -> int:
     }
     d = _snapshot_dir(output_path)
     os.makedirs(d, exist_ok=True)
-    tmp = os.path.join(d, f"v{version}.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(snap, f)
-    os.replace(tmp, os.path.join(d, f"v{version}.json"))
-    return version
+    prev = list_snapshots(output_path)
+    version = (prev[-1]["version"] + 1) if prev else 1
+    import tempfile
+
+    while True:
+        path = os.path.join(d, f"v{version}.json")
+        snap["version"] = version
+        fd, tmp = tempfile.mkstemp(prefix=".snap.", dir=d)
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(snap, f)
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                # atomic claim of the version slot: link fails on EEXIST
+                # instead of overwriting, and the linked file is already
+                # fully written (no reader can observe a truncated vN.json)
+                os.link(tmp, path)
+                return version
+            except FileExistsError:
+                version += 1  # lost the race: retry with the next slot
+        finally:
+            os.unlink(tmp)
 
 
 def read_snapshot(

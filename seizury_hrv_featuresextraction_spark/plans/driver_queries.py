@@ -1401,12 +1401,17 @@ _SPECTRAL_CTES = f"""freqs(fidx, f) AS (VALUES {_FREQ_VALUES}),
              greatest(0.0, coalesce(sum(CASE WHEN fidx IN ({_SEG_HF})
                         THEN (f2 - f) / 2.0 * (p + p2) END), 0.0)) AS hf_u
       FROM segs GROUP BY user_id, win_id),
-    poin AS (
+    {{_POINCARE_CTE}}"""
+
+# Poincaré descriptors depend only on window membership — shared by the
+# spectral twin and the grid-independent production-flagship twin below
+_POINCARE_CTE = """poin AS (
       SELECT user_id, win_id, count(*) AS n_beats,
              stddev_samp(d_ms) / sqrt(2.0) AS sd1,
              stddev_samp(s_ms) / sqrt(2.0) AS sd2
       FROM member GROUP BY user_id, win_id
       HAVING count(*) >= 5)"""
+_SPECTRAL_CTES = _SPECTRAL_CTES.replace("{_POINCARE_CTE}", _POINCARE_CTE)
 
 _SPECTRAL_SQL = f"""
     WITH {_GRID_MEMBER_CTES},
@@ -1867,15 +1872,103 @@ _FLAGSHIP_SQL = f"""
 """
 
 
-@q("hrv_features_flagship", _FLAGSHIP_SQL)
+_FLAGSHIP_DEFAULT_GRID_SQL = f"""
+    WITH {_GRID_MEMBER_CTES},
+    {_TIME_CTES},
+    {_POINCARE_CTE},
+    {_ENTROPY_CTES},
+    {_LABEL_CTES}
+    SELECT '' AS subject_id,
+           'user-' || t.user_id::varchar AS recording_id,
+           'user-' || t.user_id::varchar AS doc_id,
+           t.win_id AS window_id,
+           (t.win_id * 1280) / 256.0 AS window_start_time,
+           (t.win_id * 1280 + 3840) / 256.0 AS window_center_time,
+           (t.win_id * 1280 + 7680) / 256.0 AS window_end_time,
+           t.n_beats,
+           t.nn50, t.pnn50, t.rmssd, t.sdnn, t.sdsd,
+           t.rr_mean, t.rr_min, t.rr_max, t.rr_var,
+           round(po.sd1, 6) AS sd1,
+           round(po.sd2, 6) AS sd2,
+           round(CASE WHEN po.sd2 > 0 THEN po.sd1 / po.sd2 ELSE 0.0 END, 6) AS sd_ratio,
+           round(CASE WHEN st.nb >= 10 AND st.sd > 0 AND s.a_cnt > 0 AND s.b_cnt > 0
+                 THEN -ln((s.a_cnt::double / s.b_cnt) * (st.nb::double / (st.nb - 2)))
+                 ELSE 0.0 END, 6) AS sampen,
+           round(CASE WHEN st.nb >= 10 AND st.sd > 0
+                 THEN ap.phi2 - ap.phi3 ELSE 0.0 END, 6) AS apen,
+           round(t.n_beats::double / mx.mb, 6) AS tri_index,
+           wl.label::bigint AS label
+    FROM agg t
+    JOIN mx ON mx.user_id = t.user_id AND mx.win_id = t.win_id
+    JOIN poin po ON po.user_id = t.user_id AND po.win_id = t.win_id
+    JOIN stats st ON st.user_id = t.user_id AND st.win_id = t.win_id
+    JOIN wlab wl ON wl.user_id = t.user_id AND wl.win_id = t.win_id
+    LEFT JOIN samp s ON s.user_id = t.user_id AND s.win_id = t.win_id
+    LEFT JOIN ap ON ap.user_id = t.user_id AND ap.win_id = t.win_id
+    WHERE t.n_beats >= 5
+"""
+
+
+@q("hrv_features_flagship", _FLAGSHIP_DEFAULT_GRID_SQL)
 def hrv_features_flagship(spark, sf_dir):
-    """The flagship pipeline (chunk-split -> Arrow kernel -> broadcast
-    FixedSPH interval labels) with its composed full-surface DuckDB twin:
+    """THE PRODUCTION SURFACE: the flagship pipeline (chunk-split ->
+    Arrow kernel -> broadcast FixedSPH interval labels) under
+    DEFAULT_CONFIG — the exact config every production consumer gets —
+    twinned on the 19 spectral-grid-independent columns (time domain,
+    Poincaré, entropies, triangular index) plus the temporal-leakage-free
+    label, per (doc, window) row. The spectral columns (the only
+    grid-dependent ones) are value-oracled by
+    ``hrv_features_flagship_oracle_grid`` below on a reduced 12-point
+    grid (a 1000-point Lomb-Scargle twin is SQL-expressible but
+    quadratically large), and the full-grid spectral output is
+    np.allclose-gated against the loop oracle in
+    tests/test_pipeline_e2e.py. Sub-min_beats windows are all-NaN by
+    reference semantics and excluded here (NaN never hash-compares
+    equal)."""
+    from ..config import DEFAULT_CONFIG
+    from .hrv_pipeline import extract_features, with_output_ids
+
+    seq = sequences_from_events(spark, sf_dir)
+    ann = annotations_from_events(spark, sf_dir)
+    feats = with_output_ids(extract_features(seq, ann, DEFAULT_CONFIG))
+    return feats.filter(F.col("n_beats") >= 5).select(
+        "subject_id",
+        "recording_id",
+        "doc_id",
+        "window_id",
+        "window_start_time",
+        "window_center_time",
+        "window_end_time",
+        F.col("n_beats").cast("long").alias("n_beats"),
+        F.col("NN50").cast("long").alias("nn50"),
+        F.round("pNN50", 6).alias("pnn50"),
+        F.round("RMSSD", 6).alias("rmssd"),
+        F.round("SDNN", 6).alias("sdnn"),
+        F.round("SDSD", 6).alias("sdsd"),
+        F.round("RRMean", 6).alias("rr_mean"),
+        F.round("RRMin", 6).alias("rr_min"),
+        F.round("RRMax", 6).alias("rr_max"),
+        F.round("RRVar", 6).alias("rr_var"),
+        F.round("SD1", 6).alias("sd1"),
+        F.round("SD2", 6).alias("sd2"),
+        F.round("SD1toSD2", 6).alias("sd_ratio"),
+        F.round("SampEn", 6).alias("sampen"),
+        F.round("ApEn", 6).alias("apen"),
+        F.round("TRI_INDEX", 6).alias("tri_index"),
+        F.col("label").cast("long").alias("label"),
+    )
+
+
+@q("hrv_features_flagship_oracle_grid", _FLAGSHIP_SQL)
+def hrv_features_flagship_oracle_grid(spark, sf_dir):
+    """The flagship pipeline with its composed FULL-surface DuckDB twin:
     all 23 features + the temporal-leakage-free label checked per
-    (doc, window) row. Full-grid (n_freqs=1000) output is additionally
-    np.allclose-gated in tests/test_pipeline_e2e.py; sub-min_beats
-    windows are all-NaN by reference semantics and excluded here (NaN
-    never hash-compares equal)."""
+    (doc, window) row. CONFIG DELTA, surfaced in the name (ADVICE r3):
+    this variant runs a reduced 12-point spectral grid
+    (HRVConfig(freq_min=0.003, freq_max=0.4, n_freqs=12)) so the
+    Lomb-Scargle twin stays tractable in SQL; every other knob is
+    DEFAULT_CONFIG. The production surface (DEFAULT_CONFIG, 1000-point
+    grid) is ``hrv_features_flagship`` above."""
     from ..config import HRVConfig
     from .hrv_pipeline import extract_features, with_output_ids
 

@@ -155,18 +155,84 @@ def doc_dimensions(sequences: DataFrame, cfg: HRVConfig) -> DataFrame:
     )
 
 
+def plan_stats(sequences: DataFrame, cfg: HRVConfig = DEFAULT_CONFIG) -> dict:
+    """Cheap table stats for physical-plan selection.
+
+    - ``n_splits``: the scan's actual split count — a plan-time metadata
+      lookup (no job), the same information Iceberg manifests expose as
+      the file list.
+    - ``max_windows_per_doc``: an UPPER BOUND on any one doc's window
+      count, derived from max(n_tok) x the physiologic RR ceiling
+      (cfg.rr_max_seconds). Computed from the n_tok int column only — a
+      column-pruned scan that never touches the token arrays; on an
+      Iceberg table this is a free upper_bounds stats lookup, so the
+      one-column agg here is the honest local stand-in. None when the
+      table has no n_tok column.
+    """
+    sc = sequences.sparkSession.sparkContext
+    try:
+        n_splits = sequences.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover
+        n_splits = 0
+    max_win = None
+    if "n_tok" in sequences.columns:
+        mx = sequences.agg(F.max("n_tok")).collect()[0][0]
+        if mx is not None:
+            max_ms = int(mx) * int(cfg.rr_max_seconds * 1000)
+            n_samp = max_ms * cfg.sampling_rate // 1000
+            max_win = max(0, (n_samp - cfg.window_samples()) // cfg.step_samples() + 1)
+    return {
+        "n_splits": n_splits,
+        "parallelism": sc.defaultParallelism,
+        "max_windows_per_doc": max_win,
+    }
+
+
+# a fused task processes whole docs; allow docs up to this many chunk
+# caps before the chunk-split plan's rebalancing is worth its shuffle
+_FUSED_SKEW_HEADROOM = 8
+
+
+def choose_fused(stats: dict, cfg: HRVConfig = DEFAULT_CONFIG) -> bool:
+    """Pick the physical plan from table stats (VERDICT r3 item 3).
+
+    fused (zero-shuffle single Arrow stage) iff BOTH:
+    - the scan already has >= cluster parallelism splits (otherwise the
+      chunk path's repartition manufactures the missing parallelism —
+      the measured 1-file case where fused serializes), and
+    - no single doc can exceed ``_FUSED_SKEW_HEADROOM`` chunk caps of
+      windows (otherwise one doc straggles a whole fused task; the chunk
+      split bounds per-task work at max_windows_per_chunk).
+    Unknown stats fall back to the skew-safe chunked plan.
+    """
+    if stats["n_splits"] < stats["parallelism"]:
+        return False
+    mw = stats["max_windows_per_doc"]
+    if mw is None or mw > cfg.max_windows_per_chunk * _FUSED_SKEW_HEADROOM:
+        return False
+    return True
+
+
 def extract_features(
     sequences: DataFrame,
     annotations: DataFrame | None,
     cfg: HRVConfig = DEFAULT_CONFIG,
-    fused: bool = False,
+    fused: bool | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """sequences + annotations -> labeled windowed feature table.
 
-    fused=False (default): chunk-split -> repartition (skew rebalancing)
-    -> kernel. fused=True: a single narrow Arrow stage — use when the
-    input is already balanced (bucketed table, bounded doc length).
+    fused=None (default): AUTO — pick the plan from table stats
+    (``plan_stats``/``choose_fused``): split count vs parallelism and
+    the max-windows-per-doc upper bound. fused=False: chunk-split ->
+    repartition (skew rebalancing) -> kernel. fused=True: a single
+    narrow Arrow stage (zero shuffle) — right when the input is already
+    balanced (bucketed table, bounded doc length). ``stats`` overrides
+    the auto probe (e.g. from Iceberg manifest stats) so no plan-time
+    job runs.
     """
+    if fused is None:
+        fused = choose_fused(stats or plan_stats(sequences, cfg), cfg)
     if fused:
         feats = sequences.select("doc_id", "tokens").mapInArrow(
             _fused_batches(cfg), schema=FEATURES_KERNEL_SCHEMA

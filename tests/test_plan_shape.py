@@ -192,3 +192,36 @@ def test_spread_conditional_no_shuffle_on_wide_input(spark, tmp_path):
     spark.range(0, 4000).coalesce(1).write.mode("overwrite").parquet(narrow)
     out2 = spread(spark.read.parquet(narrow))
     assert "RoundRobinPartitioning" in _plan(out2), _plan(out2)
+
+
+def test_flagship_auto_plan_selection(spark, tmp_path):
+    """VERDICT r3 item 3: extract_features defaults to AUTO plan selection
+    from table stats. A 1-split scan must choose the chunked plan (the
+    repartition manufactures parallelism); a wide scan of bounded docs
+    must choose fused (zero Exchange)."""
+    from seizury_hrv_featuresextraction_spark.plans.hrv_pipeline import (
+        choose_fused,
+        plan_stats,
+    )
+
+    sdf, adf = _setup(spark, tmp_path)  # single parquet file -> 1 split
+    stats = plan_stats(sdf, DEFAULT_CONFIG)
+    assert stats["n_splits"] < stats["parallelism"]
+    assert choose_fused(stats, DEFAULT_CONFIG) is False
+    plan = _plan(extract_features(sdf, adf, DEFAULT_CONFIG))
+    assert "RoundRobinPartitioning" in plan
+
+    wide = str(tmp_path / "seq_wide")
+    sdf.repartition(8).write.mode("overwrite").parquet(wide)
+    wdf = spark.read.parquet(wide)
+    wstats = plan_stats(wdf, DEFAULT_CONFIG)
+    assert wstats["n_splits"] >= wstats["parallelism"], wstats
+    assert wstats["max_windows_per_doc"] is not None
+    assert choose_fused(wstats, DEFAULT_CONFIG) is True
+    plan = _plan(extract_features(wdf, None, DEFAULT_CONFIG))
+    assert "Exchange" not in plan, plan
+
+    # a table whose max n_tok implies a straggler doc refuses fused even
+    # when wide (the chunk cap bounds per-task work)
+    huge = dict(wstats, max_windows_per_doc=DEFAULT_CONFIG.max_windows_per_chunk * 9)
+    assert choose_fused(huge, DEFAULT_CONFIG) is False

@@ -184,7 +184,15 @@ def main():
     ]
     with open(os.path.join(REPO, "BENCH", "executors.md"), "a") as f:
         f.write("\n".join(lines) + "\n")
-    print("appended to BENCH/executors.md")
+    # machine-readable result for bench_scaling.py's headline (it must
+    # never stamp stale figures from hardcoded fallbacks — ADVICE r3)
+    with open(os.path.join(REPO, "BENCH", "executors_latest.json"), "w") as f:
+        json.dump(
+            {"exec_eff": round(eff, 3), "t1": t1, "t4": t4, "cores": cores,
+             "windows": w1, "repeats": repeats, "measured_at": time.time()},
+            f,
+        )
+    print("appended to BENCH/executors.md; wrote BENCH/executors_latest.json")
 
 
 if __name__ == "__main__":

@@ -75,8 +75,26 @@ def main():
     raw_eff = (t4n / tn) / 4.0
     norm_eff = (t4n / tn) / ideal_speedup
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    exec_eff = float(os.environ.get("EXEC_EFF", "0.653"))
-    group_ceil = float(os.environ.get("GROUP_CEIL", "0.74"))
+
+    # the headline (engine/ceiling) must come from THIS machine's measured
+    # values — env override, else the JSON written by the measuring tool;
+    # NEVER a hardcoded fallback that silently stamps a stale round's
+    # figures into the report (ADVICE r3)
+    def measured(env_key: str, json_name: str, json_key: str, tool: str) -> float:
+        if os.environ.get(env_key):
+            return float(os.environ[env_key])
+        path = os.path.join(REPO, "BENCH", json_name)
+        if os.path.exists(path):
+            with open(path) as f:
+                return float(json.load(f)[json_key])
+        raise SystemExit(
+            f"{env_key} is unset and BENCH/{json_name} does not exist — run "
+            f"`python tools/{tool}` first (or set {env_key}) so the headline "
+            "reflects a real measurement, not a stale default"
+        )
+
+    exec_eff = measured("EXEC_EFF", "executors_latest.json", "exec_eff", "bench_executors.py")
+    group_ceil = measured("GROUP_CEIL", "hw_groups_latest.json", "group_ceil", "hw_groups.py")
     lines = [
         "# BENCH/BASELINE.md — scaling-efficiency evidence",
         "",

@@ -118,6 +118,14 @@ def main():
     assert w1 == w4, (w1, w4)
     eff = t1 / (4.0 * t4)
     print(json.dumps({"hw_groups_efficiency": round(eff, 3), "t1": t1, "t4": t4}))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    os.makedirs(os.path.join(repo, "BENCH"), exist_ok=True)
+    with open(os.path.join(repo, "BENCH", "hw_groups_latest.json"), "w") as f:
+        json.dump(
+            {"group_ceil": round(eff, 3), "t1": t1, "t4": t4, "cores": cores,
+             "measured_at": time.time()},
+            f,
+        )
 
 
 if __name__ == "__main__":
