@@ -22,9 +22,16 @@ Key properties:
   ints) plus two counters — independent of stream length, so a
   1000-executor deployment holds state proportional to ACTIVE docs, not
   history.
-- **In-order contract.** Chunks must arrive per-doc in order
-  (``chunk_idx`` sorts within a microbatch; cross-batch order is the
-  ingestion layer's guarantee, as with any event-time-ordered feed).
+- **Reordering, not an ordering assumption.** ``chunk_idx`` is a dense
+  0-based per-doc sequence number; chunks may arrive in ANY order,
+  within or ACROSS microbatches. A per-doc reorder buffer holds
+  out-of-order chunks in state until the gap fills and consumes the
+  longest contiguous prefix each trigger, so the drained output is
+  invariant to arbitrary cross-batch permutations (hypothesis property
+  test). Duplicate or replayed chunk ids raise (the feature rows are
+  emitted-once, so a replay would corrupt window arithmetic), and a
+  pending buffer past ``max_pending_chunks`` raises instead of
+  accumulating unbounded state behind a lost chunk.
 
 Reference: windows/grid data_processing_pipeline.py:692-716, streaming
 emulation stream_emulator.py:150-260.
@@ -59,11 +66,14 @@ STREAM_STATE_SCHEMA = T.StructType(
         T.StructField("buf", T.ArrayType(T.IntegerType()), True),
         T.StructField("off_ms", T.LongType(), True),
         T.StructField("next_win", T.LongType(), True),
+        T.StructField("next_chunk", T.LongType(), True),
+        T.StructField("pend_idx", T.ArrayType(T.LongType()), True),
+        T.StructField("pend_toks", T.ArrayType(T.ArrayType(T.IntegerType())), True),
     ]
 )
 
 
-def make_hrv_stream_fn(cfg: HRVConfig):
+def make_hrv_stream_fn(cfg: HRVConfig, max_pending_chunks: int = 4096):
     fs = cfg.sampling_rate
     spw = cfg.window_samples()
     step = cfg.step_samples()
@@ -72,18 +82,60 @@ def make_hrv_stream_fn(cfg: HRVConfig):
     def fn(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         (doc_id,) = key
         if state.exists:
-            buf, off_ms, next_win = state.get
+            buf, off_ms, next_win, next_chunk, pend_idx, pend_toks = state.get
             buf = list(buf or [])
+            pending = {
+                int(i): list(t) for i, t in zip(pend_idx or [], pend_toks or [])
+            }
         else:
-            buf, off_ms, next_win = [], 0, 0
+            buf, off_ms, next_win, next_chunk, pending = [], 0, 0, 0, {}
         chunks = [c for c in pdf_iter if len(c)]
+
+        def save(tokens: list[int], offset: int) -> None:
+            if len(pending) > max_pending_chunks:
+                raise RuntimeError(
+                    f"doc {doc_id}: reorder buffer exceeds max_pending_chunks="
+                    f"{max_pending_chunks} waiting for chunk {next_chunk} — the "
+                    "gap never filled (lost chunk upstream?)"
+                )
+            ks = sorted(pending)
+            state.update(
+                (
+                    tokens,
+                    int(offset),
+                    int(next_win),
+                    int(next_chunk),
+                    [int(k) for k in ks],
+                    [pending[k] for k in ks],
+                )
+            )
+
         if not chunks:
-            state.update((buf, int(off_ms), int(next_win)))
+            save(buf, int(off_ms))
             yield pd.DataFrame(columns=cols)
             return
-        pdf = pd.concat(chunks, ignore_index=True).sort_values("chunk_idx", kind="mergesort")
-        new_toks = np.concatenate([np.asarray(t, dtype=np.int64) for t in pdf["tokens"]])
-        tok = np.concatenate([np.asarray(buf, dtype=np.int64), new_toks])
+        # reorder buffer: register every incoming chunk by its dense
+        # per-doc sequence number, then consume the longest contiguous
+        # prefix from next_chunk; anything past a gap waits in state
+        pdf = pd.concat(chunks, ignore_index=True)
+        for ci, toks in zip(pdf["chunk_idx"], pdf["tokens"]):
+            ci = int(ci)
+            if ci < next_chunk or ci in pending:
+                raise ValueError(
+                    f"doc {doc_id}: duplicate/replayed chunk_idx={ci} "
+                    f"(next expected {next_chunk}) — chunk ids must be a "
+                    "dense 0-based sequence delivered at-most-once"
+                )
+            pending[ci] = [int(x) for x in toks]
+        ready: list[np.ndarray] = []
+        while next_chunk in pending:
+            ready.append(np.asarray(pending.pop(next_chunk), dtype=np.int64))
+            next_chunk += 1
+        if not ready:
+            save(buf, int(off_ms))
+            yield pd.DataFrame(columns=cols)
+            return
+        tok = np.concatenate([np.asarray(buf, dtype=np.int64)] + ready)
 
         # exact integer grid arithmetic, identical to the batch plan
         # (operators/skew.py / functions/hrv.py windows_for_chunk)
@@ -116,7 +168,7 @@ def make_hrv_stream_fn(cfg: HRVConfig):
         t_scaled = t_ms * fs
         drop = int(np.searchsorted(t_scaled, next_win * step * 1000, side="left"))
         new_off = int(t_ms[drop - 1]) if drop > 0 else int(off_ms)
-        state.update(([int(x) for x in tok[drop:]], new_off, int(next_win)))
+        save([int(x) for x in tok[drop:]], new_off)
         yield out
 
     return fn

@@ -144,3 +144,76 @@ def test_streaming_hrv_chunking_invariant(spark, toks, cuts):
             got[name].to_numpy(float), exp[name].to_numpy(float),
             rtol=1e-9, atol=1e-12, equal_nan=True,
         ), name
+
+
+# --- streaming flagship cross-microbatch reorder invariance (r4) -------
+
+
+@given(
+    toks=tok_lists,
+    cuts=cut_fracs,
+    perm_seed=st.integers(min_value=0, max_value=2**31 - 1),
+    n_batches=st.integers(min_value=1, max_value=5),
+)
+@SETTINGS
+def test_streaming_hrv_reorder_invariant(toks, cuts, perm_seed, n_batches):
+    """VERDICT r3 item 4 (property form): deliver a doc's chunks in an
+    ARBITRARY permutation, partitioned arbitrarily into microbatches —
+    the drained output must equal strictly in-order delivery (window ids,
+    beat counts, every feature bitwise: same kernel, same consumed
+    prefix, so no float divergence is possible)."""
+    from seizury_hrv_featuresextraction_spark.config import HRVConfig
+    from seizury_hrv_featuresextraction_spark.streaming.hrv_stream import (
+        make_hrv_stream_fn,
+    )
+
+    cfg = HRVConfig(n_freqs=16)
+    bounds = sorted({max(1, min(len(toks) - 1, int(f * len(toks)))) for f in cuts})
+    pieces = [p for p in np.split(np.asarray(toks, dtype=np.int64), bounds)]
+    chunks = [("d0", ci, [int(x) for x in p]) for ci, p in enumerate(pieces)]
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    def drive(deliveries):
+        fn = make_hrv_stream_fn(cfg)
+        state = FakeState()
+        outs = []
+        for batch in deliveries:
+            pdf = pd.DataFrame(batch, columns=["doc_id", "chunk_idx", "tokens"])
+            outs.extend(fn(("d0",), iter([pdf]), state))
+        out = pd.concat(outs, ignore_index=True)
+        return out.sort_values("window_id").reset_index(drop=True), state
+
+    expected, _ = drive([chunks])  # everything in order, one batch
+
+    rng = np.random.default_rng(perm_seed)
+    order = rng.permutation(len(chunks))
+    splits = sorted(rng.integers(0, len(chunks), size=n_batches - 1).tolist()) if n_batches > 1 else []
+    shuffled = [chunks[i] for i in order]
+    deliveries, lo = [], 0
+    for s in splits + [len(chunks)]:
+        deliveries.append(shuffled[lo:s])
+        lo = s
+    got, state = drive(deliveries)
+
+    assert got["window_id"].tolist() == expected["window_id"].tolist()
+    assert got["n_beats"].tolist() == expected["n_beats"].tolist()
+    for name in ALL_FEATURES:
+        a = got[name].to_numpy(float)
+        b = expected[name].to_numpy(float)
+        assert ((a == b) | (np.isnan(a) & np.isnan(b))).all(), name
+    # all chunks consumed: nothing left pending, same resume point
+    buf, off_ms, next_win, next_chunk, pend_idx, pend_toks = state._v
+    assert next_chunk == len(chunks)
+    assert not pend_idx

@@ -118,3 +118,96 @@ def test_streaming_hrv_batch_path(spark):
             got[name].to_numpy(float), exp[name].to_numpy(float),
             rtol=1e-9, atol=1e-12, equal_nan=True,
         ), name
+
+
+@pytest.mark.timeout(300)
+def test_streaming_hrv_out_of_order_across_microbatches(spark, tmp_path):
+    """VERDICT r3 item 4: cross-microbatch chunk order is NOT assumed —
+    the per-doc reorder buffer holds out-of-order chunks in state until
+    the gap fills. Late chunks are delivered FIRST here; the drained
+    output must still equal the batch plan on the concatenated docs."""
+    seq_pdf = make_sequences(4, short_range=(400, 900), long_range=(1100, 1400), long_frac=0.25)
+    chunks = _chunked(seq_pdf, n_chunks=5)
+
+    src = str(tmp_path / "tok_stream_ooo")
+    late = chunks[chunks.chunk_idx >= 2]   # arrives first
+    early = chunks[chunks.chunk_idx < 2]   # fills the gap second
+    spark.createDataFrame(late, schema=CHUNK_SCHEMA).coalesce(1).write.mode("overwrite").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(early, schema=CHUNK_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+
+    stream_in = spark.readStream.schema(CHUNK_SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        streaming_hrv_features(stream_in, CFG)
+        .writeStream.format("memory")
+        .queryName("hrv_stream_ooo")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    streamed = (
+        spark.sql("select * from hrv_stream_ooo")
+        .toPandas()
+        .sort_values(["doc_id", "window_id"])
+        .reset_index(drop=True)
+    )
+    batch = (
+        extract_features(spark.createDataFrame(seq_pdf), None, CFG)
+        .select("doc_id", "window_id", "n_beats", *ALL_FEATURES)
+        .toPandas()
+        .sort_values(["doc_id", "window_id"])
+        .reset_index(drop=True)
+    )
+    assert len(streamed) == len(batch) > 0
+    assert streamed["window_id"].tolist() == batch["window_id"].tolist()
+    assert streamed["n_beats"].tolist() == batch["n_beats"].tolist()
+    for name in ALL_FEATURES:
+        assert np.allclose(
+            streamed[name].to_numpy(float), batch[name].to_numpy(float),
+            rtol=1e-9, atol=1e-12, equal_nan=True,
+        ), name
+    assert not streamed.duplicated(["doc_id", "window_id"]).any()
+
+
+class FakeState:
+    """Minimal GroupState stand-in for unit-driving the state function."""
+
+    def __init__(self):
+        self.exists = False
+        self._v = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+        self.exists = True
+
+
+def _drive(fn, deliveries):
+    """Feed microbatch chunk lists through one persistent FakeState."""
+    state = FakeState()
+    outs = []
+    for batch in deliveries:
+        pdf = pd.DataFrame(batch, columns=["doc_id", "chunk_idx", "tokens"])
+        outs.extend(fn(("d0",), iter([pdf]), state))
+    return pd.concat(outs, ignore_index=True).sort_values("window_id").reset_index(drop=True)
+
+
+def test_reorder_buffer_contract_violations_raise():
+    """Duplicate/replayed chunk ids raise; a gap that outlives
+    max_pending_chunks raises instead of holding unbounded state."""
+    from seizury_hrv_featuresextraction_spark.streaming.hrv_stream import make_hrv_stream_fn
+
+    fn = make_hrv_stream_fn(CFG)
+    with pytest.raises(ValueError, match="duplicate/replayed"):
+        _drive(fn, [[("d0", 0, [800] * 10)], [("d0", 0, [800] * 10)]])
+    fn = make_hrv_stream_fn(CFG)
+    with pytest.raises(ValueError, match="duplicate/replayed"):
+        _drive(fn, [[("d0", 1, [800] * 5), ("d0", 1, [810] * 5)]])
+    fn_small = make_hrv_stream_fn(CFG, max_pending_chunks=2)
+    with pytest.raises(RuntimeError, match="max_pending_chunks"):
+        # chunk 0 never arrives; 4 held chunks exceed the cap of 2
+        _drive(fn_small, [[("d0", i, [800] * 5)] for i in (1, 2, 3, 4)])
