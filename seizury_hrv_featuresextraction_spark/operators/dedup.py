@@ -403,3 +403,76 @@ def connected_components(
             "the dedup graph's diameter exceeds the iteration budget — raise max_iters"
         )
     return labels
+
+
+# ---------------------------------------------------------------------------
+# E21: URL/domain-scoped dedup (VERDICT r3 item 7). Real curation
+# pipelines (CCNet/RefinedWeb-style) dedup by normalized URL before any
+# text pass and apply per-domain policies. The testdata carries no url
+# column, so ``derive_url`` synthesizes one deterministically from
+# (source, doc_id) — messy on purpose (mixed-case scheme/host, tracking
+# query params, trailing slashes, shared page paths) so normalization
+# does real work; the DuckDB twin derives the identical strings.
+# ---------------------------------------------------------------------------
+
+
+def derive_url(df: DataFrame, id_col: str = "doc_id", source_col: str = "source") -> DataFrame:
+    """Deterministic synthetic URL per doc (no RNG, twin-reproducible):
+    scheme/host case, a tracking query string and a trailing slash vary
+    by doc_id residues; docs sharing (source, doc_id//40) share a page
+    path, so normalized-URL duplicate groups exist by construction."""
+    i = F.col(id_col)
+    scheme = F.when(i % 2 == 0, F.lit("https://")).otherwise(F.lit("HTTPS://"))
+    hostbase = F.concat(F.col(source_col), F.lit(".example.com"))
+    host = F.when(i % 4 < 2, hostbase).otherwise(F.upper(hostbase))
+    path = F.concat(F.lit("/page-"), F.floor(i / 40).cast("long").cast("string"))
+    slash = F.when(i % 5 == 0, F.lit("/")).otherwise(F.lit(""))
+    qs = F.when(
+        i % 3 == 0,
+        F.concat(F.lit("?utm_source=feed&ref="), F.substring(F.md5(i.cast("string")), 1, 4)),
+    ).otherwise(F.lit(""))
+    return df.withColumn("url", F.concat(scheme, host, path, slash, qs))
+
+
+def normalize_url(url):
+    """Canonical URL: strip query string + fragment, lowercase, strip
+    trailing slashes. Mirrors the DuckDB twin expression exactly."""
+    base = F.substring_index(F.substring_index(url, "?", 1), "#", 1)
+    return F.regexp_replace(F.lower(base), "/+$", "")
+
+
+def url_domain(norm_url):
+    """Host part of an already-normalized URL."""
+    return F.substring_index(F.substring_index(norm_url, "://", -1), "/", 1)
+
+
+def url_dedup(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> DataFrame:
+    """URL-keyed exact dedup: one row per normalized URL with the keeper
+    (min id) and group size. ONE shuffle on the normalized-URL string —
+    normalization/domain extraction are scan-stage expressions, nothing
+    broadcasts, so at 100 TB this is the same shape as dedup_exact."""
+    norm = normalize_url(F.col(url_col))
+    return (
+        df.select(F.col(id_col).alias("id"), norm.alias("url_norm"))
+        .groupBy("url_norm")
+        .agg(F.min("id").alias("keeper_id"), F.count(F.lit(1)).alias("group_size"))
+        .withColumn("domain", url_domain(F.col("url_norm")))
+    )
+
+
+def domain_url_rollup(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> DataFrame:
+    """Per-domain curation stats: docs, distinct normalized URLs, and
+    how many docs URL-dedup would drop. One shuffle on the domain key
+    (count_distinct is a partial-agg-friendly exact distinct here since
+    urls within a domain are co-partitioned by the groupBy)."""
+    norm = normalize_url(F.col(url_col))
+    return (
+        df.select(F.col(id_col).alias("id"), norm.alias("url_norm"))
+        .withColumn("domain", url_domain(F.col("url_norm")))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("url_norm").alias("n_urls"),
+            (F.count(F.lit(1)) - F.countDistinct("url_norm")).alias("n_dup_docs"),
+        )
+    )

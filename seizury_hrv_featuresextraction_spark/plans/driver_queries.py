@@ -2342,3 +2342,305 @@ def numeric_profile(spark, sf_dir):
         F.round(F.expr("percentile(value, 0.5)"), 6).alias("v_p50"),
         F.round(F.expr("percentile(value, 0.95)"), 6).alias("v_p95"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Welch-fallback driver oracle (O28; VERDICT r3 item 5): the engine's
+# alternate spectral path — cubic-interpolate the window's RR series onto
+# a uniform 4 Hz grid, Hann/50%-overlap Welch PSD, trapezoid band powers
+# (reference hrv_features.py:174-214) — twinned end-to-end in DuckDB:
+#   * rr_t is a SEQUENTIAL float cumsum (recursive CTE pins the addition
+#     order to np.cumsum's; a windowed SUM may combine in tree order and
+#     drift ~1e-14 — the r2 window-membership lesson),
+#   * the natural-cubic-spline second derivatives come from the SAME
+#     Thomas algorithm as functions/spectral.py:cubic_interp, expressed
+#     as a forward recursive CTE (carrying b', d', original c) and a
+#     backward one — every op is +,-,*,/ so the spline values are
+#     BITWISE equal across engines (all discrete decisions — grid length,
+#     searchsorted segment, band masks — happen before any trig),
+#   * the DFT replaces np.fft.rfft with explicit cos/sin sums (different
+#     rounding at ~1e-15, absorbed by round(...,6) on O(1) magnitudes).
+# Powers are compared UNSCALED (engine / power_scale).
+# ---------------------------------------------------------------------------
+
+_WELCH_SQL = f"""
+    WITH RECURSIVE {_GRID_MEMBER_CTES},
+    seqm AS MATERIALIZED (SELECT user_id, rn, tok FROM seq),
+    tser(user_id, rn, t) AS (
+      SELECT user_id, rn, tok / 1000.0 FROM seqm WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.rn, ts.t + s.tok / 1000.0
+      FROM tser ts JOIN seqm s ON s.user_id = ts.user_id AND s.rn = ts.rn + 1),
+    tserm AS MATERIALIZED (SELECT * FROM tser),
+    wcount AS (
+      SELECT user_id, win_id, count(*) AS nb FROM member GROUP BY user_id, win_id),
+    wb AS (
+      SELECT m.user_id, m.win_id, m.rn, m.rr_sec AS y,
+             row_number() OVER (PARTITION BY m.user_id, m.win_id ORDER BY m.rn) - 1 AS i,
+             count(*) OVER (PARTITION BY m.user_id, m.win_id) AS nb
+      FROM member m),
+    wfreq AS MATERIALIZED (
+      SELECT wb.user_id, wb.win_id, wb.i, wb.nb, wb.y, ts.t
+      FROM wb JOIN tserm ts ON ts.user_id = wb.user_id AND ts.rn = wb.rn
+      WHERE wb.nb >= 9),
+    nbr AS (
+      SELECT user_id, win_id, i, nb, y, t,
+             lead(t) OVER wnb - t AS h,
+             lead(y) OVER wnb AS y_next,
+             lag(y) OVER wnb AS y_prev,
+             lag(t) OVER wnb AS t_prev
+      FROM wfreq WINDOW wnb AS (PARTITION BY user_id, win_id ORDER BY i)),
+    coef AS MATERIALIZED (
+      SELECT user_id, win_id, i, nb,
+             CASE WHEN i BETWEEN 1 AND nb - 2 THEN (t - t_prev) ELSE 0.0 END AS a,
+             CASE WHEN i BETWEEN 1 AND nb - 2 THEN 2.0 * ((t - t_prev) + h) ELSE 1.0 END AS b,
+             CASE WHEN i BETWEEN 1 AND nb - 2 THEN h ELSE 0.0 END AS c,
+             CASE WHEN i BETWEEN 1 AND nb - 2
+                  THEN 6.0 * (((y_next - y) / h) - ((y - y_prev) / (t - t_prev)))
+                  ELSE 0.0 END AS d
+      FROM nbr),
+    fwd(user_id, win_id, i, nb, bp, dp, cc) AS (
+      SELECT user_id, win_id, i, nb, b, d, c FROM coef WHERE i = 0
+      UNION ALL
+      SELECT c2.user_id, c2.win_id, c2.i, c2.nb,
+             c2.b - (c2.a / f.bp) * f.cc,
+             c2.d - (c2.a / f.bp) * f.dp,
+             c2.c
+      FROM fwd f JOIN coef c2
+        ON c2.user_id = f.user_id AND c2.win_id = f.win_id AND c2.i = f.i + 1),
+    fwdm AS MATERIALIZED (SELECT * FROM fwd),
+    bwd(user_id, win_id, i, m) AS (
+      SELECT user_id, win_id, i, dp / bp FROM fwdm WHERE i = nb - 1
+      UNION ALL
+      SELECT f.user_id, f.win_id, f.i, (f.dp - f.cc * b.m) / f.bp
+      FROM bwd b JOIN fwdm f
+        ON f.user_id = b.user_id AND f.win_id = b.win_id AND f.i = b.i - 1),
+    bwdm AS MATERIALIZED (SELECT * FROM bwd),
+    gw AS (
+      SELECT user_id, win_id, nb, min(t) AS t0, max(t) AS t1
+      FROM wfreq GROUP BY user_id, win_id, nb),
+    gcount AS (
+      SELECT user_id, win_id, nb, t0,
+             CASE WHEN t1 > t0 THEN ceil((t1 - t0) / 0.25)::bigint ELSE 0 END AS gn
+      FROM gw),
+    gridk AS (
+      SELECT user_id, win_id, nb, gn, t0,
+             unnest(generate_series(0, gn - 1)) AS k
+      FROM gcount WHERE gn >= 10),
+    gridx AS MATERIALIZED (
+      SELECT user_id, win_id, nb, gn, k, t0 + k * 0.25 AS gx FROM gridk),
+    segk AS (
+      SELECT gx.user_id, gx.win_id, gx.nb, gx.gn, gx.k, gx.gx,
+             least(greatest(count(b.i) - 1, 0), gx.nb - 2)::bigint AS si
+      FROM gridx gx LEFT JOIN wfreq b
+        ON b.user_id = gx.user_id AND b.win_id = gx.win_id AND b.t < gx.gx
+      GROUP BY gx.user_id, gx.win_id, gx.nb, gx.gn, gx.k, gx.gx),
+    sig AS MATERIALIZED (
+      SELECT s.user_id, s.win_id, s.gn, s.k,
+             ((1.0 - (s.gx - b0.t) / (b1.t - b0.t)) * b0.y
+              + ((s.gx - b0.t) / (b1.t - b0.t)) * b1.y)
+             + ((s.gx - b0.t) * (s.gx - b1.t) / 6.0)
+               * ((1.0 + (s.gx - b0.t) / (b1.t - b0.t)) * m1.m
+                  + (2.0 - (s.gx - b0.t) / (b1.t - b0.t)) * m0.m) AS v
+      FROM segk s
+      JOIN wfreq b0 ON b0.user_id = s.user_id AND b0.win_id = s.win_id AND b0.i = s.si
+      JOIN wfreq b1 ON b1.user_id = s.user_id AND b1.win_id = s.win_id AND b1.i = s.si + 1
+      JOIN bwdm m0 ON m0.user_id = s.user_id AND m0.win_id = s.win_id AND m0.i = s.si
+      JOIN bwdm m1 ON m1.user_id = s.user_id AND m1.win_id = s.win_id AND m1.i = s.si + 1),
+    wp AS (
+      SELECT user_id, win_id, gn,
+             least(256, gn // 2) AS np_
+      FROM (SELECT DISTINCT user_id, win_id, gn FROM gridk)),
+    wp2 AS (
+      SELECT user_id, win_id, gn, np_,
+             np_ - np_ // 2 AS step_w,
+             np_ // 2 + 1 AS nfreq,
+             (gn - np_) // (np_ - np_ // 2) + 1 AS nseg
+      FROM wp),
+    npv AS (SELECT DISTINCT np_ FROM wp2),
+    hannk AS (SELECT np_, unnest(generate_series(0, np_ - 1)) AS j FROM npv),
+    hannv AS MATERIALIZED (SELECT np_, j, 0.5 - 0.5 * cos(2.0 * pi() * j / np_) AS w FROM hannk),
+    hsum AS (SELECT np_, sum(w * w) AS s2 FROM hannv GROUP BY np_),
+    segments AS (
+      SELECT user_id, win_id, np_, step_w, nfreq,
+             unnest(generate_series(0, nseg - 1)) AS ss
+      FROM wp2),
+    segstart AS (
+      SELECT user_id, win_id, np_, step_w, nfreq, ss, ss * step_w AS start
+      FROM segments),
+    segmean AS MATERIALIZED (
+      SELECT sg.user_id, sg.win_id, sg.np_, sg.nfreq, sg.ss, sg.start,
+             avg(s.v) AS mu
+      FROM segstart sg JOIN sig s
+        ON s.user_id = sg.user_id AND s.win_id = sg.win_id
+       AND s.k >= sg.start AND s.k < sg.start + sg.np_
+      GROUP BY sg.user_id, sg.win_id, sg.np_, sg.nfreq, sg.ss, sg.start),
+    segkf AS (
+      SELECT user_id, win_id, np_, nfreq, ss, start, mu,
+             unnest(generate_series(0, nfreq - 1)) AS k2
+      FROM segmean),
+    spec AS (
+      SELECT sk.user_id, sk.win_id, sk.np_, sk.nfreq, sk.ss, sk.k2,
+             sum((s.v - sk.mu) * hv.w * cos(2.0 * pi() * (s.k - sk.start) * sk.k2 / sk.np_)) AS re,
+             sum((s.v - sk.mu) * hv.w * sin(2.0 * pi() * (s.k - sk.start) * sk.k2 / sk.np_)) AS im
+      FROM segkf sk
+      JOIN sig s ON s.user_id = sk.user_id AND s.win_id = sk.win_id
+                AND s.k >= sk.start AND s.k < sk.start + sk.np_
+      JOIN hannv hv ON hv.np_ = sk.np_ AND hv.j = s.k - sk.start
+      GROUP BY sk.user_id, sk.win_id, sk.np_, sk.nfreq, sk.ss, sk.k2),
+    segp AS (
+      SELECT sp.user_id, sp.win_id, sp.np_, sp.nfreq, sp.ss, sp.k2,
+             CASE WHEN sp.np_ % 2 = 0 AND sp.k2 BETWEEN 1 AND sp.nfreq - 2
+                    THEN ((sp.re * sp.re + sp.im * sp.im) * (1.0 / (4.0 * h.s2))) * 2.0
+                  WHEN sp.np_ % 2 = 1 AND sp.k2 >= 1
+                    THEN ((sp.re * sp.re + sp.im * sp.im) * (1.0 / (4.0 * h.s2))) * 2.0
+                  ELSE (sp.re * sp.re + sp.im * sp.im) * (1.0 / (4.0 * h.s2))
+             END AS p
+      FROM spec sp JOIN hsum h ON h.np_ = sp.np_),
+    psd AS (
+      SELECT user_id, win_id, np_, nfreq, k2,
+             k2 / (np_ * 0.25) AS f,
+             sum(p) / count(*) AS pv
+      FROM segp GROUP BY user_id, win_id, np_, nfreq, k2),
+    psdn AS (
+      SELECT user_id, win_id, k2, f, pv,
+             lead(f) OVER wps AS f2, lead(pv) OVER wps AS pv2
+      FROM psd WINDOW wps AS (PARTITION BY user_id, win_id ORDER BY k2)),
+    bandp AS (
+      SELECT user_id, win_id,
+             sum(CASE WHEN f2 IS NOT NULL
+                 THEN (f2 - f) / 2.0 * (pv + pv2) END) AS total_u,
+             sum(CASE WHEN f2 IS NOT NULL AND f >= 0.003 AND f <= 0.04
+                       AND f2 >= 0.003 AND f2 <= 0.04
+                 THEN (f2 - f) / 2.0 * (pv + pv2) END) AS vlf_u,
+             sum(CASE WHEN f2 IS NOT NULL AND f >= 0.04 AND f <= 0.15
+                       AND f2 >= 0.04 AND f2 <= 0.15
+                 THEN (f2 - f) / 2.0 * (pv + pv2) END) AS lf_u,
+             sum(CASE WHEN f2 IS NOT NULL AND f >= 0.15 AND f <= 0.4
+                       AND f2 >= 0.15 AND f2 <= 0.4
+                 THEN (f2 - f) / 2.0 * (pv + pv2) END) AS hf_u
+      FROM psdn GROUP BY user_id, win_id)
+    SELECT 'user-' || w.user_id::varchar AS doc_id,
+           w.win_id AS window_id,
+           w.nb::bigint AS n_beats,
+           round(CASE WHEN w.nb >= 9 THEN greatest(0.0, coalesce(b.total_u, 0.0)) ELSE 0.0 END, 6) AS total_p,
+           round(CASE WHEN w.nb >= 9 THEN greatest(0.0, coalesce(b.vlf_u, 0.0)) ELSE 0.0 END, 6) AS vlf_p,
+           round(CASE WHEN w.nb >= 9 THEN greatest(0.0, coalesce(b.lf_u, 0.0)) ELSE 0.0 END, 6) AS lf_p,
+           round(CASE WHEN w.nb >= 9 THEN greatest(0.0, coalesce(b.hf_u, 0.0)) ELSE 0.0 END, 6) AS hf_p,
+           round(CASE WHEN w.nb >= 9 AND greatest(0.0, coalesce(b.total_u, 0.0)) * 1000000.0 > 0
+                 THEN (greatest(0.0, coalesce(b.vlf_u, 0.0)) * 1000000.0)
+                      * (100.0 / (greatest(0.0, coalesce(b.total_u, 0.0)) * 1000000.0))
+                 ELSE 0.0 END, 6) AS vlf_norm,
+           round(CASE WHEN w.nb >= 9 AND greatest(0.0, coalesce(b.total_u, 0.0)) * 1000000.0 > 0
+                 THEN (greatest(0.0, coalesce(b.lf_u, 0.0)) * 1000000.0)
+                      * (100.0 / (greatest(0.0, coalesce(b.total_u, 0.0)) * 1000000.0))
+                 ELSE 0.0 END, 6) AS lf_norm,
+           round(CASE WHEN w.nb >= 9 AND greatest(0.0, coalesce(b.total_u, 0.0)) * 1000000.0 > 0
+                 THEN (greatest(0.0, coalesce(b.hf_u, 0.0)) * 1000000.0)
+                      * (100.0 / (greatest(0.0, coalesce(b.total_u, 0.0)) * 1000000.0))
+                 ELSE 0.0 END, 6) AS hf_norm,
+           round(CASE WHEN w.nb >= 9 AND greatest(0.0, coalesce(b.hf_u, 0.0)) * 1000000.0 > 0
+                 THEN (greatest(0.0, coalesce(b.lf_u, 0.0)) * 1000000.0)
+                      / (greatest(0.0, coalesce(b.hf_u, 0.0)) * 1000000.0)
+                 ELSE 0.0 END, 6) AS lf_to_hf
+    FROM wcount w LEFT JOIN bandp b ON b.user_id = w.user_id AND b.win_id = w.win_id
+    WHERE w.nb >= 5
+"""
+
+
+@q("hrv_welch_windows", _WELCH_SQL)
+def hrv_welch_windows(spark, sf_dir):
+    """O28 through the full Spark plan (use_welch_fallback=True ships the
+    per-chunk rr_t time axis, operators/skew.py:50): cubic-spline
+    resample to the uniform 4 Hz grid, Hann/50%-overlap Welch PSD,
+    trapezoid band powers + norms + LF/HF — every frequency feature of
+    the fallback path value-checked against the recursive-CTE DuckDB twin
+    above. Powers compared unscaled (/power_scale) so 6-decimal rounding
+    operates on O(1) magnitudes; sub-min_beats_frequency windows are 0.0
+    by reference semantics (hrv_features.py:116-117)."""
+    from ..config import HRVConfig
+    from .hrv_pipeline import extract_features
+
+    cfg = HRVConfig(use_welch_fallback=True)
+    s = cfg.power_scale
+    seq = sequences_from_events(spark, sf_dir)
+    feats = extract_features(seq, None, cfg)
+    return feats.filter(F.col("n_beats") >= 5).select(
+        "doc_id",
+        "window_id",
+        F.col("n_beats").cast("long").alias("n_beats"),
+        F.round(F.col("TOTAL_POWER") / s, 6).alias("total_p"),
+        F.round(F.col("VLF_POWER") / s, 6).alias("vlf_p"),
+        F.round(F.col("LF_POWER") / s, 6).alias("lf_p"),
+        F.round(F.col("HF_POWER") / s, 6).alias("hf_p"),
+        F.round("VLF_NORM", 6).alias("vlf_norm"),
+        F.round("LF_NORM", 6).alias("lf_norm"),
+        F.round("HF_NORM", 6).alias("hf_norm"),
+        F.round("LF_TO_HF", 6).alias("lf_to_hf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E21: URL/domain-scoped dedup (VERDICT r3 item 7). No url column exists
+# in the testdata, so both engines derive the identical deterministic
+# messy URL from (source, doc_id) — see operators/dedup.py:derive_url —
+# then normalize (strip query/fragment, lowercase, strip trailing
+# slashes) and dedup by the canonical URL / roll up per domain.
+# ---------------------------------------------------------------------------
+
+_URL_DERIVE_DD = """(CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTPS://' END)
+             || (CASE WHEN doc_id % 4 < 2 THEN source || '.example.com'
+                      ELSE upper(source || '.example.com') END)
+             || '/page-' || (doc_id // 40)::varchar
+             || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+             || (CASE WHEN doc_id % 3 = 0
+                      THEN '?utm_source=feed&ref=' || substr(md5(doc_id::varchar), 1, 4)
+                      ELSE '' END)"""
+
+_URL_NORM_DD = (
+    "regexp_replace(lower(split_part(split_part(url, '?', 1), '#', 1)), '/+$', '')"
+)
+
+
+@q(
+    "url_dedup",
+    f"""
+    WITH u AS (SELECT doc_id, {_URL_DERIVE_DD} AS url FROM documents),
+         n AS (SELECT doc_id, {_URL_NORM_DD} AS url_norm FROM u)
+    SELECT url_norm, min(doc_id) AS keeper_id, count(*) AS group_size,
+           split_part(split_part(url_norm, '://', 2), '/', 1) AS domain
+    FROM n GROUP BY url_norm
+    """,
+)
+def url_dedup_q(spark, sf_dir):
+    """E21a: URL-keyed exact dedup (the CCNet/RefinedWeb pre-text pass) —
+    normalize scheme/host case, strip tracking params + fragments +
+    trailing slashes, keep min(doc_id) per canonical URL. One shuffle on
+    the normalized URL string; normalization is scan-stage Catalyst
+    expressions, zero UDFs, zero broadcasts."""
+    from ..operators.dedup import derive_url, url_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return url_dedup(derive_url(docs))
+
+
+@q(
+    "domain_url_rollup",
+    f"""
+    WITH u AS (SELECT doc_id, {_URL_DERIVE_DD} AS url FROM documents),
+         n AS (SELECT doc_id, {_URL_NORM_DD} AS url_norm FROM u)
+    SELECT split_part(split_part(url_norm, '://', 2), '/', 1) AS domain,
+           count(*) AS n_docs,
+           count(DISTINCT url_norm) AS n_urls,
+           count(*) - count(DISTINCT url_norm) AS n_dup_docs
+    FROM n GROUP BY 1
+    """,
+)
+def domain_url_rollup_q(spark, sf_dir):
+    """E21b: per-domain curation stats (docs, canonical URLs, docs a
+    URL-dedup pass would drop) — the per-domain policy input (caps,
+    blocklists). One shuffle on the domain key."""
+    from ..operators.dedup import derive_url, domain_url_rollup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return domain_url_rollup(derive_url(docs))

@@ -346,3 +346,40 @@ def test_lsh_dim_guard_raises_on_mismatch(spark):
     assert 0 <= r.b < 16
     [r] = df.select(lsh_band_buckets(F.col("v"), 3, 2, dim=8).alias("b")).collect()
     assert len(r.b) == 2
+
+
+def test_url_dedup_normalization_semantics(spark):
+    """E21: canonicalization collapses scheme/host case, tracking params
+    and trailing slashes; distinct pages stay distinct."""
+    from seizury_hrv_featuresextraction_spark.operators.dedup import (
+        normalize_url,
+        url_dedup,
+        url_domain,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "url": [
+                "https://a.example.com/page-1",
+                "HTTPS://A.EXAMPLE.COM/page-1/",
+                "https://a.example.com/page-1?utm_source=x&ref=abc",
+                "https://a.example.com/page-2#frag",
+                "https://b.example.com/page-1",
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = url_dedup(df).toPandas().sort_values("url_norm").reset_index(drop=True)
+    assert len(out) == 3
+    g = out.set_index("url_norm")
+    assert g.loc["https://a.example.com/page-1", "group_size"] == 3
+    assert g.loc["https://a.example.com/page-1", "keeper_id"] == 1
+    assert g.loc["https://a.example.com/page-2", "group_size"] == 1
+    assert g.loc["https://b.example.com/page-1", "group_size"] == 1
+    assert set(out["domain"]) == {"a.example.com", "b.example.com"}
+    # normalize/domain helpers agree with the dedup view
+    nd = df.select(
+        normalize_url(F.col("url")).alias("n")
+    ).toPandas()
+    assert nd["n"].iloc[1] == "https://a.example.com/page-1"

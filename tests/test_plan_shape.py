@@ -225,3 +225,30 @@ def test_flagship_auto_plan_selection(spark, tmp_path):
     # when wide (the chunk cap bounds per-task work)
     huge = dict(wstats, max_windows_per_doc=DEFAULT_CONFIG.max_windows_per_chunk * 9)
     assert choose_fused(huge, DEFAULT_CONFIG) is False
+
+
+def test_url_dedup_one_shuffle_no_broadcast(spark):
+    """E21 scale contract: URL normalization + domain extraction are
+    scan-stage expressions; the dedup is ONE hash shuffle on the
+    normalized-URL key (rollup: one on domain), nothing broadcasts."""
+    import pandas as pd
+
+    from seizury_hrv_featuresextraction_spark.operators.dedup import (
+        derive_url,
+        domain_url_rollup,
+        url_dedup,
+    )
+
+    pdf = pd.DataFrame({"doc_id": range(200), "source": [f"s{i % 7}" for i in range(200)]})
+    df = derive_url(spark.createDataFrame(pdf))
+
+    plan = _plan(url_dedup(df))
+    assert "BroadcastExchange" not in plan, plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+    plan = _plan(domain_url_rollup(df))
+    assert "BroadcastExchange" not in plan, plan
+    # groupBy(domain) + exact countDistinct = the standard two-phase
+    # distinct aggregate: both exchanges hash on the domain key
+    for m in re.findall(r"Exchange hashpartitioning\(([^,]+)", plan):
+        assert "domain" in m, plan
