@@ -476,3 +476,20 @@ def domain_url_rollup(df: DataFrame, url_col: str = "url", id_col: str = "doc_id
             (F.count(F.lit(1)) - F.countDistinct("url_norm")).alias("n_dup_docs"),
         )
     )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocked: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """E24: drop docs whose URL domain appears in a blocklist table
+    (one ``domain`` column). LEFT ANTI join on the normalized domain —
+    Spark broadcasts the blocklist when it is measured-small (AQE/size
+    threshold; a few million domains fits comfortably), otherwise it
+    degrades gracefully to a shuffle join on the short domain string.
+    Domain extraction stays a scan-stage expression."""
+    norm = normalize_url(F.col(url_col))
+    with_domain = df.withColumn("domain", url_domain(norm))
+    return with_domain.join(blocked.select("domain"), "domain", "left_anti").drop("domain")

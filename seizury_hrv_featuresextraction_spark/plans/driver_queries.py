@@ -2658,3 +2658,28 @@ def domain_url_rollup_q(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return domain_url_rollup(derive_url(docs))
+
+
+@q(
+    "blocklist_filter_docs",
+    f"""
+    WITH u AS (SELECT doc_id, n_chars, {_URL_DERIVE_DD} AS url FROM documents),
+         n AS (SELECT doc_id, n_chars,
+                      split_part(split_part({_URL_NORM_DD}, '://', 2), '/', 1) AS domain
+               FROM u)
+    SELECT doc_id, n_chars FROM n
+    WHERE domain NOT IN ('src1.example.com', 'src7.example.com', 'src13.example.com')
+    """,
+)
+def blocklist_filter_docs(spark, sf_dir):
+    """E24: domain-blocklist filtering over the derived URLs — the
+    standard pre-curation drop (spam/adult/boilerplate domain lists).
+    LEFT ANTI join against the blocklist table; broadcast when small
+    (plan test pins BroadcastHashJoin LeftAnti)."""
+    from ..operators.dedup import blocklist_filter, derive_url
+
+    docs = derive_url(load_table(spark, sf_dir, "documents"))
+    blocked = spark.createDataFrame(
+        [(f"src{k}.example.com",) for k in (1, 7, 13)], "domain string"
+    )
+    return blocklist_filter(docs, blocked).select("doc_id", "n_chars")

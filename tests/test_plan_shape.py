@@ -252,3 +252,27 @@ def test_url_dedup_one_shuffle_no_broadcast(spark):
     # distinct aggregate: both exchanges hash on the domain key
     for m in re.findall(r"Exchange hashpartitioning\(([^,]+)", plan):
         assert "domain" in m, plan
+
+
+def test_blocklist_filter_broadcast_anti_join(spark):
+    """E24 scale contract: the blocklist rides as the broadcast side of a
+    LEFT ANTI join — the corpus never shuffles for the filter."""
+    import pandas as pd
+
+    from seizury_hrv_featuresextraction_spark.operators.dedup import (
+        blocklist_filter,
+        derive_url,
+    )
+
+    pdf = pd.DataFrame({"doc_id": range(100), "source": [f"s{i % 5}" for i in range(100)]})
+    docs = derive_url(spark.createDataFrame(pdf))
+    blocked = spark.createDataFrame([("s1.example.com",), ("s3.example.com",)], "domain string")
+    out = blocklist_filter(docs, blocked)
+    got = out.toPandas()  # execute: AQE replans the join once sizes are known
+    plan = _plan(out)
+    assert "isFinalPlan=true" in plan, plan
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final and "LeftAnti" in final, plan
+    assert "SortMergeJoin" not in final, plan
+    assert len(got) == 60
+    assert all(int(s[1:]) % 5 not in (1, 3) for s in got["source"])

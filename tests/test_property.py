@@ -159,9 +159,10 @@ def test_streaming_hrv_chunking_invariant(spark, toks, cuts):
 def test_streaming_hrv_reorder_invariant(toks, cuts, perm_seed, n_batches):
     """VERDICT r3 item 4 (property form): deliver a doc's chunks in an
     ARBITRARY permutation, partitioned arbitrarily into microbatches —
-    the drained output must equal strictly in-order delivery (window ids,
-    beat counts, every feature bitwise: same kernel, same consumed
-    prefix, so no float divergence is possible)."""
+    the drained output must equal strictly in-order delivery: window ids
+    and beat counts exactly, features allclose (the batch partition
+    changes the kernel's GEMM shapes, and BLAS results shift ~1 ulp with
+    shape/alignment — the engine contract is allclose, never bitwise)."""
     from seizury_hrv_featuresextraction_spark.config import HRVConfig
     from seizury_hrv_featuresextraction_spark.streaming.hrv_stream import (
         make_hrv_stream_fn,
@@ -212,7 +213,7 @@ def test_streaming_hrv_reorder_invariant(toks, cuts, perm_seed, n_batches):
     for name in ALL_FEATURES:
         a = got[name].to_numpy(float)
         b = expected[name].to_numpy(float)
-        assert ((a == b) | (np.isnan(a) & np.isnan(b))).all(), name
+        assert np.allclose(a, b, rtol=1e-9, atol=1e-12, equal_nan=True), name
     # all chunks consumed: nothing left pending, same resume point
     buf, off_ms, next_win, next_chunk, pend_idx, pend_toks = state._v
     assert next_chunk == len(chunks)
