@@ -1,0 +1,260 @@
+"""Corpus-curation operators (SURVEY.md §2.12 E25-E28).
+
+The standard LLM training-data curation passes, re-expressed Spark-first
+over the `documents` / derived-sequences tables. The reference repo's
+preprocessing philosophy (drop physiologically implausible samples
+before feature extraction, `preprocessing.py`) is applied to web text:
+drop degenerate / boilerplate / leaking documents before training.
+
+Scale stance (100 TB):
+- Per-document statistics (repetition, PII) are scan-stage array /
+  regexp expressions — zero shuffle, zero UDF, whole-stage codegen.
+- Corpus-level passes (boilerplate DF, decontamination) reduce the
+  corpus to a SMALL driver-side or broadcast set first (high-DF words
+  are few by definition; an eval split is small by construction), then
+  rewrite the big side in the scan stage — the big table is never
+  shuffled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import _safe_range, words
+
+# ---------------------------------------------------------------------------
+# E25: Gopher-style repetition statistics + filter
+# ---------------------------------------------------------------------------
+
+
+def _word_ngrams(ws: Column, n: int) -> Column:
+    """All (overlapping, non-distinct) space-joined word n-grams."""
+    return F.transform(
+        _safe_range(F.size(ws) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
+    )
+
+
+def _sorted_run_stats(sorted_arr: Column, zero_prev: Column) -> Column:
+    """One aggregate pass over a SORTED array returning
+    struct(best = max run length == max per-value count,
+           dups = elements equal to their predecessor == n - n_distinct).
+
+    ``zero_prev`` must be a value that cannot equal any real element
+    (an empty string / empty-string struct — ``words`` drops empties).
+    One pass replaces both ``array_distinct`` (hash-set build per doc)
+    and a per-distinct-value recount; measured ~6x cheaper on 600-word
+    docs."""
+    zero = F.struct(
+        zero_prev.alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+        F.lit(0).alias("dups"),
+    )
+    run = lambda acc, w: F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+    return F.aggregate(
+        sorted_arr,
+        zero,
+        lambda acc, w: F.struct(
+            w.alias("prev"),
+            run(acc, w).alias("run"),
+            F.greatest(acc["best"], run(acc, w)).alias("best"),
+            (acc["dups"] + F.when(w == acc["prev"], 1).otherwise(0)).alias("dups"),
+        ),
+        lambda acc: F.struct(acc["best"].alias("best"), acc["dups"].alias("dups")),
+    )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document repetition statistics (the Gopher repetition rules,
+    Rae et al. 2021 §A1.1, adapted to single-line documents):
+
+    - ``dup_word_frac``   1 - distinct words / words
+    - ``top_word_frac``   count of the most frequent word / words
+    - ``dup_2gram_frac``  1 - distinct word 2-grams / word 2-grams
+
+    Everything is a scan-stage array expression — per-document work,
+    ZERO shuffle, no UDF: the filter runs at ingest rate and its verdict
+    columns are available for predicate pushdown downstream. Duplicate /
+    top counts come from single sorted-run aggregate passes; 2-grams are
+    compared as (w_i, w_{i+1}) STRUCT pairs (binary compare), never
+    materialized as concatenated strings.
+    """
+    ws = words(F.col(text_col))
+    n = F.size(ws)
+    # word pass: sorted runs give both the top count and the dup count
+    wstats = _sorted_run_stats(F.array_sort(ws), F.lit(""))
+    # 2-gram pass: adjacent-word struct pairs, sorted (struct sort/equality
+    # is field-lexicographic), same run aggregate
+    pairs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(ws, 1, n - 1),
+            F.slice(ws, 2, n - 1),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    gstats = _sorted_run_stats(
+        F.array_sort(pairs), F.struct(F.lit("").alias("a"), F.lit("").alias("b"))
+    )
+    ng = F.size(pairs)
+
+    frac = lambda num, den: F.when(den > 0, num.cast("double") / den).otherwise(
+        F.lit(0.0)
+    )
+    return df.withColumns(
+        {
+            "n_words": n.cast("long"),
+            "dup_word_frac": frac(wstats["dups"], n),
+            "top_word_frac": frac(wstats["best"], n),
+            "dup_2gram_frac": frac(gstats["dups"], ng),
+        }
+    )
+
+
+def gopher_repetition_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 10,
+    max_dup_word_frac: float = 0.80,
+    max_top_word_frac: float = 0.20,
+    max_dup_2gram_frac: float = 0.85,
+) -> DataFrame:
+    """Keep documents below the repetition thresholds (Gopher drops docs
+    whose duplicate-line / top-n-gram fractions exceed fixed cutoffs;
+    same shape here over words). Pure filter over ``repetition_stats``
+    columns — Catalyst pushes it into the scan stage."""
+    s = repetition_stats(df, text_col)
+    return s.filter(
+        (F.col("n_words") >= min_words)
+        & (F.col("dup_word_frac") <= max_dup_word_frac)
+        & (F.col("top_word_frac") <= max_top_word_frac)
+        & (F.col("dup_2gram_frac") <= max_dup_2gram_frac)
+    )
+
+
+# ---------------------------------------------------------------------------
+# E26: corpus-DF boilerplate scrub (C4-style, word-level)
+# ---------------------------------------------------------------------------
+
+
+def high_df_words(
+    df: DataFrame, text_col: str = "text", max_df_frac: float = 0.5
+) -> list[str]:
+    """Words whose document frequency exceeds ``max_df_frac`` of the
+    corpus — boilerplate by definition (C4 removes lines repeated across
+    the corpus; with single-line docs the unit is the word). The result
+    is SMALL by construction (a term in >50% of documents is a handful
+    of stopwords/boilerplate tokens), so collecting it to the driver is
+    bounded regardless of corpus size. One word-key shuffle over
+    per-doc-distinct words; everything downstream is literal-folded."""
+    agg = (
+        df.select(F.explode(F.array_distinct(words(F.col(text_col)))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("df_count"))
+    )
+    n_docs = df.count()
+    rows = agg.filter(F.col("df_count") > max_df_frac * n_docs).collect()
+    return sorted(r["word"] for r in rows)
+
+
+def corpus_df_scrub(
+    df: DataFrame,
+    blocked: list[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove the blocked (high-DF boilerplate) words from every
+    document and report how many were dropped. The blocked set is a
+    LITERAL array (from ``high_df_words``), so the rewrite is pure
+    scan-stage expression work on the big side — no join, no shuffle,
+    no UDF; at 100 TB this runs at ingest rate."""
+    blit = F.array(*[F.lit(w) for w in blocked])
+    ws = words(F.col(text_col))
+    kept = F.filter(ws, lambda w: ~F.array_contains(blit, w))
+    return df.withColumns(
+        {
+            "text_scrubbed": F.array_join(kept, " "),
+            "n_removed": (F.size(ws) - F.size(kept)).cast("long"),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# E27: PII redaction
+# ---------------------------------------------------------------------------
+
+# Patterns are deliberately RE2-compatible (no backreferences or
+# lookaround) so the DuckDB (RE2) oracle and Spark (java.util.regex)
+# compile the exact same language.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9\-]{6,}[0-9]", "<PHONE>"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / IPv4s / phone-shaped numbers and count matches
+    per class (counted BEFORE redaction; replacement order is email →
+    ip → phone so the broader phone pattern cannot eat a redacted
+    email's digits). Pure ``regexp_replace`` / ``regexp_extract_all``
+    chain: scan-stage, codegen'd, zero shuffle — the standard pre-train
+    scrub at ingest rate."""
+    out = df
+    red = F.col(text_col)
+    for name, pat, token in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))).cast(
+                "long"
+            ),
+        )
+        red = F.regexp_replace(red, pat, token)
+    return out.withColumn("text_redacted", red)
+
+
+# ---------------------------------------------------------------------------
+# E28: train/eval decontamination (token n-gram overlap)
+# ---------------------------------------------------------------------------
+
+
+def token_shingles(tokens: Column, n: int) -> Column:
+    """Distinct '-'-joined n-grams of an int token array."""
+    ts = F.transform(tokens, lambda t: t.cast("string"))
+    return F.array_distinct(
+        F.transform(
+            _safe_range(F.size(ts) - (n - 1)),
+            lambda i: F.array_join(F.slice(ts, i, n), "-"),
+        )
+    )
+
+
+def decontaminate_overlap(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Per-train-document count of token n-grams that also appear in the
+    eval split — the standard pre-training decontamination pass (docs
+    with any overlap are dropped or flagged; n in the 8-13 range in
+    practice, e.g. GPT-3 App. C / PaLM used 8-13-gram collision checks).
+
+    Scale shape: the eval side is small by construction, so its distinct
+    shingle set is broadcast and the train side is a scan + broadcast
+    semi-style hash join — the 100 TB train corpus is never shuffled.
+    (At extreme eval sizes the broadcast becomes a bloom filter; the
+    join below is what AQE would already convert.)
+    """
+    sh = lambda df: df.select(
+        F.col(id_col), F.explode(token_shingles(F.col(tokens_col), n)).alias("sh")
+    )
+    eval_sh = sh(eval_df).select("sh").distinct()
+    return (
+        sh(train)
+        .join(F.broadcast(eval_sh), "sh")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_overlap"))
+    )

@@ -2683,3 +2683,225 @@ def blocklist_filter_docs(spark, sf_dir):
         [(f"src{k}.example.com",) for k in (1, 7, 13)], "domain string"
     )
     return blocklist_filter(docs, blocked).select("doc_id", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# E25-E28 (r4): Gopher repetition stats/filter, corpus-DF boilerplate scrub,
+# PII redaction, train/eval decontamination (operators/curation.py)
+# ---------------------------------------------------------------------------
+
+# shared repetition CTE chain: per-doc word arrays -> 2-grams -> per-word max
+# count (the twin computes top_word_frac by unnest+group-max; the engine takes
+# the longest run of the sorted word array — equal by construction)
+_REP_CTES = f"""
+    w AS (SELECT doc_id, {WORDS_DD} AS ws FROM documents),
+    g AS (SELECT doc_id, ws,
+                 list_transform(generate_series(1, greatest(0, len(ws) - 1)),
+                                i -> ws[i] || ' ' || ws[i+1]) AS gs
+          FROM w),
+    tc AS (SELECT doc_id, max(c) AS top_count
+           FROM (SELECT doc_id, word, count(*) AS c
+                 FROM (SELECT doc_id, unnest(ws) AS word FROM w)
+                 GROUP BY doc_id, word)
+           GROUP BY doc_id),
+    rep AS (
+      SELECT g.doc_id,
+             len(g.ws)::bigint AS n_words,
+             CASE WHEN len(g.ws) > 0
+                  THEN (len(g.ws) - len(list_distinct(g.ws)))::double / len(g.ws)
+                  ELSE 0.0 END AS dup_word_frac,
+             CASE WHEN len(g.ws) > 0
+                  THEN coalesce(tc.top_count, 0)::double / len(g.ws)
+                  ELSE 0.0 END AS top_word_frac,
+             CASE WHEN len(g.gs) > 0
+                  THEN (len(g.gs) - len(list_distinct(g.gs)))::double / len(g.gs)
+                  ELSE 0.0 END AS dup_2gram_frac
+      FROM g LEFT JOIN tc ON tc.doc_id = g.doc_id)
+"""
+
+
+@q(
+    "repetition_stats_docs",
+    f"""
+    WITH {_REP_CTES}
+    SELECT doc_id, n_words,
+           round(dup_word_frac, 6) AS dup_word_frac,
+           round(top_word_frac, 6) AS top_word_frac,
+           round(dup_2gram_frac, 6) AS dup_2gram_frac
+    FROM rep
+    """,
+)
+def repetition_stats_docs(spark, sf_dir):
+    """E25a: Gopher-style per-document repetition statistics — duplicate
+    word / top-word / duplicate-2-gram fractions as scan-stage array
+    expressions (zero shuffle at scale, zero UDF; plan test pins no
+    Exchange on a many-split input). The higher-order exprs are
+    interpreted JVM-side (~12 ms/doc), so the 1-split gate parquet gets
+    spread() to cluster parallelism — a no-op on real multi-split
+    inputs."""
+    from ..operators.curation import repetition_stats
+    from ..operators.dedup import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    out = repetition_stats(docs)
+    return out.select(
+        "doc_id",
+        "n_words",
+        F.round("dup_word_frac", 6).alias("dup_word_frac"),
+        F.round("top_word_frac", 6).alias("top_word_frac"),
+        F.round("dup_2gram_frac", 6).alias("dup_2gram_frac"),
+    )
+
+
+@q(
+    "gopher_repetition_filter_docs",
+    f"""
+    WITH {_REP_CTES}
+    SELECT doc_id, n_words FROM rep
+    WHERE n_words >= 10 AND dup_word_frac <= 0.80
+      AND top_word_frac <= 0.20 AND dup_2gram_frac <= 0.85
+    """,
+)
+def gopher_repetition_filter_docs(spark, sf_dir):
+    """E25b: the repetition-threshold document filter (Gopher drops docs
+    above fixed repetition cutoffs). Thresholds compare UNROUNDED
+    integer-ratio doubles — bit-identical in both engines."""
+    from ..operators.curation import gopher_repetition_filter
+    from ..operators.dedup import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return gopher_repetition_filter(docs).select("doc_id", "n_words")
+
+
+@q(
+    "corpus_df_scrub_docs",
+    f"""
+    WITH w AS (SELECT doc_id, {WORDS_DD} AS ws FROM documents),
+    nd AS (SELECT count(*) AS n FROM documents),
+    dfq AS (SELECT word, count(*) AS c
+            FROM (SELECT doc_id, unnest(list_distinct(ws)) AS word FROM w)
+            GROUP BY word),
+    blocked AS (SELECT word FROM dfq, nd WHERE c > 0.78125 * n),
+    e AS (SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(ws)),
+                                       i -> {{'pos': i, 'word': ws[i]}})) AS pw
+          FROM w),
+    kept AS (SELECT doc_id, pw.pos AS pos, pw.word AS word FROM e
+             WHERE pw.word NOT IN (SELECT word FROM blocked)),
+    agg AS (SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS text_scrubbed,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id)
+    SELECT w.doc_id,
+           coalesce(agg.text_scrubbed, '') AS text_scrubbed,
+           (len(w.ws) - coalesce(agg.n_kept, 0))::bigint AS n_removed
+    FROM w LEFT JOIN agg ON agg.doc_id = w.doc_id
+    """,
+)
+def corpus_df_scrub_docs(spark, sf_dir):
+    """E26: corpus-document-frequency boilerplate scrub (the C4 move at
+    word granularity): find words present in > 78.125% of documents (a
+    small set by definition — 25/32 is exactly representable so both
+    engines cut identically), then remove them from every document as a
+    LITERAL-array scan-stage rewrite — the corpus itself is never
+    shuffled or joined."""
+    from ..operators.curation import corpus_df_scrub, high_df_words
+
+    docs = load_table(spark, sf_dir, "documents")
+    blocked = high_df_words(docs, max_df_frac=0.78125)
+    return corpus_df_scrub(docs, blocked).select("doc_id", "text_scrubbed", "n_removed")
+
+
+# identical planted-PII derivation in both engines (the corpus has no real
+# PII, so the query plants deterministic emails/phones/IPs per doc and the
+# oracle validates the full redact+count path end-to-end)
+_PII_PLANT_DD = (
+    "text || ' contact doc' || doc_id::varchar || '@mail.example.com tel +1-555-01'"
+    " || lpad((doc_id % 100)::varchar, 2, '0')"
+    " || ' ip 10.0.' || (doc_id % 256)::varchar || '.7 end'"
+)
+
+
+@q(
+    "pii_redaction_docs",
+    f"""
+    WITH p AS (SELECT doc_id, {_PII_PLANT_DD} AS t2 FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))::bigint AS n_email,
+           len(regexp_extract_all(t2, '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b'))::bigint AS n_ipv4,
+           len(regexp_extract_all(t2, '\\+?[0-9][0-9\\-]{{6,}}[0-9]'))::bigint AS n_phone,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+               '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b', '<IP>', 'g'),
+             '\\+?[0-9][0-9\\-]{{6,}}[0-9]', '<PHONE>', 'g') AS text_redacted
+    FROM p
+    """,
+)
+def pii_redaction_docs(spark, sf_dir):
+    """E27: PII redaction (email/IPv4/phone) + per-class match counts as
+    a pure regexp_replace/extract_all chain — scan-stage, codegen'd,
+    zero shuffle. Patterns are RE2-compatible so the DuckDB oracle
+    compiles the exact same language; match counts are taken BEFORE
+    redaction, replacement order email -> ip -> phone in both engines."""
+    from ..operators.curation import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "t2",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact doc"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com tel +1-555-01"),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(100)).cast("string"), 2, "0"),
+            F.lit(" ip 10.0."),
+            F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+            F.lit(".7 end"),
+        ),
+    )
+    out = redact_pii(planted, "t2")
+    return out.select("doc_id", "n_email", "n_ipv4", "n_phone", "text_redacted")
+
+
+@q(
+    "decontaminate_train_docs",
+    f"""
+    WITH w AS (SELECT doc_id,
+                      ('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint % 5 = 0 AS is_eval,
+                      {WORDS_DD} AS ws
+               FROM documents),
+    sh AS (SELECT doc_id, is_eval,
+                  unnest(list_distinct(list_transform(
+                    generate_series(1, greatest(0, len(ws) - 4)),
+                    i -> ws[i] || '-' || ws[i+1] || '-' || ws[i+2] || '-' || ws[i+3] || '-' || ws[i+4]))) AS s
+           FROM w),
+    ev AS (SELECT DISTINCT s FROM sh WHERE is_eval)
+    SELECT doc_id, count(*)::bigint AS n_overlap
+    FROM sh WHERE NOT is_eval AND s IN (SELECT s FROM ev)
+    GROUP BY doc_id
+    """,
+)
+def decontaminate_train_docs(spark, sf_dir):
+    """E28: train/eval decontamination — flag train documents sharing
+    any word 5-gram with the (md5-hash-derived, 20%) eval split; the
+    GPT-3/PaLM n-gram collision check. Eval's distinct shingle set is
+    small by construction -> broadcast; the train corpus is scanned,
+    never shuffled (one agg on the flagged survivors only)."""
+    from ..functions.text import words as _words
+    from ..operators.curation import decontaminate_overlap
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _words(F.col("text")).alias("toks")
+    )
+    h = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("long"),
+        F.lit(5),
+    )
+    docs = docs.withColumn("is_eval", h == 0)
+    return decontaminate_overlap(
+        docs.filter(~F.col("is_eval")),
+        docs.filter(F.col("is_eval")),
+        n=5,
+        id_col="doc_id",
+        tokens_col="toks",
+    )

@@ -1,0 +1,147 @@
+"""Unit + plan tests for operators/curation.py (SURVEY §2.12 E25-E28):
+Gopher repetition stats/filter, corpus-DF scrub, PII redaction, and
+train/eval decontamination. Value semantics are additionally DuckDB-
+oracled end-to-end by the registered driver queries."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from seizury_hrv_featuresextraction_spark.operators.curation import (
+    corpus_df_scrub,
+    decontaminate_overlap,
+    gopher_repetition_filter,
+    high_df_words,
+    redact_pii,
+    repetition_stats,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_repetition_stats_known_values(spark):
+    df = _docs(
+        spark,
+        [
+            "a a b",          # dup 1/3, top 2/3, 2grams: (a,a),(a,b) distinct -> 0
+            "x y z",          # no repetition
+            "w w w w",        # all dup: dup 3/4, top 1, 2grams (w,w)x3 -> dup 2/3
+            "",               # empty -> all zeros
+        ],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in repetition_stats(df).select(
+            "doc_id", "n_words", "dup_word_frac", "top_word_frac", "dup_2gram_frac"
+        ).collect()
+    }
+    assert rows[0]["n_words"] == 3
+    assert rows[0]["dup_word_frac"] == pytest.approx(1 / 3)
+    assert rows[0]["top_word_frac"] == pytest.approx(2 / 3)
+    assert rows[0]["dup_2gram_frac"] == 0.0
+    assert rows[1]["dup_word_frac"] == 0.0 and rows[1]["top_word_frac"] == pytest.approx(1 / 3)
+    assert rows[2]["dup_word_frac"] == pytest.approx(3 / 4)
+    assert rows[2]["top_word_frac"] == 1.0
+    assert rows[2]["dup_2gram_frac"] == pytest.approx(2 / 3)
+    assert rows[3]["n_words"] == 0
+    assert rows[3]["dup_word_frac"] == rows[3]["top_word_frac"] == rows[3]["dup_2gram_frac"] == 0.0
+
+
+def test_gopher_filter_drops_repetitive(spark):
+    diverse = " ".join(f"w{i}" for i in range(40))
+    spammy = " ".join(["buy now"] * 20)  # top_word_frac 0.5
+    short = "too short"
+    kept = gopher_repetition_filter(_docs(spark, [diverse, spammy, short]))
+    assert [r["doc_id"] for r in kept.select("doc_id").collect()] == [0]
+
+
+def test_repetition_stats_zero_shuffle_plan(spark):
+    """The per-doc stats must stay in the scan stage: no Exchange on a
+    many-split input (the 100 TB contract — repetition filtering runs at
+    ingest rate)."""
+    df = spark.range(0, 64, 1, 8).withColumn(
+        "text", F.concat(F.lit("alpha beta alpha gamma doc"), F.col("id").cast("string"))
+    )
+    plan = _plan(repetition_stats(df, "text"))
+    assert "Exchange" not in plan, plan
+
+
+def test_high_df_words_and_scrub(spark):
+    df = _docs(
+        spark,
+        ["the cat sat", "the dog ran", "the bird flew", "a fish swam"],
+    )
+    # 'the' in 3/4 docs = 0.75 > 0.5; everything else <= 0.25
+    assert high_df_words(df, max_df_frac=0.5) == ["the"]
+    assert high_df_words(df, max_df_frac=0.8) == []
+
+    out = {
+        r["doc_id"]: r
+        for r in corpus_df_scrub(df, ["the"]).select(
+            "doc_id", "text_scrubbed", "n_removed"
+        ).collect()
+    }
+    assert out[0]["text_scrubbed"] == "cat sat" and out[0]["n_removed"] == 1
+    assert out[3]["text_scrubbed"] == "a fish swam" and out[3]["n_removed"] == 0
+
+
+def test_scrub_is_scan_stage_only(spark):
+    """The blocked list is literal-folded: the big side is rewritten with
+    no join and no shuffle of any kind."""
+    df = spark.range(0, 64, 1, 8).withColumn(
+        "text", F.concat(F.lit("the quick fox doc"), F.col("id").cast("string"))
+    )
+    plan = _plan(corpus_df_scrub(df, ["the", "quick"]))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_redact_pii_values(spark):
+    df = _docs(spark, ["write bob.smith+x@corp.example.org or call +1-555-0100 from 192.168.1.77 ok"])
+    r = redact_pii(df).collect()[0]
+    assert r["n_email"] == 1 and r["n_ipv4"] == 1 and r["n_phone"] == 1
+    assert r["text_redacted"] == "write <EMAIL> or call <PHONE> from <IP> ok"
+
+
+def test_redact_pii_order_ip_before_phone(spark):
+    # the IP must become <IP>, not be half-eaten by the phone pattern;
+    # a digits-only run still matches phone
+    df = _docs(spark, ["ip 10.0.3.7 and 123456789 done"])
+    r = redact_pii(df).collect()[0]
+    assert r["text_redacted"] == "ip <IP> and <PHONE> done"
+    assert r["n_ipv4"] == 1 and r["n_phone"] == 1 and r["n_email"] == 0
+
+
+def test_decontaminate_overlap_counts(spark):
+    train = spark.createDataFrame(
+        [("t1", [1, 2, 3, 4]), ("t2", [9, 9, 9, 9]), ("t3", [2, 3, 4, 5])],
+        "doc_id string, tokens array<int>",
+    )
+    eval_df = spark.createDataFrame(
+        [("e1", [0, 2, 3, 4, 9])], "doc_id string, tokens array<int>"
+    )
+    # eval 3-grams: 0-2-3, 2-3-4, 3-4-9
+    out = {r["doc_id"]: r["n_overlap"] for r in decontaminate_overlap(train, eval_df, n=3).collect()}
+    assert out == {"t1": 1, "t3": 1}  # both share 2-3-4; t2 shares nothing
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    train = spark.createDataFrame(
+        [(f"t{i}", list(range(i, i + 10))) for i in range(50)],
+        "doc_id string, tokens array<int>",
+    )
+    eval_df = spark.createDataFrame(
+        [("e1", list(range(5, 20)))], "doc_id string, tokens array<int>"
+    )
+    plan = _plan(decontaminate_overlap(train, eval_df, n=8))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
