@@ -460,6 +460,25 @@ def url_dedup(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> Da
     )
 
 
+def url_dedup_keep(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> DataFrame:
+    """Row-preserving URL dedup: the documents that SURVIVE the URL pass
+    (keeper = min(id) per normalized URL), with the extracted ``domain``
+    column riding along. Same scale shape as ``dedup_exact_keep``: one
+    window shuffle on the normalized URL, zero broadcasts — the
+    composable stage the E30 curation pipeline chains."""
+    from pyspark.sql import Window
+
+    d = df.withColumn("__url_norm", normalize_url(F.col(url_col))).withColumn(
+        "domain", url_domain(F.col("__url_norm"))
+    )
+    keeper = F.min(id_col).over(Window.partitionBy("__url_norm"))
+    return (
+        d.withColumn("__ukeep", keeper)
+        .filter(F.col(id_col) == F.col("__ukeep"))
+        .drop("__url_norm", "__ukeep")
+    )
+
+
 def domain_url_rollup(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> DataFrame:
     """Per-domain curation stats: docs, distinct normalized URLs, and
     how many docs URL-dedup would drop. One shuffle on the domain key

@@ -2905,3 +2905,75 @@ def decontaminate_train_docs(spark, sf_dir):
         id_col="doc_id",
         tokens_col="toks",
     )
+
+
+# ---------------------------------------------------------------------------
+# E30 (r4): the composed curation pipeline — URL dedup -> Gopher repetition
+# filter -> exact content dedup -> per-source quota, as ONE plan
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "curation_pipeline",
+    f"""
+    WITH u AS (SELECT doc_id, source, text, {_URL_DERIVE_DD} AS url FROM documents),
+    nrm AS (SELECT doc_id, source, text, {_URL_NORM_DD} AS url_norm FROM u),
+    uk AS (SELECT *, min(doc_id) OVER (PARTITION BY url_norm) AS ukeep FROM nrm),
+    s1 AS (SELECT doc_id, source, text,
+                  split_part(split_part(url_norm, '://', 2), '/', 1) AS domain
+           FROM uk WHERE doc_id = ukeep),
+    w AS (SELECT doc_id, source, domain, {WORDS_DD} AS ws, text FROM s1),
+    g AS (SELECT *, list_transform(generate_series(1, greatest(0, len(ws) - 1)),
+                                   i -> ws[i] || ' ' || ws[i+1]) AS gs
+          FROM w),
+    tc AS (SELECT doc_id, max(c) AS top_count
+           FROM (SELECT doc_id, word, count(*) AS c
+                 FROM (SELECT doc_id, unnest(ws) AS word FROM w)
+                 GROUP BY doc_id, word)
+           GROUP BY doc_id),
+    rep AS (SELECT g.doc_id, g.source, g.domain, g.text,
+                   len(g.ws)::bigint AS n_words,
+                   CASE WHEN len(g.ws) > 0
+                        THEN (len(g.ws) - len(list_distinct(g.ws)))::double / len(g.ws)
+                        ELSE 0.0 END AS dup_word_frac,
+                   CASE WHEN len(g.ws) > 0
+                        THEN coalesce(tc.top_count, 0)::double / len(g.ws)
+                        ELSE 0.0 END AS top_word_frac,
+                   CASE WHEN len(g.gs) > 0
+                        THEN (len(g.gs) - len(list_distinct(g.gs)))::double / len(g.gs)
+                        ELSE 0.0 END AS dup_2gram_frac
+            FROM g LEFT JOIN tc ON tc.doc_id = g.doc_id),
+    s2 AS (SELECT doc_id, source, domain, text, n_words FROM rep
+           WHERE n_words >= 10 AND dup_word_frac <= 0.80
+             AND top_word_frac <= 0.20 AND dup_2gram_frac <= 0.85),
+    fp AS (SELECT *, substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 16) AS f
+           FROM s2),
+    ek AS (SELECT *, min(doc_id) OVER (PARTITION BY f) AS ekeep FROM fp),
+    s3 AS (SELECT doc_id, source, domain, n_words FROM ek WHERE doc_id = ekeep),
+    cap AS (SELECT *, row_number() OVER (PARTITION BY source
+                                         ORDER BY md5(doc_id::varchar), doc_id) AS rk
+            FROM s3)
+    SELECT doc_id, source, domain, n_words FROM cap WHERE rk <= 20
+    """,
+)
+def curation_pipeline(spark, sf_dir):
+    """E30: the end-to-end pre-training curation pass as ONE composed
+    Spark plan — URL-keyed dedup (CCNet/RefinedWeb pre-text pass) ->
+    Gopher repetition filter -> exact content dedup -> per-source quota
+    cap (k=20, deterministic hash order). Scale shape: exactly THREE
+    window shuffles (url_norm, content fp, source), everything between
+    them scan-stage expressions, zero broadcasts, zero UDFs — each
+    stage's shape is individually pinned by its own plan test; the
+    composed plan is pinned by test_curation_pipeline_three_shuffles."""
+    from ..operators.curation import gopher_repetition_filter
+    from ..operators.dedup import derive_url, spread, url_dedup_keep
+    from ..operators.stats import cap_per_group
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    u = url_dedup_keep(derive_url(docs)).drop("url")
+    g = gopher_repetition_filter(u)
+    from ..operators.dedup import dedup_exact_keep
+
+    e = dedup_exact_keep(g, "text", "doc_id")
+    c = cap_per_group(e, "doc_id", "source", k=20)
+    return c.select("doc_id", "source", "domain", "n_words")

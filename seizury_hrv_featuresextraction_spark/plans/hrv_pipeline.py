@@ -3,9 +3,9 @@
 Logical plan (SURVEY.md §4's physical sketch, Spark-first):
 
     parquet/iceberg scan (doc_id, tokens)         column-pruned
-      -> mapInPandas explode_chunks               narrow, Arrow
+      -> mapInArrow explode_chunks                narrow, Arrow
       -> repartition(N)                           the ONE shuffle (skew)
-      -> mapInPandas hrv_kernel                   narrow, Arrow, cached
+      -> mapInArrow hrv_kernel                    narrow, Arrow, cached
                                                   Lomb-Scargle designs
       -> broadcast join label intervals           no shuffle
       -> project to output schema

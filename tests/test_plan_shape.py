@@ -311,3 +311,87 @@ def test_bucketed_colocated_join_zero_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_aqe_skew_join_splits_hot_partition(spark, tmp_path):
+    """Runtime skew mitigation: for plain joins the engine leans on AQE's
+    skew-join (OptimizeSkewedJoin splits oversized partitions at runtime)
+    instead of hand-salting — hand-salting is reserved for the flagship's
+    kernel stage where the skew unit is a single oversized document
+    (operators/skew.py chunk split). Asserts the FINAL adaptive plan
+    marked the hot-key join skew=true under thresholds scaled to the
+    fixture."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    prev = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # scale the skew thresholds down so a ~MB hot partition counts as skewed
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    try:
+        # left: 200k rows, 95% on one hot key; right: uniform dimension
+        n = 200_000
+        left = spark.range(n).select(
+            F.when(F.col("id") % 20 != 0, F.lit(7)).otherwise(F.col("id") % 1000).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 10).alias("w"))
+        j = left.join(right, "k")
+        # execute THIS DataFrame (count() would build a different plan
+        # tree and leave j's adaptive plan unfinalized)
+        assert len(j.collect()) == n
+        plan = _plan(j)
+        assert "isFinalPlan=true" in plan, plan
+        final = plan.split("== Initial Plan ==")[0]
+        assert "skew=true" in final, final
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
+def test_curation_pipeline_three_shuffles(spark):
+    """E30 composed-pipeline scale contract: URL dedup -> Gopher filter ->
+    exact dedup -> per-source cap is exactly THREE hash shuffles (url_norm
+    window, content-fp window, source window); everything between is
+    scan-stage, nothing broadcasts, nothing sort-merge-joins."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from seizury_hrv_featuresextraction_spark.operators.curation import (
+        gopher_repetition_filter,
+    )
+    from seizury_hrv_featuresextraction_spark.operators.dedup import (
+        dedup_exact_keep,
+        derive_url,
+        url_dedup_keep,
+    )
+    from seizury_hrv_featuresextraction_spark.operators.stats import cap_per_group
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(200),
+            "source": [f"s{i % 4}" for i in range(200)],
+            "text": [" ".join(f"tok{i}x{j}" for j in range(30)) for i in range(200)],
+        }
+    )
+    docs = spark.createDataFrame(pdf).repartition(8)
+    u = url_dedup_keep(derive_url(docs)).drop("url")
+    g = gopher_repetition_filter(u)
+    e = dedup_exact_keep(g, "text", "doc_id")
+    c = cap_per_group(e, "doc_id", "source", k=20).select("doc_id", "source", "domain")
+    plan = _plan(c)
+    assert "BroadcastExchange" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    hashex = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+    assert len(hashex) == 3, (hashex, plan)
+    assert c.count() > 0

@@ -170,6 +170,44 @@ def main():
         json.dumps({"hw_ceiling": ceiling}),
         "```",
     ]
+
+    # round-over-round history: every run appends its measured numbers to
+    # scaling_history.jsonl and the table is rendered from that file —
+    # past rounds are recorded measurements, never re-typed constants.
+    # The spread between entries IS the box's documented noise band
+    # (BENCH/executors.md): compare the pinned-process headline across
+    # rounds, not single local-mode draws.
+    hist_path = os.path.join(REPO, "BENCH", "scaling_history.jsonl")
+    with open(hist_path, "a") as f:
+        f.write(
+            json.dumps(
+                {
+                    "label": os.environ.get("SCALE_LABEL", time.strftime("%Y-%m-%d %H:%M")),
+                    "tok_n": tn,
+                    "tok_4n": t4n,
+                    "raw_eff": round(raw_eff, 3),
+                    "norm_eff": round(norm_eff, 3),
+                    "exec_eff": round(exec_eff, 3),
+                    "group_ceil": round(group_ceil, 3),
+                    "headline": round(exec_eff / group_ceil, 3),
+                }
+            )
+            + "\n"
+        )
+    with open(hist_path) as f:
+        hist = [json.loads(ln) for ln in f if ln.strip()]
+    lines += [
+        "",
+        "## Round-over-round (rendered from BENCH/scaling_history.jsonl — measured runs only)",
+        "",
+        f"| run | local[{n}] tok/s | local[{4*n}] tok/s | raw eff | hw-norm eff | exec-emu | hw ceiling | **engine/ceiling** |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for h in hist:
+        lines.append(
+            f"| {h['label']} | {h['tok_n']:.0f} | {h['tok_4n']:.0f} | {h['raw_eff']} "
+            f"| {h['norm_eff']} | {h['exec_eff']} | {h['group_ceil']} | **{h['headline']}** |"
+        )
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
