@@ -35,10 +35,47 @@ class BucketResult:
     n_docs: int
     elapsed_s: float
     status: str
+    input_fp: int | None = None
 
     @property
     def rows_per_s(self) -> float:
         return self.row_count / self.elapsed_s if self.elapsed_s > 0 else 0.0
+
+
+def input_fingerprints(
+    sequences: DataFrame, annotations: DataFrame | None, n_buckets: int
+) -> dict[int, int]:
+    """Per-bucket order-independent input fingerprint: count XOR'd with
+    bit_xor(xxhash64(doc_id, n_tok)) over the bucket's sequences (and all
+    annotation columns when present). ONE column-pruned pre-pass job —
+    the token payload is never read, so at 100 TB this costs a metadata-
+    scale scan, not a data scan.
+
+    Granularity contract (append-only lake semantics, like Iceberg
+    snapshot diffing): detects appended/deleted docs and length changes;
+    an in-place token edit that preserves (doc_id, n_tok) is invisible —
+    which does not happen in append-only corpora (reference resume has
+    the same blind spot via output mtime, hrv_pipeline.py:255-354).
+    """
+
+    def hashes(df: DataFrame, hash_cols: list[str]) -> DataFrame:
+        return df.select(
+            bucket_of(F.col("doc_id"), n_buckets).alias("b"),
+            F.xxhash64(*hash_cols).alias("h"),
+        )
+
+    src = hashes(sequences, ["doc_id", "n_tok"])
+    if annotations is not None:
+        # ONE job for both sides (the action-count discipline pins one
+        # action per bucket + one stats probe + this single fp pre-pass)
+        src = src.unionByName(hashes(annotations, list(annotations.columns)))
+    rows = (
+        src.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n"), F.expr("bit_xor(h)").alias("fp"))
+        .collect()
+    )
+    got = {int(r["b"]): (int(r["n"]), int(r["fp"])) for r in rows}
+    return {k: (got[k][0] * 1_000_003) ^ got[k][1] if k in got else 0 for k in range(n_buckets)}
 
 
 def _manifest_dir(output_path: str) -> str:
@@ -73,6 +110,7 @@ def write_manifest_entry(output_path: str, result: BucketResult) -> None:
         "elapsed_s": result.elapsed_s,
         "rows_per_s": result.rows_per_s,
         "status": result.status,
+        "input_fp": result.input_fp,
         "completed_at": time.time(),
     }
     tmp = manifest_path(output_path, result.bucket) + ".tmp"
@@ -112,11 +150,21 @@ def run_resumable(
     cfg: HRVConfig,
     n_buckets: int = 8,
     fail_after_bucket: int | None = None,
+    check_input: bool = True,
 ) -> list[BucketResult]:
     """Bucket-at-a-time flagship run with lineage + resume.
 
     ``fail_after_bucket`` injects a crash after k completed buckets (test
     hook for the kill/restart scenario in SURVEY.md §5.5).
+
+    ``check_input=True`` (default) makes the resume INPUT-AWARE: one
+    cheap pre-pass computes a per-bucket input fingerprint
+    (``input_fingerprints``), and a bucket is only skipped when its
+    recorded fingerprint still matches — so appending/deleting docs
+    recomputes exactly the buckets whose slice changed (Iceberg-style
+    incremental recompute) instead of trusting config+output alone.
+    Manifests written before this feature carry no fingerprint and fall
+    back to the config-only skip.
     """
     from .plans.hrv_pipeline import extract_features, plan_stats
 
@@ -128,6 +176,7 @@ def run_resumable(
     # bucket (a bucket filter is a narrow op — same split count): the
     # fused/chunked auto-selection must not pay one stats job per bucket
     stats = plan_stats(sequences, cfg)
+    in_fps = input_fingerprints(sequences, annotations, n_buckets) if check_input else {}
     completed = 0
     for k in range(n_buckets):
         prev = done.get(k)
@@ -136,6 +185,11 @@ def run_resumable(
             and prev.get("config_hash") == cfg_hash
             and prev.get("status") == "ok"
             and bucket_output_valid(output_path, k)
+            and (
+                not check_input
+                or prev.get("input_fp") is None  # pre-feature manifest
+                or prev.get("input_fp") == in_fps.get(k)
+            )
         ):
             results.append(
                 BucketResult(k, cfg_hash, prev["row_count"], prev["n_docs"], prev["elapsed_s"], "skipped")
@@ -160,7 +214,7 @@ def run_resumable(
         feats.write.mode("overwrite").parquet(out_dir)
         n_docs = int(obs_in.get["n_docs"])
         rows = int(obs_out.get["row_count"])
-        res = BucketResult(k, cfg_hash, rows, n_docs, time.time() - t0, "ok")
+        res = BucketResult(k, cfg_hash, rows, n_docs, time.time() - t0, "ok", in_fps.get(k))
         write_manifest_entry(output_path, res)
         results.append(res)
         completed += 1

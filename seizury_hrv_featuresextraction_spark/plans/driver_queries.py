@@ -1523,8 +1523,15 @@ _ENTROPY_CTES = """stats AS (
              sum(CASE WHEN has3 = 1 THEN ln(c3::double / (nb - 2)) END) / (nb - 2) AS phi3
       FROM percnt GROUP BY user_id, win_id, nb)"""
 
+# gate-wall cap (r4): the entropy twin's per-window template SELF-JOIN is
+# the single most expensive oracle at sf0.1 (~37 s). Same deterministic-
+# subset pattern as the Welch/streaming twins — a DIFFERENT residue class
+# (user_id % 3 = 2) so the capped twins jointly cover all docs; full-
+# population SampEn/ApEn stays covered by the composed flagship twin and
+# the pytest allclose gate.
+_ENTROPY_DOC_FILTER = "user_id % 3 = 2"
 _ENTROPY_SQL = f"""
-    WITH {_GRID_MEMBER_CTES},
+    WITH {_GRID_MEMBER_CTES.replace("FROM events)", f"FROM events WHERE {_ENTROPY_DOC_FILTER})", 1)},
     {_ENTROPY_CTES}
     SELECT 'user-' || st.user_id::varchar AS doc_id, st.win_id AS window_id,
            st.nb::bigint AS n_beats,
@@ -1544,11 +1551,14 @@ _ENTROPY_SQL = f"""
 def hrv_entropy_windows(spark, sf_dir):
     """Flagship kernel's SampEn/ApEn columns against the per-window
     template-self-join DuckDB twin — the last feature slice previously
-    guarded only by pytest allclose."""
+    guarded only by pytest allclose. Gate input: the deterministic
+    user_id%3==2 doc subset (see _ENTROPY_DOC_FILTER)."""
     from ..config import DEFAULT_CONFIG
     from .hrv_pipeline import extract_features
 
-    seq = sequences_from_events(spark, sf_dir)
+    seq = sequences_from_events(spark, sf_dir).filter(
+        F.substring_index("doc_id", "-", -1).cast("long") % 3 == 2
+    )
     feats = extract_features(seq, None, DEFAULT_CONFIG)
     return feats.filter(F.col("n_beats") >= 5).select(
         "doc_id",

@@ -93,7 +93,9 @@ def test_resume_revalidates_and_one_action_per_bucket(spark, fixture_tables, tin
     # one action per bucket (the write; counts ride observe() metrics)
     # plus exactly ONE table-stats probe per RUN (max n_tok, column-pruned
     # — the fused/chunked auto-selection input, shared across buckets)
-    assert delta == 3, f"expected one action per bucket + one stats probe, saw {delta}"
+    # plus exactly ONE input-fingerprint pre-pass per RUN (r4 incremental
+    # resume; sequences and annotations hashed in a single union job)
+    assert delta == 4, f"expected one action per bucket + stats probe + fp pre-pass, saw {delta}"
 
     shutil.rmtree(os.path.join(out, "bucket=0"))
     results = run_resumable(spark, sdf, adf, out, tiny_cfg, n_buckets=2)
@@ -253,4 +255,67 @@ def test_snapshot_read_prunes_to_pinned_buckets(spark, fixture_tables, tiny_cfg,
     df2 = read_snapshot(spark, out, version=2)
     files2 = {f.split("/bucket=")[1].split("/")[0] for f in df2.inputFiles()}
     assert files2 == {"0", "1", "2"}
+    assert [s["version"] for s in list_snapshots(out)] == [1, 2]
+
+
+def test_incremental_recompute_on_appended_input(spark, fixture_tables, tiny_cfg, tmp_path):
+    """Input-aware resume (r4): appending docs must recompute EXACTLY the
+    buckets whose input slice changed (per-bucket fingerprint mismatch)
+    and skip the rest — Iceberg-style incremental recompute, not a
+    config-only skip that would silently serve stale buckets."""
+    from pyspark.sql import functions as F
+
+    from seizury_hrv_featuresextraction_spark.checkpoint import bucket_of, list_snapshots
+
+    seq, ann = fixture_tables
+    first, full = seq.iloc[:5], seq.iloc[:8]
+    extra = seq.iloc[5:8]
+    ann1 = ann[ann["doc_id"].isin(first["doc_id"])]
+    ann2 = ann[ann["doc_id"].isin(full["doc_id"])]
+    out = str(tmp_path / "f7")
+    n_buckets = 4
+
+    sdf1 = spark.createDataFrame(first, schema=SEQUENCES_SCHEMA)
+    adf1 = spark.createDataFrame(ann1, schema=ANNOTATIONS_SCHEMA)
+    r1 = run_resumable(spark, sdf1, adf1, out, tiny_cfg, n_buckets=n_buckets)
+    assert all(r.status == "ok" for r in r1)
+
+    changed = {
+        r["b"]
+        for r in spark.createDataFrame(extra, schema=SEQUENCES_SCHEMA)
+        .select(bucket_of(F.col("doc_id"), n_buckets).alias("b"))
+        .distinct()
+        .collect()
+    }
+    assert 0 < len(changed) < n_buckets, f"fixture must split buckets, got {changed}"
+
+    sdf2 = spark.createDataFrame(full, schema=SEQUENCES_SCHEMA)
+    adf2 = spark.createDataFrame(ann2, schema=ANNOTATIONS_SCHEMA)
+    r2 = run_resumable(spark, sdf2, adf2, out, tiny_cfg, n_buckets=n_buckets)
+    statuses = {r.bucket: r.status for r in r2}
+    for k in range(n_buckets):
+        assert statuses[k] == ("ok" if k in changed else "skipped"), (k, statuses, changed)
+    # the incremental result equals a from-scratch run on the full input
+    resumed = (
+        spark.read.parquet(out + "/bucket=*")
+        .toPandas()
+        .sort_values(["doc_id", "window_id"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    single = (
+        extract_features(sdf2, adf2, tiny_cfg)
+        .toPandas()
+        .sort_values(["doc_id", "window_id"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    from conftest import assert_frames_allclose
+    from seizury_hrv_featuresextraction_spark.functions.hrv import ALL_FEATURES
+
+    assert len(resumed) == len(single)
+    assert_frames_allclose(resumed, single, float_cols=ALL_FEATURES, key_cols=["doc_id", "window_id"])
+    # the changed state committed a second snapshot version
+    assert [s["version"] for s in list_snapshots(out)] == [1, 2]
+    # idempotent re-run: fingerprints all match again -> everything skips
+    r3 = run_resumable(spark, sdf2, adf2, out, tiny_cfg, n_buckets=n_buckets)
+    assert all(r.status == "skipped" for r in r3)
     assert [s["version"] for s in list_snapshots(out)] == [1, 2]
