@@ -218,3 +218,72 @@ def test_streaming_hrv_reorder_invariant(toks, cuts, perm_seed, n_batches):
     buf, off_ms, next_win, next_chunk, pend_idx, pend_toks = state._v
     assert next_chunk == len(chunks)
     assert not pend_idx
+
+
+words_strategy = st.lists(
+    st.sampled_from(["a", "b", "c", "dog", "cat", "xyz", "q"]),
+    min_size=0,
+    max_size=60,
+)
+
+
+@given(ws=st.lists(words_strategy, min_size=1, max_size=6))
+@SETTINGS
+def test_repetition_stats_match_python_reference(spark, ws):
+    """E25 single-pass sorted-run aggregates vs a direct Counter-based
+    reference, on randomized small vocab word lists (heavy duplication —
+    the regime where the run-length formulation can go wrong)."""
+    from collections import Counter
+
+    from seizury_hrv_featuresextraction_spark.operators.curation import repetition_stats
+
+    pdf = pd.DataFrame({"doc_id": range(len(ws)), "text": [" ".join(w) for w in ws]})
+    got = {
+        r["doc_id"]: r
+        for r in repetition_stats(spark.createDataFrame(pdf))
+        .select("doc_id", "n_words", "dup_word_frac", "top_word_frac", "dup_2gram_frac")
+        .collect()
+    }
+    for i, w in enumerate(ws):
+        n = len(w)
+        grams = [" ".join(w[j : j + 2]) for j in range(n - 1)]
+        exp_dup = (n - len(set(w))) / n if n else 0.0
+        exp_top = max(Counter(w).values()) / n if n else 0.0
+        exp_g = (len(grams) - len(set(grams))) / len(grams) if grams else 0.0
+        assert got[i]["n_words"] == n
+        assert abs(got[i]["dup_word_frac"] - exp_dup) < 1e-12, (w, got[i])
+        assert abs(got[i]["top_word_frac"] - exp_top) < 1e-12, (w, got[i])
+        assert abs(got[i]["dup_2gram_frac"] - exp_g) < 1e-12, (w, got[i])
+
+
+@given(
+    train=st.lists(st.lists(st.integers(0, 5), min_size=0, max_size=25), min_size=1, max_size=5),
+    ev=st.lists(st.lists(st.integers(0, 5), min_size=0, max_size=25), min_size=1, max_size=3),
+    n=st.integers(2, 4),
+)
+@SETTINGS
+def test_decontaminate_matches_python_reference(spark, train, ev, n):
+    """E28 broadcast shingle join vs a set-based reference (tiny token
+    vocab so overlaps actually occur)."""
+    from seizury_hrv_featuresextraction_spark.operators.curation import (
+        decontaminate_overlap,
+    )
+
+    tdf = spark.createDataFrame(
+        [(f"t{i}", toks) for i, toks in enumerate(train)], "doc_id string, tokens array<int>"
+    )
+    edf = spark.createDataFrame(
+        [(f"e{i}", toks) for i, toks in enumerate(ev)], "doc_id string, tokens array<int>"
+    )
+    got = {r["doc_id"]: r["n_overlap"] for r in decontaminate_overlap(tdf, edf, n=n).collect()}
+
+    def sh(toks):
+        return {"-".join(map(str, toks[j : j + n])) for j in range(len(toks) - n + 1)}
+
+    eset = set().union(*(sh(t) for t in ev)) if ev else set()
+    exp = {}
+    for i, toks in enumerate(train):
+        k = len(sh(toks) & eset)
+        if k:
+            exp[f"t{i}"] = k
+    assert got == exp, (got, exp)
