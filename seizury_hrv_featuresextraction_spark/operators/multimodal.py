@@ -3,11 +3,14 @@
 Media payloads are opaque ``binary`` columns with a typed metadata
 struct; decode/resize/frame-sample kernels run as Arrow-batched
 mapInPandas. The image/audio codec libraries are NOT present in this
-container, so the decode step is STUBBED: ``decode_stub=True`` (default)
-produces a deterministic fake (seeded from the payload md5) with the
-correct output schema, batch shape and partitioning; ``decode_stub=
-False`` raises NotImplementedError at the exact point a real codec
-(PIL/libsndfile/ffmpeg) would be called. Everything Spark-side — schema,
+container, so the IMAGE/VIDEO decode step is STUBBED: ``decode_stub=
+True`` (default) produces a deterministic fake (seeded from the payload
+md5) with the correct output schema, batch shape and partitioning;
+``decode_stub=False`` raises NotImplementedError at the exact point a
+real codec (PIL/opencv/ffmpeg) would be called. The AUDIO path is REAL
+as of r4: raw PCM16 needs no codec, so ``pcm16_features`` actually
+decodes payload bytes (np.frombuffer) and its exact-integer output is
+driver-oracled (``pcm_decode_stats``). Everything Spark-side — schema,
 Arrow batching, per-row metadata propagation — is real and tested.
 """
 
@@ -137,3 +140,64 @@ def payload_stats(media: DataFrame) -> DataFrame:
             )
 
     return media.select("media_id", "payload").mapInArrow(gen, schema=PAYLOAD_STATS_SCHEMA)
+
+
+PCM_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("sum_x", T.LongType(), False),
+        T.StructField("sum_sq", T.LongType(), False),
+        T.StructField("peak", T.LongType(), False),
+    ]
+)
+
+
+def pcm16_features(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL audio decode — no codec library required: payloads are
+    interpreted as raw little-endian signed 16-bit PCM (``np.frombuffer``
+    inside ``mapInArrow``; a trailing odd byte is truncated, exactly like
+    a raw-PCM reader). Per clip it emits EXACT integer accounting —
+    sample count, sum, sum of squares (RMS/DC derive downstream), peak
+    |amplitude| — so the decode path itself is value-level oracle-able
+    by any engine that can read the same bytes (the DuckDB twin re-
+    decodes via hex-string arithmetic; no float compare anywhere).
+    Image/video decode stays stubbed (codecs absent); THIS kernel is the
+    real thing end-to-end: Arrow binary buffers -> vectorized decode ->
+    typed features."""
+    import pyarrow as pa
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        schema = pa.schema(
+            [
+                ("media_id", pa.string()),
+                ("n_samples", pa.int64()),
+                ("sum_x", pa.int64()),
+                ("sum_sq", pa.int64()),
+                ("peak", pa.int64()),
+            ]
+        )
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            ids = batch.column(batch.schema.get_field_index("media_id"))
+            payloads = batch.column(batch.schema.get_field_index(payload_col))
+            rows = []
+            for mid, p in zip(ids, payloads):
+                raw = p.as_py() or b""
+                x = np.frombuffer(raw[: 2 * (len(raw) // 2)], dtype="<i2").astype(np.int64)
+                if x.size == 0:
+                    continue
+                rows.append(
+                    {
+                        "media_id": mid.as_py(),
+                        "n_samples": int(x.size),
+                        "sum_x": int(x.sum()),
+                        "sum_sq": int((x * x).sum()),
+                        "peak": int(np.abs(x).max()),
+                    }
+                )
+            if rows:
+                yield pa.RecordBatch.from_pylist(rows, schema=schema)
+
+    return media.select("media_id", payload_col).mapInArrow(gen, schema=PCM_FEATURES_SCHEMA)

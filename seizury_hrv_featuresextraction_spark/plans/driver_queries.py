@@ -2987,3 +2987,40 @@ def curation_pipeline(spark, sf_dir):
     e = dedup_exact_keep(g, "text", "doc_id")
     c = cap_per_group(e, "doc_id", "source", k=20)
     return c.select("doc_id", "source", "domain", "n_words")
+
+
+@q(
+    "pcm_decode_stats",
+    """
+    WITH p AS (SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS nb FROM documents),
+    s AS (SELECT doc_id, nb // 2 AS ns, unnest(generate_series(0, nb // 2 - 1)) AS i, h FROM p WHERE nb >= 2),
+    v AS (SELECT doc_id, ns,
+            ('0x' || substr(h, 4*i + 1, 2))::bigint + 256 * ('0x' || substr(h, 4*i + 3, 2))::bigint AS u
+          FROM s),
+    sv AS (SELECT doc_id, ns, CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS x FROM v),
+    agg AS (SELECT doc_id, ns, sum(x)::bigint AS sum_x, sum(x*x)::bigint AS sum_sq,
+                   max(abs(x))::bigint AS peak
+            FROM sv GROUP BY doc_id, ns)
+    SELECT 'm' || doc_id::varchar AS media_id, ns::bigint AS n_samples, sum_x, sum_sq, peak
+    FROM agg
+    """,
+)
+def pcm_decode_stats(spark, sf_dir):
+    """E10 upgraded (r4): a REAL media decode under the driver oracle.
+    Documents' UTF-8 bytes ride as an opaque binary payload and are
+    decoded as raw little-endian PCM16 inside mapInArrow
+    (operators/multimodal.py:pcm16_features — np.frombuffer, no codec
+    library needed); the twin re-decodes the SAME bytes in DuckDB via
+    hex-string arithmetic. All outputs are exact int64 accounting
+    (sample count / sum / sum-of-squares / peak |amplitude|) — zero
+    float comparisons, so any endianness, offset or truncation bug in
+    the decode is a hard value mismatch."""
+    from ..operators.dedup import spread
+    from ..operators.multimodal import pcm16_features
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    media = docs.select(
+        F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return pcm16_features(media)

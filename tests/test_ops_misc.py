@@ -383,3 +383,29 @@ def test_url_dedup_normalization_semantics(spark):
         normalize_url(F.col("url")).alias("n")
     ).toPandas()
     assert nd["n"].iloc[1] == "https://a.example.com/page-1"
+
+
+def test_pcm16_decode_exact(spark):
+    """Real PCM16 decode (E10 r4): known int16 payloads, exact integer
+    accounting, odd-byte truncation, empty/sub-sample payloads dropped."""
+    import numpy as np
+
+    from seizury_hrv_featuresextraction_spark.operators.multimodal import pcm16_features
+
+    a = np.array([0, 1, -1, 32767, -32768, 1000], dtype="<i2")
+    b = np.array([-5], dtype="<i2")
+    rows = [
+        ("full", bytearray(a.tobytes())),
+        ("odd", bytearray(b.tobytes() + b"\x07")),  # trailing byte truncated
+        ("empty", bytearray(b"")),
+        ("one_byte", bytearray(b"\xff")),
+    ]
+    media = spark.createDataFrame(rows, "media_id string, payload binary")
+    got = {r["media_id"]: r.asDict() for r in pcm16_features(media).collect()}
+    assert set(got) == {"full", "odd"}  # sub-sample payloads dropped
+    f = got["full"]
+    assert f["n_samples"] == 6
+    assert f["sum_x"] == int(a.astype(np.int64).sum())
+    assert f["sum_sq"] == int((a.astype(np.int64) ** 2).sum())
+    assert f["peak"] == 32768
+    assert got["odd"] == {"media_id": "odd", "n_samples": 1, "sum_x": -5, "sum_sq": 25, "peak": 5}
