@@ -365,3 +365,54 @@ def read_snapshot(
         )
     paths = [os.path.join(output_path, f"bucket={k}") for k in sorted(snap["buckets"], key=int)]
     return spark.read.parquet(*paths)
+
+
+# ---------------------------------------------------------------------------
+# Exactly-once streaming sink (O66-O69): Structured Streaming's foreachBatch
+# is AT-LEAST-ONCE — after a failure the restarted query replays the last
+# uncommitted microbatch with the SAME batch_id. Idempotent per-batch
+# writes keyed on that id make the sink exactly-once end-to-end.
+# ---------------------------------------------------------------------------
+
+
+def exactly_once_batch_writer(output_path: str):
+    """Returns a ``foreachBatch`` function that writes each microbatch to
+    ``batch=<id>`` exactly once: a replayed (batch_df, batch_id) whose
+    manifest line and ``_SUCCESS`` marker already exist is skipped, and a
+    half-written directory (no marker / no manifest) is overwritten.
+    The same lineage-line pattern as ``run_resumable`` — the streaming
+    and batch sinks share one resume philosophy."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        mpath = os.path.join(_manifest_dir(output_path), f"batch={batch_id}.json")
+        out_dir = os.path.join(output_path, f"batch={batch_id}")
+        if os.path.exists(mpath) and os.path.isdir(out_dir) and "_SUCCESS" in os.listdir(out_dir):
+            return  # already committed — replay after recovery
+        t0 = time.time()
+        batch_df.write.mode("overwrite").parquet(out_dir)
+        os.makedirs(_manifest_dir(output_path), exist_ok=True)
+        rec = {
+            "batch_id": batch_id,
+            "elapsed_s": time.time() - t0,
+            "completed_at": time.time(),
+        }
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(rec, f)
+        os.replace(tmp, mpath)
+
+    return write
+
+
+def expire_snapshots(output_path: str, keep_last: int = 3) -> list[int]:
+    """Iceberg-style snapshot retention: drop all but the newest
+    ``keep_last`` snapshot JSONs (the data itself lives in the
+    overwrite-in-place bucket layout, so expiry is metadata-only).
+    Returns the expired version numbers."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    snaps = list_snapshots(output_path)
+    expired = [s["version"] for s in snaps[:-keep_last]]
+    for v in expired:
+        os.unlink(os.path.join(_snapshot_dir(output_path), f"v{v}.json"))
+    return expired

@@ -319,3 +319,32 @@ def test_incremental_recompute_on_appended_input(spark, fixture_tables, tiny_cfg
     r3 = run_resumable(spark, sdf2, adf2, out, tiny_cfg, n_buckets=n_buckets)
     assert all(r.status == "skipped" for r in r3)
     assert [s["version"] for s in list_snapshots(out)] == [1, 2]
+
+
+def test_expire_snapshots_retention(spark, fixture_tables, tiny_cfg, tmp_path):
+    """Iceberg-style retention: expire all but the newest k snapshot
+    versions (metadata-only in the overwrite layout); expired versions
+    become unreadable, the survivors keep working."""
+    from dataclasses import replace
+
+    from seizury_hrv_featuresextraction_spark.checkpoint import (
+        expire_snapshots,
+        list_snapshots,
+        read_snapshot,
+    )
+
+    seq, ann = fixture_tables
+    seq = seq.iloc[:2]
+    sdf = spark.createDataFrame(seq, schema=SEQUENCES_SCHEMA)
+    adf = spark.createDataFrame(ann[ann["doc_id"].isin(seq["doc_id"])], schema=ANNOTATIONS_SCHEMA)
+    out = str(tmp_path / "f8")
+    for i, sph in enumerate((60.0, 120.0, 180.0)):
+        run_resumable(spark, sdf, adf, out, replace(tiny_cfg, sph_seconds=sph), n_buckets=2)
+    assert [s["version"] for s in list_snapshots(out)] == [1, 2, 3]
+    assert expire_snapshots(out, keep_last=1) == [1, 2]
+    assert [s["version"] for s in list_snapshots(out)] == [3]
+    assert read_snapshot(spark, out, version=3).count() > 0
+    with pytest.raises(ValueError, match="not found"):
+        read_snapshot(spark, out, version=2)
+    with pytest.raises(ValueError):
+        expire_snapshots(out, keep_last=0)

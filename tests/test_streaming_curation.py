@@ -83,3 +83,55 @@ def test_streaming_gopher_filter_and_redact_equals_batch(spark, tmp_path):
     # and every surviving doc's planted email got redacted
     assert got["text_redacted"].str.contains("<EMAIL>").all()
     assert (got["n_email"] == 1).all()
+
+
+@pytest.mark.timeout(300)
+def test_exactly_once_foreachbatch_sink(spark, tmp_path):
+    """foreachBatch is at-least-once: a recovered query replays the last
+    uncommitted microbatch with the SAME batch_id. The manifest-keyed
+    sink must make that replay a no-op (exactly-once output), and must
+    overwrite a half-written directory (no _SUCCESS / no manifest)."""
+    import os
+
+    from seizury_hrv_featuresextraction_spark.checkpoint import (
+        exactly_once_batch_writer,
+    )
+
+    pdf = pd.DataFrame({"doc_id": range(30), "text": [f"body {i}" for i in range(30)]})
+    src = str(tmp_path / "eo_src")
+    for lo, hi in ((0, 10), (10, 20), (20, 30)):
+        spark.createDataFrame(pdf.iloc[lo:hi], schema=SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    out = str(tmp_path / "eo_out")
+    writer = exactly_once_batch_writer(out)
+    q = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(writer)
+        .option("checkpointLocation", str(tmp_path / "eo_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    got = spark.read.parquet(out + "/batch=*")
+    assert got.count() == 30
+    n_batches = len([d for d in os.listdir(out) if d.startswith("batch=")])
+    assert n_batches >= 2  # maxFilesPerTrigger=1 -> one batch per file
+
+    # simulate the post-recovery replay of a committed batch: same id,
+    # same data -> must be skipped (mtime of the manifest unchanged)
+    mdir = os.path.join(out, "_manifest", "batch=0.json")
+    before = os.path.getmtime(mdir)
+    writer(spark.createDataFrame(pdf.iloc[:10], schema=SCHEMA), 0)
+    assert os.path.getmtime(mdir) == before
+    assert spark.read.parquet(out + "/batch=*").count() == 30
+
+    # a half-written batch directory (crash before job commit: _SUCCESS
+    # missing) must be rewritten, not trusted
+    os.unlink(os.path.join(out, "batch=0", "_SUCCESS"))
+    writer(spark.createDataFrame(pdf.iloc[:10], schema=SCHEMA), 0)
+    assert "_SUCCESS" in os.listdir(os.path.join(out, "batch=0"))
+    assert spark.read.parquet(out + "/batch=*").count() == 30
