@@ -82,6 +82,32 @@ def _manifest_dir(output_path: str) -> str:
     return os.path.join(output_path, "_manifest")
 
 
+def _table_fp(in_fps: dict[int, int]) -> int:
+    """Whole-table fingerprint from the per-bucket ones (order-sensitive
+    across buckets: ints hash deterministically in CPython)."""
+    return hash(tuple(in_fps[k] for k in sorted(in_fps)))
+
+
+def _table_stats_path(output_path: str) -> str:
+    return os.path.join(_manifest_dir(output_path), "table_stats.json")
+
+
+def _read_table_stats(output_path: str) -> dict | None:
+    p = _table_stats_path(output_path)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _write_table_stats(output_path: str, rec: dict) -> None:
+    os.makedirs(_manifest_dir(output_path), exist_ok=True)
+    tmp = _table_stats_path(output_path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(rec, f)
+    os.replace(tmp, _table_stats_path(output_path))
+
+
 def manifest_path(output_path: str, bucket: int) -> str:
     return os.path.join(_manifest_dir(output_path), f"bucket={bucket}.json")
 
@@ -172,11 +198,27 @@ def run_resumable(
     done = read_manifest(output_path)
     results: list[BucketResult] = []
     seq_b = sequences.withColumn("__bucket", bucket_of(F.col("doc_id"), n_buckets))
+    in_fps = input_fingerprints(sequences, annotations, n_buckets) if check_input else {}
     # physical-plan stats probed ONCE for the whole table and reused per
     # bucket (a bucket filter is a narrow op — same split count): the
-    # fused/chunked auto-selection must not pay one stats job per bucket
-    stats = plan_stats(sequences, cfg)
-    in_fps = input_fingerprints(sequences, annotations, n_buckets) if check_input else {}
+    # fused/chunked auto-selection must not pay one stats job per bucket.
+    # When the input fingerprint proves the table unchanged since the
+    # last run, even that single probe is skipped — max(n_tok) rides the
+    # recorded table stats (the Iceberg stats-in-snapshot pattern), so an
+    # all-skipped resume costs exactly ONE job (the fp pre-pass).
+    table_fp = _table_fp(in_fps) if check_input else None
+    prev_stats = _read_table_stats(output_path)
+    if (
+        table_fp is not None
+        and prev_stats is not None
+        and prev_stats.get("table_fp") == table_fp
+        and prev_stats.get("max_n_tok") is not None
+    ):
+        stats = plan_stats(sequences, cfg, known_max_n_tok=prev_stats["max_n_tok"])
+    else:
+        stats = plan_stats(sequences, cfg)
+        if table_fp is not None and stats.get("max_n_tok") is not None:
+            _write_table_stats(output_path, {"table_fp": table_fp, "max_n_tok": stats["max_n_tok"]})
     completed = 0
     for k in range(n_buckets):
         prev = done.get(k)

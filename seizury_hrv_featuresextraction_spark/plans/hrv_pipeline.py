@@ -155,7 +155,11 @@ def doc_dimensions(sequences: DataFrame, cfg: HRVConfig) -> DataFrame:
     )
 
 
-def plan_stats(sequences: DataFrame, cfg: HRVConfig = DEFAULT_CONFIG) -> dict:
+def plan_stats(
+    sequences: DataFrame,
+    cfg: HRVConfig = DEFAULT_CONFIG,
+    known_max_n_tok: int | None = None,
+) -> dict:
     """Cheap table stats for physical-plan selection.
 
     - ``n_splits``: the scan's actual split count — a plan-time metadata
@@ -168,6 +172,11 @@ def plan_stats(sequences: DataFrame, cfg: HRVConfig = DEFAULT_CONFIG) -> dict:
       Iceberg table this is a free upper_bounds stats lookup, so the
       one-column agg here is the honest local stand-in. None when the
       table has no n_tok column.
+
+    ``known_max_n_tok`` skips the agg job entirely — run_resumable passes
+    the value recorded in ``_manifest/table_stats.json`` when the input
+    fingerprint proves the table is unchanged since it was measured (the
+    Iceberg pattern: stats ride the snapshot, not a fresh scan).
     """
     sc = sequences.sparkSession.sparkContext
     try:
@@ -175,16 +184,18 @@ def plan_stats(sequences: DataFrame, cfg: HRVConfig = DEFAULT_CONFIG) -> dict:
     except Exception:  # pragma: no cover
         n_splits = 0
     max_win = None
-    if "n_tok" in sequences.columns:
+    mx = known_max_n_tok
+    if mx is None and "n_tok" in sequences.columns:
         mx = sequences.agg(F.max("n_tok")).collect()[0][0]
-        if mx is not None:
-            max_ms = int(mx) * int(cfg.rr_max_seconds * 1000)
-            n_samp = max_ms * cfg.sampling_rate // 1000
-            max_win = max(0, (n_samp - cfg.window_samples()) // cfg.step_samples() + 1)
+    if mx is not None:
+        max_ms = int(mx) * int(cfg.rr_max_seconds * 1000)
+        n_samp = max_ms * cfg.sampling_rate // 1000
+        max_win = max(0, (n_samp - cfg.window_samples()) // cfg.step_samples() + 1)
     return {
         "n_splits": n_splits,
         "parallelism": sc.defaultParallelism,
         "max_windows_per_doc": max_win,
+        "max_n_tok": int(mx) if mx is not None else None,
     }
 
 

@@ -97,6 +97,15 @@ def test_resume_revalidates_and_one_action_per_bucket(spark, fixture_tables, tin
     # resume; sequences and annotations hashed in a single union job)
     assert delta == 4, f"expected one action per bucket + stats probe + fp pre-pass, saw {delta}"
 
+    # identical rerun: fingerprints match -> buckets skip AND the stats
+    # probe is skipped (max_n_tok rides _manifest/table_stats.json), so
+    # the whole resume costs exactly ONE job — the fp pre-pass
+    before = executions()
+    rerun = run_resumable(spark, sdf, adf, out, tiny_cfg, n_buckets=2)
+    assert all(r.status == "skipped" for r in rerun)
+    delta = executions() - before
+    assert delta == 1, f"all-skipped resume must cost exactly the fp pre-pass, saw {delta}"
+
     shutil.rmtree(os.path.join(out, "bucket=0"))
     results = run_resumable(spark, sdf, adf, out, tiny_cfg, n_buckets=2)
     statuses = {r.bucket: r.status for r in results}
