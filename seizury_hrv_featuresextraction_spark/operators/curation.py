@@ -258,3 +258,78 @@ def decontaminate_overlap(
         .groupBy(id_col)
         .agg(F.count("*").alias("n_overlap"))
     )
+
+
+# ---------------------------------------------------------------------------
+# E33: bigram-LM cross-entropy scoring (the CCNet/KenLM-style quality pass)
+# ---------------------------------------------------------------------------
+
+
+def _word_bigrams(ws: Column) -> Column:
+    return F.when(
+        F.size(ws) >= 2,
+        F.zip_with(
+            F.slice(ws, 1, F.size(ws) - 1),
+            F.slice(ws, 2, F.size(ws) - 1),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+
+
+def bigram_lm_model(corpus: DataFrame, text_col: str = "text", k: float = 0.5) -> DataFrame:
+    """Add-k-smoothed bigram LM trained on the corpus:
+    ln P(b|a) = ln((c(a,b) + k) / (c(a) + k*V)). One shuffle on the
+    bigram key plus one on the unigram key; the result is vocabulary-
+    bounded (in a web pipeline: count-pruned to the top-M bigrams), so
+    downstream scoring can broadcast it."""
+    ws = words(F.col(text_col))
+    uni = (
+        corpus.select(F.explode(ws).alias("a"))
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).cast("double").alias("v"))
+    bi = (
+        corpus.select(F.explode(_word_bigrams(ws)).alias("bg"))
+        .select("bg.a", "bg.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    return (
+        bi.join(uni, "a")
+        .join(F.broadcast(vocab))
+        .select(
+            "a",
+            "b",
+            F.log((F.col("c12") + F.lit(k)) / (F.col("c1") + F.lit(k) * F.col("v"))).alias("lnp"),
+        )
+    )
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document cross-entropy under the bigram LM (lower = more
+    predictable text; the CCNet quality signal — docs are kept/binned by
+    this score). The model rides as the BROADCAST side; the corpus is
+    exploded to bigrams, hash-joined, and re-aggregated per doc — one
+    shuffle on the doc key, none on the corpus text itself. Documents
+    whose bigrams all miss the model would be dropped by the inner join;
+    with a model trained on the same corpus every bigram hits."""
+    ws = words(F.col(text_col))
+    e = df.select(F.col(id_col), F.explode(_word_bigrams(ws)).alias("bg")).select(
+        id_col, "bg.a", "bg.b"
+    )
+    return (
+        e.join(F.broadcast(model), ["a", "b"])
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum("lnp").alias("s"))
+        .select(
+            id_col,
+            "n_bigrams",
+            F.round(-F.col("s") / F.col("n_bigrams"), 6).alias("cross_entropy"),
+        )
+    )

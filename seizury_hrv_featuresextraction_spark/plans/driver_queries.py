@@ -3024,3 +3024,41 @@ def pcm_decode_stats(spark, sf_dir):
         F.encode("text", "UTF-8").alias("payload"),
     )
     return pcm16_features(media)
+
+
+@q(
+    "bigram_lm_scores",
+    f"""
+    WITH w AS (SELECT doc_id, {WORDS_DD} AS ws FROM documents),
+    uni AS (SELECT a, count(*) AS c1
+            FROM (SELECT unnest(ws) AS a FROM w) GROUP BY a),
+    vocab AS (SELECT count(*)::double AS v FROM uni),
+    e AS (SELECT doc_id, bg.a AS a, bg.b AS b
+          FROM (SELECT doc_id,
+                       unnest(list_transform(generate_series(1, greatest(0, len(ws) - 1)),
+                                             i -> {{'a': ws[i], 'b': ws[i+1]}})) AS bg
+                FROM w)),
+    bi AS (SELECT a, b, count(*) AS c12 FROM e GROUP BY a, b),
+    lnp AS (SELECT bi.a, bi.b, ln((c12 + 0.5) / (c1 + 0.5 * v)) AS lp
+            FROM bi JOIN uni USING (a) CROSS JOIN vocab),
+    sc AS (SELECT e.doc_id, count(*) AS nb, sum(lp) AS s
+           FROM e JOIN lnp ON lnp.a = e.a AND lnp.b = e.b
+           GROUP BY e.doc_id)
+    SELECT doc_id, nb::bigint AS n_bigrams, round(-s / nb, 6) AS cross_entropy
+    FROM sc
+    """,
+)
+def bigram_lm_scores(spark, sf_dir):
+    """E33: bigram-LM cross-entropy per document — the CCNet/KenLM-style
+    quality pass (docs kept/binned by predictability under a corpus LM).
+    Model = add-0.5-smoothed bigram LM trained on the same corpus (two
+    count shuffles, vocabulary-bounded result), then scoring = explode +
+    BROADCAST model join + per-doc re-agg. ln inputs are exact rationals
+    of integers in both engines; Java Math.log vs libm agree to <=1 ulp,
+    invisible at the 6-decimal contract (stressed at sf0.1)."""
+    from ..operators.curation import bigram_lm_model, bigram_lm_score
+    from ..operators.dedup import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    model = bigram_lm_model(docs, k=0.5)
+    return bigram_lm_score(docs, model)

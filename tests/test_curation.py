@@ -145,3 +145,36 @@ def test_decontaminate_broadcasts_eval_side(spark):
     plan = _plan(decontaminate_overlap(train, eval_df, n=8))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_bigram_lm_score_values_and_broadcast(spark):
+    """E33: hand-checked cross-entropy on a 2-doc corpus, and the model
+    rides the broadcast side of the scoring join (the corpus is never
+    shuffled on text)."""
+    import math
+
+    from seizury_hrv_featuresextraction_spark.operators.curation import (
+        bigram_lm_model,
+        bigram_lm_score,
+    )
+
+    df = _docs(spark, ["a b a b", "a b c"])
+    model = bigram_lm_model(df, k=0.5)
+    # corpus: words a=3,b=3,c=1 V=3; bigrams: (a,b)x2+1=3, (b,a)x1, (b,c)x1
+    lp = {r["a"] + r["b"]: r["lnp"] for r in model.collect()}
+    assert abs(lp["ab"] - math.log((3 + 0.5) / (3 + 1.5))) < 1e-12
+    assert abs(lp["ba"] - math.log((1 + 0.5) / (3 + 1.5))) < 1e-12
+    assert abs(lp["bc"] - math.log((1 + 0.5) / (3 + 1.5))) < 1e-12
+
+    scored = bigram_lm_score(df, model)
+    got = {r["doc_id"]: r for r in scored.collect()}
+    exp0 = -(2 * lp["ab"] + lp["ba"]) / 3
+    exp1 = -(lp["ab"] + lp["bc"]) / 2
+    assert got[0]["n_bigrams"] == 3 and abs(got[0]["cross_entropy"] - round(exp0, 6)) < 1e-9
+    assert got[1]["n_bigrams"] == 2 and abs(got[1]["cross_entropy"] - round(exp1, 6)) < 1e-9
+    # doc 0 (pure repetition of the most common bigram) is more predictable
+    assert got[0]["cross_entropy"] < got[1]["cross_entropy"]
+
+    final = _plan(scored).split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final, final
+    assert "SortMergeJoin" not in final, final
