@@ -333,3 +333,53 @@ def bigram_lm_score(
             F.round(-F.col("s") / F.col("n_bigrams"), 6).alias("cross_entropy"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# E34: corpus-vocabulary tokenizer — documents -> pre-tokenized sequences
+# (closes the loop to the engine's own input schema: doc_id, tokens, n_tok)
+# ---------------------------------------------------------------------------
+
+
+def build_vocab(corpus: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, token_id) with DENSE deterministic ids (row_number over the
+    alphabetical word order, 1-based; 0 is reserved for <unk>). The
+    single-partition window is fine because a vocabulary is small by
+    definition; a web-scale tokenizer would assign frequency-ordered ids
+    from the same distinct-aggregate."""
+    from pyspark.sql import Window
+
+    uni = corpus.select(F.explode(words(F.col(text_col))).alias("word")).distinct()
+    return uni.withColumn(
+        "token_id", F.row_number().over(Window.orderBy("word")).cast("int")
+    )
+
+
+def tokenize(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    unk_id: int = 0,
+) -> DataFrame:
+    """text -> ``tokens array<int>`` in word order — the pass that
+    produces the engine's own flagship input shape (input_hint:
+    ``doc_id, tokens:array<int32>, n_tok``). Explode with position,
+    LEFT join the BROADCAST vocabulary (misses become ``unk_id``),
+    re-assemble per doc sorted by position: one shuffle on the doc key,
+    none on the text. Docs with zero words produce no row (nothing to
+    train on)."""
+    ws = words(F.col(text_col))
+    e = df.select(F.col(id_col), F.posexplode(ws).alias("pos", "word"))
+    j = e.join(F.broadcast(vocab), "word", "left").withColumn(
+        "tid", F.coalesce(F.col("token_id"), F.lit(unk_id))
+    )
+    return (
+        j.groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tid"))), lambda s: s["tid"]
+            ).alias("tokens")
+        )
+        .withColumn("n_tok", F.size("tokens").cast("int"))
+    )

@@ -3062,3 +3062,43 @@ def bigram_lm_scores(spark, sf_dir):
     docs = spread(load_table(spark, sf_dir, "documents"))
     model = bigram_lm_model(docs, k=0.5)
     return bigram_lm_score(docs, model)
+
+
+@q(
+    "tokenize_documents",
+    f"""
+    WITH w AS (SELECT doc_id, {WORDS_DD} AS ws FROM documents),
+    v AS (SELECT word, row_number() OVER (ORDER BY word) AS token_id
+          FROM (SELECT DISTINCT unnest(ws) AS word FROM w)),
+    e AS (SELECT doc_id, pw.pos AS pos, pw.word AS word
+          FROM (SELECT doc_id,
+                       unnest(list_transform(generate_series(1, len(ws)),
+                                             i -> {{'pos': i, 'word': ws[i]}})) AS pw
+                FROM w)),
+    j AS (SELECT doc_id, pos, coalesce(v.token_id, 0) AS tid
+          FROM e LEFT JOIN v USING (word))
+    SELECT doc_id, count(*)::bigint AS n_tok,
+           md5(string_agg(tid::varchar, '-' ORDER BY pos)) AS tokens_md5
+    FROM j GROUP BY doc_id
+    """,
+)
+def tokenize_documents(spark, sf_dir):
+    """E34: corpus-vocabulary tokenization — the pass that PRODUCES the
+    engine's own flagship input shape (input_hint: doc_id,
+    tokens:array<int32>, n_tok) from raw text. Dense deterministic ids
+    (alphabetical row_number, 0=<unk>), broadcast vocab join, per-doc
+    reassembly in word order. The twin re-tokenizes in DuckDB; the token
+    ARRAY is compared via md5 of its '-'-joined ids (array stringification
+    differs between engines, the id sequence does not)."""
+    from ..operators.curation import build_vocab, tokenize
+    from ..operators.dedup import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = tokenize(docs, build_vocab(docs))
+    return toks.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.md5(
+            F.array_join(F.transform("tokens", lambda t: t.cast("string")), "-")
+        ).alias("tokens_md5"),
+    )

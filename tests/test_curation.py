@@ -178,3 +178,26 @@ def test_bigram_lm_score_values_and_broadcast(spark):
     final = _plan(scored).split("== Initial Plan ==")[0]
     assert "BroadcastHashJoin" in final, final
     assert "SortMergeJoin" not in final, final
+
+
+def test_tokenize_roundtrip_schema(spark):
+    """E34: tokenization produces the engine's own input shape
+    (doc_id, tokens array<int>, n_tok), ids are dense/deterministic,
+    unknown words map to <unk>=0, word order survives."""
+    from seizury_hrv_featuresextraction_spark.operators.curation import (
+        build_vocab,
+        tokenize,
+    )
+
+    corpus = _docs(spark, ["b a c", "a a d"])
+    vocab = {r["word"]: r["token_id"] for r in build_vocab(corpus).collect()}
+    assert vocab == {"a": 1, "b": 2, "c": 3, "d": 4}
+
+    out = {r["doc_id"]: r for r in tokenize(corpus, build_vocab(corpus)).collect()}
+    assert out[0]["tokens"] == [2, 1, 3] and out[0]["n_tok"] == 3
+    assert out[1]["tokens"] == [1, 1, 4]
+
+    # scoring NEW text against the trained vocab: misses -> unk
+    new = _docs(spark, ["a zzz b"])
+    got = tokenize(new, build_vocab(corpus)).collect()[0]
+    assert got["tokens"] == [1, 0, 2]
