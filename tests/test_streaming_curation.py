@@ -135,3 +135,65 @@ def test_exactly_once_foreachbatch_sink(spark, tmp_path):
     writer(spark.createDataFrame(pdf.iloc[:10], schema=SCHEMA), 0)
     assert "_SUCCESS" in os.listdir(os.path.join(out, "batch=0"))
     assert spark.read.parquet(out + "/batch=*").count() == 30
+
+
+@pytest.mark.timeout(300)
+def test_stream_static_decontamination(spark, tmp_path):
+    """E28 in streaming form: a STATIC eval shingle set joined against a
+    STREAM of incoming train docs (Spark's stream-static inner join is
+    stateless — each microbatch hash-joins the broadcastable static side;
+    the standard shape for filtering a live ingest against a frozen
+    eval/blocklist set)."""
+    from seizury_hrv_featuresextraction_spark.functions.text import words
+    from seizury_hrv_featuresextraction_spark.operators.curation import token_shingles
+
+    # static eval split: two docs that plant known 3-grams
+    eval_df = spark.createDataFrame(
+        [("e1", "alpha beta gamma delta"), ("e2", "one two three")],
+        "doc_id string, text string",
+    )
+    eval_sh = eval_df.select(
+        F.explode(token_shingles(words(F.col("text")), 3)).alias("sh")
+    ).distinct()
+
+    texts = {
+        0: "alpha beta gamma nine",      # no full 3-gram overlap? alpha-beta-gamma IS one -> hit
+        1: "nothing shared here at all",
+        2: "zero one two three four",    # one-two-three -> hit
+        3: "totally clean document text",
+    }
+    pdf = pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    src = str(tmp_path / "ss_src")
+    for i in range(0, 4, 2):
+        spark.createDataFrame(pdf.iloc[i : i + 2], schema=SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select("doc_id", F.explode(token_shingles(words(F.col("text")), 3)).alias("sh"))
+        .join(eval_sh, "sh")  # stream-static join: stateless, per microbatch
+    )
+    out = str(tmp_path / "ss_out")
+    q = (
+        stream.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ss_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    got = {
+        r["doc_id"]: r["n_overlap"]
+        for r in spark.read.parquet(out)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .collect()
+    }
+    # doc 0 shares 'alpha-beta-gamma', doc 2 shares 'one-two-three';
+    # docs 1 and 3 emit nothing (inner join drops them)
+    assert got == {0: 1, 2: 1}, got

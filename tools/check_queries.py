@@ -75,6 +75,7 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failed = []
+    walls: list[tuple[float, str]] = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -98,6 +99,8 @@ def main():
             failed.append(name)
             continue
         problems = compare(name, sdf, ddf)
+        took = time.time() - t0
+        walls.append((took, name))
         if problems:
             print(f"FAIL  {name}: rows={len(sdf)}/{len(ddf)}")
             for p in problems:
@@ -105,8 +108,10 @@ def main():
             failed.append(name)
         else:
             flag = "" if len(sdf) else "  (EMPTY!)"
-            print(f"PASS  {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]{flag}")
-    print(f"\n{len(failed)} failures: {failed}" if failed else "\nALL PASS")
+            print(f"PASS  {name}: {len(sdf)} rows [{took:.1f}s]{flag}")
+    slow = ", ".join(f"{n} {t:.0f}s" for t, n in sorted(walls, reverse=True)[:5])
+    print(f"\ntotal gate wall {sum(t for t, _ in walls):.0f}s over {len(walls)} queries; slowest: {slow}")
+    print(f"{len(failed)} failures: {failed}" if failed else "ALL PASS")
     sys.exit(1 if failed else 0)
 
 
