@@ -3102,3 +3102,66 @@ def tokenize_documents(spark, sf_dir):
             F.array_join(F.transform("tokens", lambda t: t.cast("string")), "-")
         ).alias("tokens_md5"),
     )
+
+
+@q(
+    "neardup_canonical_docs",
+    f"""
+    WITH RECURSIVE
+         w AS (SELECT doc_id, {WORDS_DD} AS ws FROM documents),
+         sets AS (SELECT doc_id,
+                    list_distinct(list_transform(generate_series(1, greatest(0, len(ws) - 2)),
+                                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sg
+                  FROM w),
+         sig AS (SELECT doc_id,
+                        list_min(list_transform(sg, s -> md5('0:' || s))) AS mh0,
+                        list_min(list_transform(sg, s -> md5('1:' || s))) AS mh1,
+                        list_min(list_transform(sg, s -> md5('2:' || s))) AS mh2,
+                        list_min(list_transform(sg, s -> md5('3:' || s))) AS mh3
+                 FROM sets WHERE len(sg) > 0),
+         bands AS (
+           SELECT doc_id, 0 AS band_idx, mh0 || '|' || mh1 AS band_val FROM sig
+           UNION ALL
+           SELECT doc_id, 1 AS band_idx, mh2 || '|' || mh3 AS band_val FROM sig),
+         und AS (
+           SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+           FROM bands a JOIN bands b
+             ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+            AND a.doc_id <> b.doc_id),
+         walk(id, comp) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT u.dst, walk.comp FROM walk JOIN und u ON u.src = walk.id),
+         comps AS (SELECT id AS doc_id, min(comp) AS component FROM walk GROUP BY id),
+         q AS (SELECT c.component, c.doc_id, len(w.ws)::bigint AS n_words,
+                      row_number() OVER (PARTITION BY c.component
+                                         ORDER BY len(w.ws) DESC, c.doc_id ASC) AS rk
+               FROM comps c JOIN w ON w.doc_id = c.doc_id)
+    SELECT component, doc_id, n_words FROM q WHERE rk = 1
+    """,
+)
+def neardup_canonical_docs(spark, sf_dir):
+    """Near-dup cluster CONSOLIDATION: instead of keeping min(id) per
+    cluster, keep the highest-QUALITY representative (here: longest doc,
+    ties by min id — swap in any quality column). Composition of three
+    proven stages: MinHash-LSH pairs -> connected components (iterative
+    min-label propagation) -> per-component arg-max window. The twin
+    recomputes the whole chain (recursive-CTE fixpoint + window)."""
+    from pyspark.sql import Window
+
+    from ..operators.dedup import connected_components, minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", n_hashes=4, band_size=2, shingle_words=3)
+    comp = connected_components(pairs, nodes=docs.select(F.col("doc_id").alias("id")))
+    q = (
+        comp.select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
+        .join(docs.select("doc_id", F.size(words(F.col("text"))).cast("long").alias("n_words")), "doc_id")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("component").orderBy(F.desc("n_words"), F.asc("doc_id"))
+            ),
+        )
+    )
+    return q.filter(F.col("rk") == 1).select("component", "doc_id", "n_words")
