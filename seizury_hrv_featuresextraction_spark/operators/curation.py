@@ -1,4 +1,4 @@
-"""Corpus-curation operators (SURVEY.md §2.12 E25-E28).
+"""Corpus-curation operators (SURVEY.md §2.12 E25-E28, E33-E34).
 
 The standard LLM training-data curation passes, re-expressed Spark-first
 over the `documents` / derived-sequences tables. The reference repo's
