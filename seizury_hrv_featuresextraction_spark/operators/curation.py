@@ -383,3 +383,30 @@ def tokenize(
         )
         .withColumn("n_tok", F.size("tokens").cast("int"))
     )
+
+
+def detokenize(
+    df: DataFrame,
+    vocab: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """tokens array<int> -> space-joined text via the broadcast inverse
+    vocabulary (unknown ids render as '<unk>'). Same shape as
+    ``tokenize``: explode with position, broadcast join, positional
+    reassembly — one doc-key shuffle."""
+    e = df.select(F.col(id_col), F.posexplode(F.col(tokens_col)).alias("pos", "token_id"))
+    j = e.join(F.broadcast(vocab), "token_id", "left").withColumn(
+        "w", F.coalesce(F.col("word"), F.lit("<unk>"))
+    )
+    return (
+        j.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))), lambda s: s["w"]
+                ),
+                " ",
+            ).alias("text_rt")
+        )
+    )

@@ -3165,3 +3165,26 @@ def neardup_canonical_docs(spark, sf_dir):
         )
     )
     return q.filter(F.col("rk") == 1).select("component", "doc_id", "n_words")
+
+
+@q(
+    "detokenize_roundtrip",
+    f"""
+    WITH w AS (SELECT doc_id, {WORDS_DD} AS ws FROM documents)
+    SELECT doc_id, array_to_string(ws, ' ') AS text_rt
+    FROM w WHERE len(ws) > 0
+    """,
+)
+def detokenize_roundtrip(spark, sf_dir):
+    """E34b: tokenize -> detokenize LOSSLESSNESS under an independent
+    oracle — the engine runs the full vocab/tokenize/detokenize chain;
+    the twin never tokenizes at all, it just normalizes the raw text
+    (lowercase, whitespace-collapsed word join). Equality proves the id
+    assignment is a bijection on the vocabulary and positional
+    reassembly preserves word order end-to-end."""
+    from ..operators.curation import build_vocab, detokenize, tokenize
+    from ..operators.dedup import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    vocab = build_vocab(docs)
+    return detokenize(tokenize(docs, vocab), vocab).select("doc_id", "text_rt")

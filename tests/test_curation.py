@@ -201,3 +201,21 @@ def test_tokenize_roundtrip_schema(spark):
     new = _docs(spark, ["a zzz b"])
     got = tokenize(new, build_vocab(corpus)).collect()[0]
     assert got["tokens"] == [1, 0, 2]
+
+
+def test_detokenize_inverts_tokenize(spark):
+    from seizury_hrv_featuresextraction_spark.operators.curation import (
+        build_vocab,
+        detokenize,
+        tokenize,
+    )
+
+    corpus = _docs(spark, ["The  Quick fox", "fox quick the the"])
+    vocab = build_vocab(corpus)
+    rt = {r["doc_id"]: r["text_rt"] for r in detokenize(tokenize(corpus, vocab), vocab).collect()}
+    # lossless up to the tokenizer's normalization (lowercase, ws collapse)
+    assert rt == {0: "the quick fox", 1: "fox quick the the"}
+    # unknown id renders as <unk>
+    weird = spark.createDataFrame([(9, [1, 999])], "doc_id long, tokens array<int>")
+    got = detokenize(weird, vocab).collect()[0]["text_rt"]
+    assert "<unk>" in got
