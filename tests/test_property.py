@@ -287,3 +287,34 @@ def test_decontaminate_matches_python_reference(spark, train, ev, n):
         if k:
             exp[f"t{i}"] = k
     assert got == exp, (got, exp)
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet=" abcXYZ\t", min_size=0, max_size=30), min_size=1, max_size=5
+    )
+)
+@SETTINGS
+def test_tokenize_detokenize_roundtrip_property(spark, texts):
+    """E34: detokenize(tokenize(x)) == the normalized word join, for
+    arbitrary text incl. mixed case, repeated/odd whitespace and empty
+    strings (empty docs produce no row on either side)."""
+    from seizury_hrv_featuresextraction_spark.operators.curation import (
+        build_vocab,
+        detokenize,
+        tokenize,
+    )
+
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    df = spark.createDataFrame(pdf)
+    vocab = build_vocab(df)
+    rt = {
+        r["doc_id"]: r["text_rt"]
+        for r in detokenize(tokenize(df, vocab), vocab).collect()
+    }
+    for i, t in enumerate(texts):
+        expected = " ".join(t.lower().split())
+        if expected:
+            assert rt[i] == expected, (t, rt.get(i))
+        else:
+            assert i not in rt
