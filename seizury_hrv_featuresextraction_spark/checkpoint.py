@@ -35,7 +35,9 @@ class BucketResult:
     n_docs: int
     elapsed_s: float
     status: str
-    input_fp: int | None = None
+    # int fingerprint, the string "disabled" (run with check_input=False),
+    # or None (manifest written before fingerprinting existed)
+    input_fp: int | str | None = None
 
     @property
     def rows_per_s(self) -> float:
@@ -83,9 +85,15 @@ def _manifest_dir(output_path: str) -> str:
 
 
 def _table_fp(in_fps: dict[int, int]) -> int:
-    """Whole-table fingerprint from the per-bucket ones (order-sensitive
-    across buckets: ints hash deterministically in CPython)."""
-    return hash(tuple(in_fps[k] for k in sorted(in_fps)))
+    """Whole-table fingerprint from the per-bucket ones: an explicit
+    64-bit multiply/xor fold over buckets in key order — NOT the builtin
+    ``hash(tuple(...))``, whose value is CPython-implementation-specific
+    (an interpreter change would silently invalidate every recorded
+    table_stats.json and force benign-but-surprising stats re-probes)."""
+    fp = 0x9E3779B97F4A7C15  # non-zero seed so an empty dict != bucket {0: 0}
+    for k in sorted(in_fps):
+        fp = ((fp * 1_000_003) ^ (in_fps[k] & 0xFFFFFFFFFFFFFFFF)) & 0xFFFFFFFFFFFFFFFF
+    return fp
 
 
 def _table_stats_path(output_path: str) -> str:
@@ -190,7 +198,10 @@ def run_resumable(
     recomputes exactly the buckets whose slice changed (Iceberg-style
     incremental recompute) instead of trusting config+output alone.
     Manifests written before this feature carry no fingerprint and fall
-    back to the config-only skip.
+    back to the config-only skip. A run with ``check_input=False`` stamps
+    its manifests ``input_fp="disabled"`` — a later validating run treats
+    that as a mismatch and recomputes (never serves buckets whose input
+    was not validated when written).
     """
     from .plans.hrv_pipeline import extract_features, plan_stats
 
@@ -213,12 +224,25 @@ def run_resumable(
         and prev_stats is not None
         and prev_stats.get("table_fp") == table_fp
         and prev_stats.get("max_n_tok") is not None
+        and prev_stats.get("total_tokens") is not None
     ):
-        stats = plan_stats(sequences, cfg, known_max_n_tok=prev_stats["max_n_tok"])
+        stats = plan_stats(
+            sequences,
+            cfg,
+            known_max_n_tok=prev_stats["max_n_tok"],
+            known_total_tok=prev_stats["total_tokens"],
+        )
     else:
         stats = plan_stats(sequences, cfg)
         if table_fp is not None and stats.get("max_n_tok") is not None:
-            _write_table_stats(output_path, {"table_fp": table_fp, "max_n_tok": stats["max_n_tok"]})
+            _write_table_stats(
+                output_path,
+                {
+                    "table_fp": table_fp,
+                    "max_n_tok": stats["max_n_tok"],
+                    "total_tokens": stats["total_tokens"],
+                },
+            )
     completed = 0
     for k in range(n_buckets):
         prev = done.get(k)
@@ -230,6 +254,9 @@ def run_resumable(
             and (
                 not check_input
                 or prev.get("input_fp") is None  # pre-feature manifest
+                # "disabled" (written by a check_input=False run) is a
+                # DELIBERATE mismatch: the input was never validated, so
+                # a validating run recomputes rather than trusting it
                 or prev.get("input_fp") == in_fps.get(k)
             )
         ):
@@ -256,7 +283,10 @@ def run_resumable(
         feats.write.mode("overwrite").parquet(out_dir)
         n_docs = int(obs_in.get["n_docs"])
         rows = int(obs_out.get["row_count"])
-        res = BucketResult(k, cfg_hash, rows, n_docs, time.time() - t0, "ok", in_fps.get(k))
+        res = BucketResult(
+            k, cfg_hash, rows, n_docs, time.time() - t0, "ok",
+            in_fps.get(k) if check_input else "disabled",
+        )
         write_manifest_entry(output_path, res)
         results.append(res)
         completed += 1
@@ -369,6 +399,23 @@ def write_snapshot(output_path: str) -> int:
                 return version
             except FileExistsError:
                 version += 1  # lost the race: retry with the next slot
+            except OSError:
+                # filesystem without hard-link support (some network /
+                # object-store mounts raise EPERM/EOPNOTSUPP, not EEXIST):
+                # fall back to an O_CREAT|O_EXCL exclusive create + direct
+                # write. Still race-safe on the version slot; the one
+                # guarantee given up is that a concurrent reader could
+                # observe a mid-write vN.json on such filesystems.
+                try:
+                    fd2 = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                except FileExistsError:
+                    version += 1
+                else:
+                    with os.fdopen(fd2, "w") as f2:
+                        json.dump(snap, f2)
+                        f2.flush()
+                        os.fsync(f2.fileno())
+                    return version
         finally:
             os.unlink(tmp)
 

@@ -18,18 +18,20 @@ def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Repartition a narrow-but-CPU-heavy input (e.g. a single small
     parquet file read as 1 split) up to cluster parallelism. At 100 TB
     inputs already arrive in many splits and this is a no-op."""
+    from ..planutil import scan_num_partitions
+
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
     # conditional: df.repartition() ALWAYS materializes a RoundRobin
     # exchange (AQE can coalesce its output but never delete it), so at
     # 100 TB an unconditional call would shuffle the full raw corpus at
-    # the head of every dedup/similarity op. getNumPartitions() is a
-    # plan-time metadata lookup (no job); when the scan already has >=
-    # target splits the input stays exactly where the source put it.
-    try:
-        n_parts = df.rdd.getNumPartitions()
-    except Exception:  # pragma: no cover - non-scan plans where the RDD
-        n_parts = 0  # conversion is unsupported: fall through to repartition
-    if n_parts >= target:
+    # the head of every dedup/similarity op. The split probe is a pure
+    # metadata lookup only for NARROW plans — scan_num_partitions guards
+    # the plan shape first (touching .rdd on a plan with exchanges would
+    # finalize the AQE plan and can eagerly run shuffle stages), and
+    # returns None for wide/unknown plans, which falls through to the
+    # conservative repartition.
+    n_parts = scan_num_partitions(df)
+    if n_parts is not None and n_parts >= target:
         return df
     return df.repartition(target)
 
@@ -512,3 +514,64 @@ def blocklist_filter(
     norm = normalize_url(F.col(url_col))
     with_domain = df.withColumn("domain", url_domain(norm))
     return with_domain.join(blocked.select("domain"), "domain", "left_anti").drop("domain")
+
+
+def substring_dup_spans(
+    df: DataFrame, text_col: str, id_col: str, n: int = 10
+) -> DataFrame:
+    """E36: substring-granularity exact dedup detection (the Lee et al.
+    "Deduplicating Training Data" ExactSubstr pass at a fixed shingle
+    length — whole-doc fingerprints miss boilerplate embedded inside
+    otherwise-unique pages). A word position is DUPLICATED when its
+    n-word shingle occurs more than once corpus-wide (within OR across
+    docs, as in the paper); per doc, overlapping duplicated shingle
+    ranges merge into maximal spans.
+
+    Returns (doc_id, span_start, span_end, span_words): 1-based word
+    positions of each maximal duplicated span.
+
+    Scale shape — exactly TWO hash shuffles and zero joins:
+    1. shingle key: occurrence counting is a window count partitioned by
+       xxhash64(shingle), so the shuffle carries (doc_id, pos, 8-byte
+       hash) — never the shingle text, never the document, and there is
+       no second scan + join-back (the count rides the same row).
+    2. doc key: gaps-and-islands span merge (lag + running sum + agg all
+       share the doc_id partitioning, so Catalyst plans ONE exchange for
+       all three).
+    Fixed n keeps the blow-up linear (len-n+1 rows/doc) — the suffix
+    arrays of the paper find variable-length matches but cannot shard
+    this way. Hash note: dup detection is on xxhash64(shingle); a 64-bit
+    collision could mark a span spuriously (~n_shingles^2/2^65 — vanishing
+    at corpus scale; the paper's BigQuery variant hashes identically).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        spread(df)
+        .select(F.col(id_col).alias("doc_id"), words(F.col(text_col)).alias("ws"))
+        # guard before sequence(): Spark's sequence(1, k) DESCENDS for
+        # k <= 0, so short docs must not reach the shingle builder
+        .filter(F.size("ws") >= n)
+    )
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size("ws") - F.lit(n - 1)),
+        lambda i: F.xxhash64(F.array_join(F.slice("ws", i, n), " ")),
+    )
+    g = w.select("doc_id", F.posexplode(shingles).alias("pos0", "h")).select(
+        "doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "h"
+    )
+    dup = g.withColumn(
+        "cnt", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    ).filter(F.col("cnt") > 1)
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(F.col("pos") - F.lag("pos", 1).over(wdoc) > n, 1).otherwise(0)
+    islands = dup.withColumn("island", F.sum(brk).over(wdoc))
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (n - 1)).alias("span_end"),
+            (F.max("pos") + (n - 1) - F.min("pos") + 1).alias("span_words"),
+        )
+        .select("doc_id", "span_start", "span_end", "span_words")
+    )

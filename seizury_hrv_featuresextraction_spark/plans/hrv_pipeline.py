@@ -159,12 +159,17 @@ def plan_stats(
     sequences: DataFrame,
     cfg: HRVConfig = DEFAULT_CONFIG,
     known_max_n_tok: int | None = None,
+    known_total_tok: int | None = None,
 ) -> dict:
     """Cheap table stats for physical-plan selection.
 
-    - ``n_splits``: the scan's actual split count — a plan-time metadata
-      lookup (no job), the same information Iceberg manifests expose as
-      the file list.
+    - ``n_splits``: the scan's actual split count — the same information
+      Iceberg manifests expose as the file list. For NARROW plans this
+      is a plan-time metadata lookup (no job); for plans containing
+      exchanges the probe is skipped entirely (touching .rdd there would
+      finalize the AQE plan and can eagerly run shuffle stages — see
+      planutil.scan_num_partitions) and 0 is reported, which selects the
+      skew-safe chunked plan.
     - ``max_windows_per_doc``: an UPPER BOUND on any one doc's window
       count, derived from max(n_tok) x the physiologic RR ceiling
       (cfg.rr_max_seconds). Computed from the n_tok int column only — a
@@ -173,20 +178,30 @@ def plan_stats(
       one-column agg here is the honest local stand-in. None when the
       table has no n_tok column.
 
-    ``known_max_n_tok`` skips the agg job entirely — run_resumable passes
-    the value recorded in ``_manifest/table_stats.json`` when the input
-    fingerprint proves the table is unchanged since it was measured (the
-    Iceberg pattern: stats ride the snapshot, not a fresh scan).
+    - ``total_tokens``: sum(n_tok) over the table — the job-size signal
+      that decides the fused-vs-chunked crossover (BENCH/scale_sweep.md:
+      chunked wins small jobs where fixed per-task overhead and mild
+      imbalance dominate; fused wins once per-core work amortizes them).
+      Measured in the SAME single column-pruned agg as max(n_tok) —
+      adding it costs nothing. On Iceberg this is a column-stats lookup.
+
+    ``known_max_n_tok``/``known_total_tok`` skip the agg job entirely —
+    run_resumable passes the values recorded in
+    ``_manifest/table_stats.json`` when the input fingerprint proves the
+    table is unchanged since they were measured (the Iceberg pattern:
+    stats ride the snapshot, not a fresh scan).
     """
+    from ..planutil import scan_num_partitions
+
     sc = sequences.sparkSession.sparkContext
-    try:
-        n_splits = sequences.rdd.getNumPartitions()
-    except Exception:  # pragma: no cover
-        n_splits = 0
+    n_splits = scan_num_partitions(sequences) or 0
     max_win = None
-    mx = known_max_n_tok
+    mx, total = known_max_n_tok, known_total_tok
     if mx is None and "n_tok" in sequences.columns:
-        mx = sequences.agg(F.max("n_tok")).collect()[0][0]
+        row = sequences.agg(
+            F.max("n_tok").alias("mx"), F.sum(F.col("n_tok").cast("long")).alias("total")
+        ).collect()[0]
+        mx, total = row["mx"], row["total"]
     if mx is not None:
         max_ms = int(mx) * int(cfg.rr_max_seconds * 1000)
         n_samp = max_ms * cfg.sampling_rate // 1000
@@ -196,6 +211,7 @@ def plan_stats(
         "parallelism": sc.defaultParallelism,
         "max_windows_per_doc": max_win,
         "max_n_tok": int(mx) if mx is not None else None,
+        "total_tokens": int(total) if total is not None else None,
     }
 
 
@@ -203,23 +219,40 @@ def plan_stats(
 # caps before the chunk-split plan's rebalancing is worth its shuffle
 _FUSED_SKEW_HEADROOM = 8
 
+# fused-vs-chunked crossover, calibrated from BENCH/scale_sweep.md on
+# the bench host: at 4M tokens / 32 cores (125k tok/core) the chunked
+# plan's repartition-rebalanced tasks win (fixed per-task overhead and
+# mild doc-length imbalance dominate the short wall); at >= 20M tokens
+# (625k tok/core) fused wins and holds through 250M (the shuffle it
+# avoids is the entire cost gap). 300k/core sits at the geometric mean
+# of the two measured points.
+_FUSED_MIN_TOKENS_PER_CORE = 300_000
+
 
 def choose_fused(stats: dict, cfg: HRVConfig = DEFAULT_CONFIG) -> bool:
-    """Pick the physical plan from table stats (VERDICT r3 item 3).
+    """Pick the physical plan from table stats (VERDICT r3 item 3; token
+    volume added r5 per VERDICT r4 item 3).
 
-    fused (zero-shuffle single Arrow stage) iff BOTH:
+    fused (zero-shuffle single Arrow stage) iff ALL of:
     - the scan already has >= cluster parallelism splits (otherwise the
       chunk path's repartition manufactures the missing parallelism —
-      the measured 1-file case where fused serializes), and
+      the measured 1-file case where fused serializes),
     - no single doc can exceed ``_FUSED_SKEW_HEADROOM`` chunk caps of
       windows (otherwise one doc straggles a whole fused task; the chunk
-      split bounds per-task work at max_windows_per_chunk).
+      split bounds per-task work at max_windows_per_chunk), and
+    - the job is big enough to amortize fused's unbalanced tasks:
+      total_tokens >= ``_FUSED_MIN_TOKENS_PER_CORE`` x parallelism (the
+      measured crossover — below it the chunked plan's rebalancing
+      beats the shuffle it costs).
     Unknown stats fall back to the skew-safe chunked plan.
     """
     if stats["n_splits"] < stats["parallelism"]:
         return False
     mw = stats["max_windows_per_doc"]
     if mw is None or mw > cfg.max_windows_per_chunk * _FUSED_SKEW_HEADROOM:
+        return False
+    tt = stats.get("total_tokens")
+    if tt is None or tt < _FUSED_MIN_TOKENS_PER_CORE * stats["parallelism"]:
         return False
     return True
 

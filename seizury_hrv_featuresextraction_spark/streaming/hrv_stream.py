@@ -28,8 +28,10 @@ Key properties:
   out-of-order chunks in state until the gap fills and consumes the
   longest contiguous prefix each trigger, so the drained output is
   invariant to arbitrary cross-batch permutations (hypothesis property
-  test). Duplicate or replayed chunk ids raise (the feature rows are
-  emitted-once, so a replay would corrupt window arithmetic), and a
+  test). Duplicate or replayed chunk ids raise under ``strict=True``
+  (the feature rows are emitted-once, so a consumed replay would corrupt
+  window arithmetic) and are dropped idempotently under ``strict=False``
+  (the at-least-once-source mode), and a
   pending buffer past ``max_pending_chunks`` raises instead of
   accumulating unbounded state behind a lost chunk.
 
@@ -73,7 +75,7 @@ STREAM_STATE_SCHEMA = T.StructType(
 )
 
 
-def make_hrv_stream_fn(cfg: HRVConfig, max_pending_chunks: int = 4096):
+def make_hrv_stream_fn(cfg: HRVConfig, max_pending_chunks: int = 4096, strict: bool = True):
     fs = cfg.sampling_rate
     spw = cfg.window_samples()
     step = cfg.step_samples()
@@ -121,11 +123,20 @@ def make_hrv_stream_fn(cfg: HRVConfig, max_pending_chunks: int = 4096):
         for ci, toks in zip(pdf["chunk_idx"], pdf["tokens"]):
             ci = int(ci)
             if ci < next_chunk or ci in pending:
-                raise ValueError(
-                    f"doc {doc_id}: duplicate/replayed chunk_idx={ci} "
-                    f"(next expected {next_chunk}) — chunk ids must be a "
-                    "dense 0-based sequence delivered at-most-once"
-                )
+                # strict (default): a duplicate/replayed chunk corrupts
+                # the emitted-once window arithmetic, so fail the query.
+                # strict=False: at-least-once sources legitimately
+                # redeliver — an already-consumed or already-pending
+                # chunk id is dropped (idempotent skip) instead of
+                # killing the whole stream over one redelivery.
+                if strict:
+                    raise ValueError(
+                        f"doc {doc_id}: duplicate/replayed chunk_idx={ci} "
+                        f"(next expected {next_chunk}) — chunk ids must be a "
+                        "dense 0-based sequence delivered at-most-once "
+                        "(strict=False downgrades this to a drop)"
+                    )
+                continue
             pending[ci] = [int(x) for x in toks]
         ready: list[np.ndarray] = []
         while next_chunk in pending:
@@ -182,15 +193,20 @@ class _BatchState:
 
 
 def streaming_hrv_features(
-    chunks: DataFrame, cfg: HRVConfig = DEFAULT_CONFIG
+    chunks: DataFrame, cfg: HRVConfig = DEFAULT_CONFIG, strict: bool = True
 ) -> DataFrame:
     """(doc_id, chunk_idx, tokens array<int>) stream -> feature rows.
 
     Streaming input: true incremental state. Batch input: the same state
     function through ``applyInPandas`` (one group = the whole history),
     so the operator is testable batch-vs-stream like the other stateful
-    ops."""
-    fn = make_hrv_stream_fn(cfg)
+    ops.
+
+    ``strict=True`` (default) raises on any duplicate/replayed chunk id
+    (at-most-once delivery contract); ``strict=False`` drops redelivered
+    chunks idempotently — the right mode behind an at-least-once source,
+    where one upstream retry must not kill the query."""
+    fn = make_hrv_stream_fn(cfg, strict=strict)
     if chunks.isStreaming:
         return chunks.groupBy("doc_id").applyInPandasWithState(
             fn,

@@ -357,3 +357,40 @@ def test_expire_snapshots_retention(spark, fixture_tables, tiny_cfg, tmp_path):
         read_snapshot(spark, out, version=2)
     with pytest.raises(ValueError):
         expire_snapshots(out, keep_last=0)
+
+
+def test_disabled_input_check_recomputes_under_validation(spark, fixture_tables, tiny_cfg, tmp_path):
+    """ADVICE r4: a run with check_input=False stamps its manifests
+    input_fp="disabled" — a later validating (default) run must treat
+    that as a mismatch and recompute those buckets, never serving output
+    whose input was not validated when written. Once the validating run
+    has stamped real fingerprints, a repeat run skips normally."""
+    seq, ann = fixture_tables
+    seq = seq.iloc[:4]
+    ann = ann[ann["doc_id"].isin(seq["doc_id"])]
+    sdf = spark.createDataFrame(seq, schema=SEQUENCES_SCHEMA)
+    adf = spark.createDataFrame(ann, schema=ANNOTATIONS_SCHEMA)
+    out = str(tmp_path / "disabled_fp_out")
+
+    r1 = run_resumable(spark, sdf, adf, out, tiny_cfg, n_buckets=3, check_input=False)
+    assert all(r.status == "ok" for r in r1)
+    assert all(m["input_fp"] == "disabled" for m in read_manifest(out).values())
+
+    # unchanged input, but the recorded fingerprints say "never validated"
+    r2 = run_resumable(spark, sdf, adf, out, tiny_cfg, n_buckets=3, check_input=True)
+    assert all(r.status == "ok" for r in r2), "disabled-fp buckets must recompute under validation"
+
+    r3 = run_resumable(spark, sdf, adf, out, tiny_cfg, n_buckets=3, check_input=True)
+    assert all(r.status == "skipped" for r in r3)
+
+
+def test_table_fp_is_interpreter_stable():
+    """ADVICE r4: the whole-table fingerprint is an explicit 64-bit fold,
+    not hash(tuple(...)) — pin exact values so an interpreter or Python
+    version change cannot silently invalidate recorded table stats."""
+    from seizury_hrv_featuresextraction_spark.checkpoint import _table_fp
+
+    assert _table_fp({0: -5, 1: 7}) == 11258907142070501003
+    assert _table_fp({1: 7, 0: -5}) == 11258907142070501003  # key-order independent
+    assert _table_fp({}) == 11400714819323198485
+    assert _table_fp({0: 0}) == 15547872573721600895  # empty != single-zero bucket

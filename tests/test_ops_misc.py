@@ -409,3 +409,71 @@ def test_pcm16_decode_exact(spark):
     assert f["sum_sq"] == int((a.astype(np.int64) ** 2).sum())
     assert f["peak"] == 32768
     assert got["odd"] == {"media_id": "odd", "n_samples": 1, "sum_x": -5, "sum_sq": 25, "peak": 5}
+
+
+def test_query_surface_guard():
+    """VERDICT r4 item 8: the driver snapshot silently truncates to the
+    first 50 queries() entries — pin (a) every registered query has a
+    DuckDB twin (no silent rows-only regressions), and (b) the exported
+    order puts never-driver-verified queries first so each one lands a
+    driver CORRECTNESS row within two rounds."""
+    from seizury_hrv_featuresextraction_spark.plans.driver_queries import (
+        _LAST_DRIVER_ROUND,
+        _ROWS_ONLY_OK,
+        ORACLE,
+        QUERIES,
+    )
+
+    assert set(QUERIES) - set(ORACLE) <= _ROWS_ONLY_OK
+    assert set(ORACLE) <= set(QUERIES)
+    prios = [_LAST_DRIVER_ROUND.get(n, 0) for n in QUERIES]
+    assert prios == sorted(prios), "rotation broken: driver-verified query before an unverified one"
+    # every never-driver-verified query must fit inside the 50-row window
+    assert sum(1 for p in prios if p == 0) <= 50
+
+
+def test_wav_header_parse_and_decode(spark):
+    """r5 WAV path: native header parse recovers rate/channels/data-size
+    from bytes alone; invalid containers (bad magic, non-PCM, 8-bit) are
+    flagged invalid and excluded from decode; duration is exact-int."""
+    import struct
+
+    from seizury_hrv_featuresextraction_spark.operators.multimodal import (
+        wav_features,
+        wav_header,
+    )
+
+    def wav_bytes(sr, ch, samples, fmt=1, bits=16, magic=b"RIFF"):
+        data = np.asarray(samples, dtype="<i2").tobytes()
+        return (
+            magic + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, fmt, ch, sr, sr * ch * bits // 8, ch * bits // 8, bits)
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    rows = [
+        ("ok_mono", bytearray(wav_bytes(8000, 1, [0, 5, -5, 1000]))),
+        ("ok_stereo", bytearray(wav_bytes(16000, 2, [1, -1, 2, -2, 3, -3]))),
+        ("bad_magic", bytearray(wav_bytes(8000, 1, [1, 2], magic=b"RIFX"))),
+        ("not_pcm", bytearray(wav_bytes(8000, 1, [1, 2], fmt=3))),
+        ("eight_bit", bytearray(wav_bytes(8000, 1, [1, 2], bits=8))),
+    ]
+    media = spark.createDataFrame(rows, "media_id string, payload binary")
+    hdr = {r["media_id"]: r.asDict() for r in wav_header(media).collect()}
+    assert hdr["ok_mono"]["wav_valid"] and hdr["ok_stereo"]["wav_valid"]
+    assert hdr["ok_stereo"]["sample_rate"] == 16000 and hdr["ok_stereo"]["channels"] == 2
+    assert hdr["ok_mono"]["data_size"] == 8
+    assert not hdr["bad_magic"]["wav_valid"]
+    assert not hdr["not_pcm"]["wav_valid"]
+    assert not hdr["eight_bit"]["wav_valid"]
+
+    feats = {r["media_id"]: r.asDict() for r in wav_features(media).collect()}
+    assert set(feats) == {"ok_mono", "ok_stereo"}
+    m = feats["ok_mono"]
+    assert m == {
+        "media_id": "ok_mono", "sample_rate": 8000, "channels": 1, "n_samples": 4,
+        "n_frames": 4, "duration_ms": 0, "sum_x": 1000, "sum_sq": 1000050, "peak": 1000,
+    }
+    s = feats["ok_stereo"]
+    assert s["n_samples"] == 6 and s["n_frames"] == 3 and s["duration_ms"] == 0
+    assert s["sum_x"] == 0 and s["sum_sq"] == 28 and s["peak"] == 3

@@ -217,13 +217,24 @@ def test_flagship_auto_plan_selection(spark, tmp_path):
     wstats = plan_stats(wdf, DEFAULT_CONFIG)
     assert wstats["n_splits"] >= wstats["parallelism"], wstats
     assert wstats["max_windows_per_doc"] is not None
-    assert choose_fused(wstats, DEFAULT_CONFIG) is True
-    plan = _plan(extract_features(wdf, None, DEFAULT_CONFIG))
+    assert wstats["total_tokens"] is not None
+    # VERDICT r4 item 3: a wide-but-SMALL job stays chunked — below the
+    # measured token-volume crossover the rebalanced tasks beat fused
+    from seizury_hrv_featuresextraction_spark.plans.hrv_pipeline import (
+        _FUSED_MIN_TOKENS_PER_CORE,
+    )
+
+    assert wstats["total_tokens"] < _FUSED_MIN_TOKENS_PER_CORE * wstats["parallelism"]
+    assert choose_fused(wstats, DEFAULT_CONFIG) is False
+    # ...and the same layout at crossover volume flips to fused
+    big = dict(wstats, total_tokens=_FUSED_MIN_TOKENS_PER_CORE * wstats["parallelism"])
+    assert choose_fused(big, DEFAULT_CONFIG) is True
+    plan = _plan(extract_features(wdf, None, DEFAULT_CONFIG, stats=big))
     assert "Exchange" not in plan, plan
 
     # a table whose max n_tok implies a straggler doc refuses fused even
-    # when wide (the chunk cap bounds per-task work)
-    huge = dict(wstats, max_windows_per_doc=DEFAULT_CONFIG.max_windows_per_chunk * 9)
+    # when wide and big (the chunk cap bounds per-task work)
+    huge = dict(big, max_windows_per_doc=DEFAULT_CONFIG.max_windows_per_chunk * 9)
     assert choose_fused(huge, DEFAULT_CONFIG) is False
 
 
@@ -395,3 +406,37 @@ def test_curation_pipeline_three_shuffles(spark):
     hashex = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
     assert len(hashex) == 3, (hashex, plan)
     assert c.count() > 0
+
+
+def test_substring_dup_spans_two_shuffles_no_join(spark):
+    """E36 scale contract: substring dedup is exactly TWO hash shuffles —
+    one on the 8-byte shingle hash (window count; the shuffle never
+    carries shingle text or documents), one on doc_id shared by the
+    lag/running-sum/span-agg trio — with zero joins and zero broadcasts
+    (no join-back of a duplicated-shingle set)."""
+    import re
+
+    import pandas as pd
+
+    from seizury_hrv_featuresextraction_spark.operators.dedup import substring_dup_spans
+
+    base = " ".join(f"w{j}" for j in range(40))
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(60),
+            "text": [base + f" tail{i} " + " ".join(f"u{i}x{j}" for j in range(15)) for i in range(60)],
+        }
+    )
+    docs = spark.createDataFrame(pdf).repartition(8)
+    out = substring_dup_spans(docs, "text", "doc_id", n=10)
+    plan = _plan(out)
+    assert "BroadcastExchange" not in plan, plan
+    assert "Join" not in plan, plan
+    keys = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+    assert len(keys) == 2, (keys, plan)
+    assert any(k.strip().startswith("h#") for k in keys), keys
+    assert any(k.strip().startswith("doc_id#") for k in keys), keys
+    # semantics: the shared 40-word prefix is one merged span per doc
+    rows = out.collect()
+    assert len(rows) == 60
+    assert all(r["span_start"] == 1 and r["span_end"] == 40 and r["span_words"] == 40 for r in rows)

@@ -211,3 +211,31 @@ def test_reorder_buffer_contract_violations_raise():
     with pytest.raises(RuntimeError, match="max_pending_chunks"):
         # chunk 0 never arrives; 4 held chunks exceed the cap of 2
         _drive(fn_small, [[("d0", i, [800] * 5)] for i in (1, 2, 3, 4)])
+
+
+def test_reorder_buffer_nonstrict_drops_redelivery():
+    """strict=False (the at-least-once-source mode): redelivered chunk
+    ids — already consumed, already pending, or duplicated inside one
+    microbatch — are dropped idempotently, and the drained output equals
+    the clean at-most-once delivery instead of the query dying."""
+    from conftest import assert_frames_allclose
+
+    from seizury_hrv_featuresextraction_spark.streaming.hrv_stream import make_hrv_stream_fn
+
+    c0, c1, c2 = [800] * 40, [810] * 40, [820] * 40
+    clean = _drive(
+        make_hrv_stream_fn(CFG),
+        [[("d0", 0, c0)], [("d0", 1, c1)], [("d0", 2, c2)]],
+    )
+    redelivered = _drive(
+        make_hrv_stream_fn(CFG, strict=False),
+        [
+            [("d0", 0, c0)],
+            [("d0", 0, c0), ("d0", 2, c2), ("d0", 2, c2), ("d0", 1, c1)],  # replay of 0; 2 twice
+            [("d0", 1, c1)],  # late replay of an already-consumed chunk
+        ],
+    )
+    assert len(clean) > 0
+    assert_frames_allclose(redelivered, clean, float_cols=list(ALL_FEATURES), key_cols=["doc_id", "window_id"])
+    assert (redelivered.sort_values("window_id")["n_beats"].to_numpy()
+            == clean.sort_values("window_id")["n_beats"].to_numpy()).all()

@@ -74,6 +74,16 @@ def main():
         return c
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # driver-truncation guard (VERDICT r4 item 8): the driver snapshot
+    # records only the first 50 queries() entries, so report which
+    # registered queries sit outside that window this round
+    names = list(qs)
+    outside = names[50:]
+    print(
+        f"registered surface: {len(qs)} queries / {len(oracles)} twins; "
+        f"driver snapshot covers the first 50 — outside this round: "
+        f"{outside if outside else 'none'}\n"
+    )
     failed = []
     walls: list[tuple[float, str]] = []
     for name, fn in qs.items():
