@@ -1,0 +1,125 @@
+"""Streaming twin of the E30 composed curation pipeline (VERDICT r4
+item 7): URL-keyed dedup -> Gopher repetition filter -> exact content
+dedup -> per-source quota cap, as ONE continuous Structured Streaming
+query over a document stream.
+
+Semantics vs batch (plans/driver_queries.py:curation_pipeline): the
+per-doc stages (URL normalization/domain, repetition stats + filter)
+are stateless expressions and behave identically. The three KEYED
+stages are necessarily FIRST-ARRIVAL on a stream — an append-mode query
+cannot retract an emitted row, so:
+
+- URL dedup keeps the first-seen doc per normalized URL
+  (``dropDuplicates`` state), where batch keeps min(doc_id);
+- content dedup keeps the first-seen doc per content fingerprint,
+  where batch keeps min(doc_id);
+- the quota admits the first k survivors per source in arrival order
+  (counting state in ``applyInPandasWithState``; ties within one
+  microbatch broken by the batch plan's deterministic
+  (md5(doc_id), doc_id) hash order), where batch takes the k smallest
+  in that hash order over the WHOLE corpus.
+
+The two plans produce identical output exactly when each key group's
+batch keeper arrives before the rest of its group — the equivalence the
+streaming test drives by delivering microbatches in hash order. Under
+arbitrary arrival order the streaming pass keeps the same NUMBER of
+docs per key/source (min(k, group count)); only which representative
+survives can differ, which is the standard production contract for
+streaming admission (state stores cannot hold the corpus-wide argmin).
+
+State at scale: the two dedup stages hold one fingerprint per distinct
+key — unbounded over an infinite stream; real deployments bound them
+with ``withWatermark`` + ``dropDuplicatesWithinWatermark`` exactly as
+``tests/test_streaming_dedup.py`` shows (documents here carry no event
+time, so this module keeps the unbounded form). The quota state is one
+counter per source — trivially bounded.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..functions.text import doc_fingerprint
+from ..operators.curation import gopher_repetition_filter
+from ..operators.dedup import derive_url, normalize_url, url_domain
+
+QUOTA_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("domain", T.StringType(), True),
+        T.StructField("n_words", T.LongType(), True),
+    ]
+)
+
+QUOTA_STATE_SCHEMA = T.StructType([T.StructField("admitted", T.LongType(), True)])
+
+
+def make_quota_fn(k: int):
+    """Per-source admission counter: admit rows while fewer than ``k``
+    have been admitted, processing each microbatch in the batch plan's
+    (md5(doc_id), doc_id) order so a single-batch delivery reproduces
+    ``cap_per_group`` exactly."""
+
+    def fn(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        admitted = int(state.get[0]) if state.exists else 0
+        # concat ALL chunks then sort once — chunks arrive in shuffle
+        # order within the group (see streaming/hrv_stream.py)
+        chunks = [c for c in pdf_iter if len(c)]
+        if not chunks:
+            state.update((admitted,))
+            yield pd.DataFrame(columns=[f.name for f in QUOTA_OUT_SCHEMA.fields])
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        order = pdf["doc_id"].map(lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        pdf = pdf.loc[order.sort_values().index]
+        take = max(0, k - admitted)
+        out = pdf.iloc[:take]
+        state.update((admitted + len(out),))
+        yield out[[f.name for f in QUOTA_OUT_SCHEMA.fields]]
+
+    return fn
+
+
+def streaming_curation_pipeline(docs: DataFrame, k: int = 20) -> DataFrame:
+    """documents stream (doc_id, text, source, ...) -> curated survivors
+    (doc_id, source, domain, n_words), the E30 chain end-to-end:
+
+    1. synthetic URL + normalization + domain (stateless expressions),
+       first-seen keeper per normalized URL;
+    2. Gopher repetition stats + filter (stateless expressions);
+    3. first-seen keeper per exact content fingerprint;
+    4. per-source quota of ``k`` (stateful counter).
+
+    Three stateful operators chained in one append-mode query — the
+    shape Spark supports for dedup + arbitrary state since the multiple-
+    stateful-operator unification."""
+    d = (
+        derive_url(docs)
+        .withColumn("__url_norm", normalize_url(F.col("url")))
+        .withColumn("domain", url_domain(F.col("__url_norm")))
+        .dropDuplicates(["__url_norm"])
+        .drop("__url_norm", "url")
+    )
+    g = gopher_repetition_filter(d)
+    e = (
+        g.withColumn("__fp", doc_fingerprint(F.col("text")))
+        .dropDuplicates(["__fp"])
+        .drop("__fp")
+    )
+    keyed = e.select("doc_id", "source", "domain", F.col("n_words").cast("long").alias("n_words"))
+    fn = make_quota_fn(k)
+    return keyed.groupBy("source").applyInPandasWithState(
+        fn,
+        outputStructType=QUOTA_OUT_SCHEMA,
+        stateStructType=QUOTA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -197,3 +197,92 @@ def test_stream_static_decontamination(spark, tmp_path):
     # doc 0 shares 'alpha-beta-gamma', doc 2 shares 'one-two-three';
     # docs 1 and 3 emit nothing (inner join drops them)
     assert got == {0: 1, 2: 1}, got
+
+
+@pytest.mark.timeout(300)
+def test_streaming_curation_pipeline_equals_batch(spark, tmp_path):
+    """VERDICT r4 item 7 — E30's composed curation pipeline as ONE
+    continuous streaming query (URL dedup -> Gopher filter -> content-fp
+    dedup -> stateful per-source quota, three chained stateful
+    operators): drained-stream survivors equal the batch
+    curation_pipeline chain row-for-row.
+
+    Streaming keyed stages are first-arrival (append mode cannot
+    retract), so the test delivers microbatches in the batch plan's
+    deterministic (md5(doc_id), doc_id) hash order — prefix batches of
+    that order among survivors — and places every dup-group partner in a
+    later batch than its keeper (within-microbatch dropDuplicates picks
+    an arbitrary member; cross-batch state is deterministic)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from seizury_hrv_featuresextraction_spark.operators.dedup import (
+        dedup_exact_keep,
+        derive_url,
+        url_dedup_keep,
+    )
+    from seizury_hrv_featuresextraction_spark.operators.stats import cap_per_group
+    from seizury_hrv_featuresextraction_spark.streaming.curation_stream import (
+        streaming_curation_pipeline,
+    )
+
+    schema = "doc_id long, text string, source string"
+    pool = [40 * i for i in range(1, 61)]  # one url bucket (i//40) each
+    md5 = lambda i: hashlib.md5(str(i).encode()).hexdigest()
+    order = sorted(pool, key=lambda i: (md5(i), i))
+    b1, b2, b3 = order[:20], order[20:40], order[40:]
+    src_of = {i: f"s{idx % 3}" for idx, i in enumerate(pool)}
+    text_of = {i: " ".join(f"d{i}w{j}" for j in range(20)) for i in pool}
+    rows = {1: [], 2: [], 3: []}
+    for batch, ids in ((1, b1), (2, b2), (3, b3)):
+        for i in ids:
+            rows[batch].append((i, text_of[i], src_of[i]))
+    for a in b1[:3]:  # url-dup partners (same source + i//40 bucket) arrive last
+        rows[3].append((a + 1, " ".join(f"p{a}w{j}" for j in range(20)), src_of[a]))
+    for c in b1[3:6]:  # content-dup partners (fresh url bucket, same text)
+        rows[3].append((4000 + c, text_of[c], src_of[c]))
+    for batch, i in ((1, 9001), (2, 9002), (3, 9003)):  # gopher-dropped
+        rows[batch].append((i, "tiny doc", "s0"))
+
+    src_dir = str(tmp_path / "curpipe_src")
+    for b in (1, 2, 3):
+        spark.createDataFrame(
+            pd.DataFrame(rows[b], columns=["doc_id", "text", "source"]), schema=schema
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream_in = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src_dir)
+    q = (
+        streaming_curation_pipeline(stream_in, k=6)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "curpipe_out"))
+        .option("checkpointLocation", str(tmp_path / "curpipe_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    got = (
+        spark.read.parquet(str(tmp_path / "curpipe_out"))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    allrows = rows[1] + rows[2] + rows[3]
+    bdf = spark.createDataFrame(
+        pd.DataFrame(allrows, columns=["doc_id", "text", "source"]), schema=schema
+    )
+    e = dedup_exact_keep(gopher_repetition_filter(url_dedup_keep(derive_url(bdf)).drop("url")), "text", "doc_id")
+    want = (
+        cap_per_group(e, "doc_id", "source", k=6)
+        .select("doc_id", "source", "domain", F.col("n_words").cast("long").alias("n_words"))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(want) == 18  # quota binds: 3 sources x k=6
+    pd.testing.assert_frame_equal(got, want)
+    # the quota genuinely rejected survivors (not vacuous) and every
+    # dup-group partner was dropped by state, never emitted
+    assert not set(got["doc_id"]) & {a + 1 for a in b1[:3]}
+    assert not set(got["doc_id"]) & {4000 + c for c in b1[3:6]}
