@@ -219,14 +219,16 @@ def plan_stats(
 # caps before the chunk-split plan's rebalancing is worth its shuffle
 _FUSED_SKEW_HEADROOM = 8
 
-# fused-vs-chunked crossover, calibrated from BENCH/scale_sweep.md on
-# the bench host: at 4M tokens / 32 cores (125k tok/core) the chunked
-# plan's repartition-rebalanced tasks win (fixed per-task overhead and
-# mild doc-length imbalance dominate the short wall); at >= 20M tokens
-# (625k tok/core) fused wins and holds through 250M (the shuffle it
-# avoids is the entire cost gap). 300k/core sits at the geometric mean
-# of the two measured points.
-_FUSED_MIN_TOKENS_PER_CORE = 300_000
+# fused-vs-chunked volume crossover, calibrated from the INTERLEAVED
+# same-action sweep (BENCH/scale_sweep.md, r5): below ~500k tokens/core
+# the job is overhead-dominated and fused's avoided shuffle round-trip
+# is the whole gap (1M tokens: fused 2.6x chunked; 4M: 1.4x); at ~20M
+# tokens (625k/core) the two plans measure equal, and above it the
+# chunked plan's rebalancing edges ahead (100M: chunked 1.1x). NB the
+# r4 bench's apparent opposite ordering at 4M compared a count() timing
+# against a noop-write timing — different actions; bench.py now times
+# all three variants interleaved under the same action.
+_FUSED_MAX_TOKENS_PER_CORE = 500_000
 
 
 def choose_fused(stats: dict, cfg: HRVConfig = DEFAULT_CONFIG) -> bool:
@@ -240,10 +242,11 @@ def choose_fused(stats: dict, cfg: HRVConfig = DEFAULT_CONFIG) -> bool:
     - no single doc can exceed ``_FUSED_SKEW_HEADROOM`` chunk caps of
       windows (otherwise one doc straggles a whole fused task; the chunk
       split bounds per-task work at max_windows_per_chunk), and
-    - the job is big enough to amortize fused's unbalanced tasks:
-      total_tokens >= ``_FUSED_MIN_TOKENS_PER_CORE`` x parallelism (the
-      measured crossover — below it the chunked plan's rebalancing
-      beats the shuffle it costs).
+    - the job is small enough to be overhead-dominated:
+      total_tokens <= ``_FUSED_MAX_TOKENS_PER_CORE`` x parallelism.
+      Below the crossover fused's avoided shuffle is a measured 1.4-2.6x
+      win; above it the plans are equal-to-chunked-favoring, and the
+      chunk split's skew rebalancing is the safer side at scale.
     Unknown stats fall back to the skew-safe chunked plan.
     """
     if stats["n_splits"] < stats["parallelism"]:
@@ -252,7 +255,7 @@ def choose_fused(stats: dict, cfg: HRVConfig = DEFAULT_CONFIG) -> bool:
     if mw is None or mw > cfg.max_windows_per_chunk * _FUSED_SKEW_HEADROOM:
         return False
     tt = stats.get("total_tokens")
-    if tt is None or tt < _FUSED_MIN_TOKENS_PER_CORE * stats["parallelism"]:
+    if tt is None or tt > _FUSED_MAX_TOKENS_PER_CORE * stats["parallelism"]:
         return False
     return True
 

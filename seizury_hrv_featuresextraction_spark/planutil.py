@@ -21,6 +21,7 @@ _NARROW_NODES = {
     "LogicalRDD",
     "LocalRelation",
     "InMemoryRelation",
+    "Range",
     "Project",
     "Filter",
     "SubqueryAlias",
@@ -40,10 +41,30 @@ def scan_num_partitions(df: DataFrame) -> int | None:
         plan = df._jdf.queryExecution().optimizedPlan().toString()
     except Exception:  # pragma: no cover - introspection unavailable
         return None
-    for line in plan.splitlines():
-        node = line.lstrip(" :+-").split(" ", 1)[0].split("(", 1)[0]
+    lines = plan.splitlines()
+    i = 0
+    while i < len(lines):
+        line = lines[i]
+        stripped = line.lstrip(" :+-=")
+        node = stripped.split(" ", 1)[0].split("(", 1)[0]
+        indent = len(line) - len(stripped)
+        if node == "InMemoryRelation":
+            # a cache boundary: the relation's tree text embeds the
+            # whole CACHED child plan (aggregates, exchanges, AQE
+            # annotations), but to this query it is a leaf — the probe
+            # reads the cached RDD's partition count. (On a cache that
+            # was never materialized the probe may build it — callers
+            # here always materialize before probing.) Skip its subtree.
+            i += 1
+            while i < len(lines):
+                nxt = lines[i].lstrip(" :+-=")
+                if nxt and len(lines[i]) - len(nxt) <= indent:
+                    break
+                i += 1
+            continue
         if node and node not in _NARROW_NODES:
             return None
+        i += 1
     try:
         return df.rdd.getNumPartitions()
     except Exception:  # pragma: no cover - defensive
