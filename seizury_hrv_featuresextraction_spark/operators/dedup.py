@@ -575,3 +575,51 @@ def substring_dup_spans(
         )
         .select("doc_id", "span_start", "span_end", "span_words")
     )
+
+
+def substring_dedup_apply(
+    df: DataFrame, text_col: str, id_col: str, n: int = 10
+) -> DataFrame:
+    """E37: APPLY substring dedup — rewrite each document with its
+    duplicated spans removed (``substring_dup_spans`` detects; this is
+    the pass that actually changes the training corpus, the same
+    detect->act closure as tokenize->detokenize). Removal drops every
+    detected span occurrence (the aggressive published variant; keeping
+    one canonical occurrence is the keeper-window composition already
+    shown by neardup_canonical_docs).
+
+    Returns every document: (doc_id, text_clean, n_words, n_removed) —
+    docs without duplicated spans pass through verbatim with
+    n_removed=0.
+
+    Scale shape — THREE hash shuffles: the two from the span detection
+    (shingle hash, doc-key islands) plus one doc-key join attaching the
+    merged span list back to the documents; the span side joins as
+    array<struct> per affected doc (bounded by doc length), the word
+    drop is a native higher-order filter, and docs without spans ride
+    the left join untouched.
+    """
+    spans = (
+        substring_dup_spans(df, text_col, id_col, n)
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("span_start", "span_end")).alias("spans"))
+    )
+    w = spread(df).select(
+        F.col(id_col).alias("doc_id"), words(F.col(text_col)).alias("ws")
+    )
+    joined = w.join(spans, "doc_id", "left")
+    # two-arg lambda in F.filter = (element, 0-based index); spans carry
+    # 1-based word positions
+    in_span = lambda i: F.exists(
+        F.col("spans"),
+        lambda s: ((i + 1) >= s["span_start"]) & ((i + 1) <= s["span_end"]),
+    )
+    kept = F.when(F.col("spans").isNull(), F.col("ws")).otherwise(
+        F.filter(F.col("ws"), lambda x, i: ~in_span(i))
+    )
+    return joined.select(
+        "doc_id",
+        F.array_join(kept, " ").alias("text_clean"),
+        F.size("ws").cast("long").alias("n_words"),
+        (F.size("ws") - F.size(kept)).cast("long").alias("n_removed"),
+    )

@@ -3238,6 +3238,54 @@ def substring_dup_spans(spark, sf_dir):
 
 
 @q(
+    "substring_dedup_apply",
+    f"""
+    WITH w AS (SELECT doc_id, {WORDS_DD} AS ws FROM documents),
+         f AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 10),
+         g AS MATERIALIZED (
+           SELECT doc_id, i AS pos, array_to_string(ws[i:i+9], ' ') AS sh
+           FROM f, unnest(generate_series(1, len(ws) - 9)) AS t(i)),
+         c AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY sh) AS cnt FROM g),
+         d AS (SELECT doc_id, pos FROM c WHERE cnt > 1),
+         b AS (SELECT doc_id, pos,
+                      CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 10
+                           THEN 1 ELSE 0 END AS brk
+               FROM d),
+         isl AS (SELECT doc_id, pos,
+                        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                       ROWS UNBOUNDED PRECEDING) AS island
+                 FROM b),
+         spans AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 9 AS e
+                   FROM isl GROUP BY doc_id, island),
+         posk AS (SELECT w.doc_id, i, ws[i] AS word
+                  FROM w, unnest(generate_series(1, len(ws))) AS t(i)),
+         marked AS (SELECT p.doc_id, p.i, p.word, count(s.doc_id) > 0 AS dropped
+                    FROM posk p LEFT JOIN spans s
+                      ON s.doc_id = p.doc_id AND p.i BETWEEN s.s AND s.e
+                    GROUP BY p.doc_id, p.i, p.word)
+    SELECT doc_id,
+           coalesce(string_agg(word, ' ' ORDER BY i) FILTER (WHERE NOT dropped), '') AS text_clean,
+           count(*)::bigint AS n_words,
+           (count(*) FILTER (WHERE dropped))::bigint AS n_removed
+    FROM marked GROUP BY doc_id
+    """,
+)
+def substring_dedup_apply(spark, sf_dir):
+    """E37: the substring-dedup REWRITE — every document with its
+    corpus-duplicated 10-word spans removed (E36 detects, this acts;
+    the Lee-et-al pass that actually changes the training corpus).
+    Three hash shuffles total (shingle-hash window, doc-key islands,
+    doc-key span join-back); the word drop is a native higher-order
+    filter. The twin independently re-derives the spans and rebuilds
+    each cleaned text with position-level SQL — full-string equality,
+    so an off-by-one span boundary on either side is a hard mismatch."""
+    from ..operators.dedup import substring_dedup_apply as op
+
+    docs = load_table(spark, sf_dir, "documents")
+    return op(docs, "text", "doc_id", n=10)
+
+
+@q(
     "wav_decode_stats",
     """
     WITH p AS (SELECT doc_id,

@@ -477,3 +477,67 @@ def test_wav_header_parse_and_decode(spark):
     s = feats["ok_stereo"]
     assert s["n_samples"] == 6 and s["n_frames"] == 3 and s["duration_ms"] == 0
     assert s["sum_x"] == 0 and s["sum_sq"] == 28 and s["peak"] == 3
+
+
+def test_substring_dedup_vs_bruteforce(spark):
+    """E36/E37 spec check against an independent brute-force reference
+    on a randomized corpus with planted boilerplate: spans are exactly
+    the maximal merges of positions whose n-gram occurs >1 time
+    corpus-wide, and the rewrite drops exactly the span-covered words."""
+    import random
+
+    from seizury_hrv_featuresextraction_spark.operators.dedup import (
+        substring_dedup_apply,
+        substring_dup_spans,
+    )
+
+    n = 4
+    rng = random.Random(7)
+    boiler = [f"b{j}" for j in range(6)]
+    docs = []
+    for i in range(40):
+        ws = [f"d{i}w{j}" for j in range(rng.randint(2, 14))]
+        if i % 3 == 0:  # plant shared boilerplate at a random offset
+            at = rng.randint(0, len(ws))
+            ws = ws[:at] + boiler + ws[at:]
+        if i % 7 == 0:  # within-doc self-repetition also counts (paper semantics)
+            ws = ws + ws[:n]
+        docs.append((i, " ".join(ws)))
+
+    # brute-force reference
+    from collections import Counter
+
+    grams: Counter = Counter()
+    doc_words = {i: t.split() for i, t in docs}
+    for i, ws in doc_words.items():
+        for p in range(len(ws) - n + 1):
+            grams[tuple(ws[p : p + n])] += 1
+    expect_spans, expect_clean = {}, {}
+    for i, ws in doc_words.items():
+        dup = [p for p in range(len(ws) - n + 1) if grams[tuple(ws[p : p + n])] > 1]
+        merged = []
+        for p in dup:
+            if merged and p - merged[-1][1] <= n:  # same island test as the engine
+                merged[-1] = (merged[-1][0], p)
+            else:
+                merged.append((p, p))
+        spans = [(a + 1, b + n) for a, b in merged]  # 1-based inclusive
+        expect_spans[i] = spans
+        covered = {q for a, b in spans for q in range(a, b + 1)}
+        expect_clean[i] = " ".join(w for q, w in enumerate(ws, 1) if q not in covered)
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got_spans: dict[int, list] = {}
+    for r in substring_dup_spans(df, "text", "doc_id", n=n).collect():
+        got_spans.setdefault(r["doc_id"], []).append((r["span_start"], r["span_end"]))
+    assert {k: sorted(v) for k, v in got_spans.items()} == {
+        k: v for k, v in expect_spans.items() if v
+    }
+    got = {r["doc_id"]: r.asDict() for r in substring_dedup_apply(df, "text", "doc_id", n=n).collect()}
+    assert set(got) == set(doc_words)
+    for i, ws in doc_words.items():
+        assert got[i]["text_clean"] == expect_clean[i], (i, got[i], expect_clean[i])
+        assert got[i]["n_words"] == len(ws)
+        assert got[i]["n_removed"] == len(ws) - len(expect_clean[i].split())
+    # the planted boilerplate was actually removed somewhere
+    assert any(g["n_removed"] for g in got.values())
