@@ -543,6 +543,18 @@ def substring_dup_spans(
     this way. Hash note: dup detection is on xxhash64(shingle); a 64-bit
     collision could mark a span spuriously (~n_shingles^2/2^65 — vanishing
     at corpus scale; the paper's BigQuery variant hashes identically).
+
+    Skew at 100 TB: the window count has no map-side combine, so every
+    occurrence of a hot shingle lands in one task's partition. The cost
+    is LINEAR in that shingle's occurrence count (sort + one sorted-run
+    count, never quadratic), so even a boilerplate 10-gram repeated
+    millions of times is one well-sized task; the window only becomes
+    the wrong shape if a single shingle approaches a meaningful
+    fraction of the whole corpus. If such a corpus exists, swap stage 1
+    for groupBy(h).count (map-side combine shrinks the shuffle to one
+    row per distinct shingle per task) + join-back on h, where AQE
+    skew-join splits the hot key — one extra small shuffle for
+    unbounded-skew safety; the span-merge stage is unchanged.
     """
     from pyspark.sql import Window
 
