@@ -130,6 +130,21 @@ def main() -> None:
     t, out_n = timed(c)
     rows.append((f"curation_pipeline (E30, {out_n} survivors)", t, n_docs))
 
+    # E36 substring-span detection / E37 rewrite (r5)
+    from seizury_hrv_featuresextraction_spark.operators.dedup import (
+        substring_dedup_apply,
+        substring_dup_spans,
+    )
+
+    t, n_spans = timed(substring_dup_spans(docs, "text", "doc_id", n=10))
+    rows.append((f"substring_dup_spans (E36, {n_spans} spans)", t, n_docs))
+    t, _ = timed(
+        substring_dedup_apply(docs, "text", "doc_id", n=10).agg(
+            F.sum("n_removed"), F.sum(F.length("text_clean"))
+        )
+    )
+    rows.append(("substring_dedup_apply (E37 rewrite)", t, n_docs))
+
     lines = [
         "# BENCH/curation_paths.md — measured curation-operator throughput",
         "",
