@@ -200,3 +200,39 @@ def cap_per_group(df: DataFrame, id_col: str, group_col: str, k: int) -> DataFra
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def shuffle_shards(
+    df: DataFrame, id_col: str, n_shards: int, seed: int = 0
+) -> DataFrame:
+    """E38: deterministic corpus shuffle + sharding — the global
+    training-order permutation every pre-training run needs (docs must
+    not arrive in crawl/source order), WITHOUT a global sort. Each doc
+    gets a pseudo-random shard and a position inside it, both pure
+    functions of (id, seed):
+
+    - ``shard`` = seeded md5 hash mod n_shards (md5 so an external SQL
+      engine derives the identical permutation — same device as the
+      stratified sampler and quota cap);
+    - ``pos``   = rank of the hash WITHIN the shard (ties by id).
+
+    Reading shards in (shard, pos) order IS the shuffled corpus, and
+    it is resume-stable: re-running with the same seed reproduces the
+    exact order, a different seed is a fresh permutation.
+
+    Scale shape: ONE hash shuffle on the shard key + a within-partition
+    sort — a global ORDER BY hash would rangepartition and sort the
+    whole corpus through a sampled boundary exchange instead; sharding
+    first makes each shard's sort local and the shard count the unit of
+    downstream parallelism (one training-data file per shard). Shards
+    are hash-balanced, so AQE has nothing to fix.
+    """
+    hhex = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    h = F.conv(F.substring(hhex, 1, 15), 16, 10).cast("long")
+    w = Window.partitionBy("shard").orderBy("__h", id_col)
+    return (
+        df.withColumn("__h", h)
+        .withColumn("shard", F.pmod(F.col("__h"), F.lit(n_shards)).cast("int"))
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .drop("__h")
+    )

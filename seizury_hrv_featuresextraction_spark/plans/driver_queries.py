@@ -3368,6 +3368,33 @@ def wav_decode_stats(spark, sf_dir):
     return wav_features(media)
 
 
+@q(
+    "corpus_shuffle_shards",
+    """
+    WITH h AS (SELECT doc_id,
+                      ('0x' || substr(md5('0:' || doc_id::varchar), 1, 15))::bigint AS hv
+               FROM documents),
+         s AS (SELECT doc_id, hv, hv % 8 AS shard FROM h)
+    SELECT doc_id, shard::bigint AS shard,
+           (row_number() OVER (PARTITION BY shard ORDER BY hv, doc_id) - 1)::bigint AS pos
+    FROM s
+    """,
+)
+def corpus_shuffle_shards(spark, sf_dir):
+    """E38: deterministic corpus shuffle + sharding — the global
+    training-order permutation (docs must not arrive in crawl order)
+    as ONE shard-key shuffle + local sorts, never a global ORDER BY.
+    (shard, pos) are pure functions of (doc_id, seed): resume-stable,
+    reproducible, and derivable by the twin from the same md5 device
+    used by the stratified sampler / quota cap."""
+    from ..operators.stats import shuffle_shards
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return shuffle_shards(docs, "doc_id", n_shards=8, seed=0).select(
+        "doc_id", F.col("shard").cast("long").alias("shard"), "pos"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot rotation (VERDICT r4 item 1). The driver's CORRECTNESS
 # artifact records only the FIRST 50 entries of queries() in insertion

@@ -466,3 +466,33 @@ def test_scan_num_partitions_guard(spark):
         assert scan_num_partitions(cached.filter(F.col("v") >= 0).select("k")) == n
     finally:
         cached.unpersist()
+
+
+def test_shuffle_shards_one_exchange_no_global_sort(spark):
+    """E38 scale contract: the corpus shuffle is ONE hash exchange on
+    the shard key + within-partition sorts — never a rangepartitioning
+    (global ORDER BY) exchange, never a broadcast. Determinism: same
+    seed reproduces the permutation, a different seed changes it."""
+    import pandas as pd
+
+    from seizury_hrv_featuresextraction_spark.operators.stats import shuffle_shards
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": range(200)})).repartition(8)
+    out = shuffle_shards(df, "doc_id", n_shards=4, seed=0)
+    plan = _plan(out)
+    assert "BroadcastExchange" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+    a = {r["doc_id"]: (r["shard"], r["pos"]) for r in out.collect()}
+    b = {r["doc_id"]: (r["shard"], r["pos"]) for r in shuffle_shards(df, "doc_id", 4, seed=0).collect()}
+    assert a == b  # resume-stable
+    c = {r["doc_id"]: (r["shard"], r["pos"]) for r in shuffle_shards(df, "doc_id", 4, seed=1).collect()}
+    assert a != c  # a fresh permutation
+    # every shard's positions are dense 0..k-1 and the shards partition the ids
+    by_shard: dict[int, list[int]] = {}
+    for sh, pos in a.values():
+        by_shard.setdefault(sh, []).append(pos)
+    assert sum(len(v) for v in by_shard.values()) == 200
+    for v in by_shard.values():
+        assert sorted(v) == list(range(len(v)))
