@@ -610,6 +610,14 @@ def substring_dedup_apply(
     array<struct> per affected doc (bounded by doc length), the word
     drop is a native higher-order filter, and docs without spans ride
     the left join untouched.
+
+    The join-back is the one place the full TEXT can move: on an
+    unbucketed corpus a shuffle join partitions both sides by doc_id
+    (at small scale AQE broadcasts the span side instead — see the plan
+    audit). On the doc_id-bucketed layout (E29) the text side is
+    already co-located and only the small span table shuffles — the
+    right deployment shape for a rewrite pass that is typically run
+    once per corpus snapshot.
     """
     spans = (
         substring_dup_spans(df, text_col, id_col, n)
