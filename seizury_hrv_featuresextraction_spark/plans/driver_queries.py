@@ -3325,7 +3325,13 @@ def wav_decode_stats(spark, sf_dir):
     frame count, exact-integer duration, sum/sumsq/peak) independently
     from the construction parameters and the raw text bytes — any
     header-layout, offset, endianness or data-slice bug on the engine
-    side is a hard value mismatch."""
+    side is a hard value mismatch.
+
+    NB the combined construct+parse projection here exceeds the JVM's
+    64 KB codegen method limit and falls back to interpreted eval (a
+    logged warning, harmless, test-harness-only); the wav_header parse
+    alone whole-stage-codegens (verified: `*(1) Project` over a parquet
+    scan)."""
     from ..operators.dedup import spread
     from ..operators.multimodal import wav_features
 
