@@ -236,3 +236,46 @@ def shuffle_shards(
         .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
         .drop("__h")
     )
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    bucket_size: int = 128,
+    batch_docs: int = 8,
+) -> DataFrame:
+    """E39: length-bucketed batching — the pad-batching strategy
+    (group similar-length docs so per-batch padding to the batch max is
+    cheap), complementing ``pack_sequences`` (concat-packing). Each doc
+    gets:
+
+    - ``len_bucket``: ceil(length / bucket_size) — coarse length class;
+    - ``batch_id`` / ``pos_in_batch``: deterministic md5-hash order
+      within the bucket, ``batch_docs`` docs per batch (hash order, not
+      input order, so batches are resume-stable and length-unbiased
+      within a bucket);
+    - ``pad_len``: the batch's max length — what every member pads to;
+    - ``pad_waste``: pad_len - length, the tokens burned on padding.
+
+    Scale shape: ONE hash shuffle on len_bucket; the rank and both
+    batch-level windows share that partitioning (batch keys extend the
+    bucket key, so Catalyst plans no further exchange). sum(pad_waste)
+    over the output is the padding-efficiency metric batch-size tuning
+    optimizes.
+    """
+    h = F.md5(F.col(id_col).cast("string"))
+    bucket = F.ceil(F.col(len_col) / F.lit(bucket_size)).cast("long")
+    d = df.withColumn("len_bucket", bucket)
+    wb = Window.partitionBy("len_bucket").orderBy(h, id_col)
+    d = d.withColumn("__rk", F.row_number().over(wb) - 1)
+    d = d.withColumn("batch_id", (F.col("__rk") / batch_docs).cast("long")).withColumn(
+        "pos_in_batch", F.pmod(F.col("__rk"), F.lit(batch_docs)).cast("long")
+    )
+    wbatch = Window.partitionBy("len_bucket", "batch_id")
+    pad = F.max(F.col(len_col)).over(wbatch).cast("long")
+    return (
+        d.withColumn("pad_len", pad)
+        .withColumn("pad_waste", (F.col("pad_len") - F.col(len_col)).cast("long"))
+        .drop("__rk")
+    )

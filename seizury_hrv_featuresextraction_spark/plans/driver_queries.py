@@ -3401,6 +3401,40 @@ def corpus_shuffle_shards(spark, sf_dir):
     )
 
 
+@q(
+    "length_bucketed_batches",
+    """
+    WITH d AS (SELECT doc_id, n_chars,
+                      CAST(ceil(n_chars / 128.0) AS bigint) AS len_bucket,
+                      md5(doc_id::varchar) AS h
+               FROM documents),
+         r AS (SELECT doc_id, n_chars, len_bucket,
+                      row_number() OVER (PARTITION BY len_bucket ORDER BY h, doc_id) - 1 AS rk
+               FROM d),
+         b AS (SELECT doc_id, n_chars, len_bucket,
+                      (rk // 8)::bigint AS batch_id, (rk % 8)::bigint AS pos_in_batch
+               FROM r)
+    SELECT doc_id, len_bucket, batch_id, pos_in_batch,
+           max(n_chars) OVER (PARTITION BY len_bucket, batch_id)::bigint AS pad_len,
+           (max(n_chars) OVER (PARTITION BY len_bucket, batch_id) - n_chars)::bigint AS pad_waste
+    FROM b
+    """,
+)
+def length_bucketed_batches(spark, sf_dir):
+    """E39: length-bucketed batching over the documents table (n_chars
+    as the length; same op serves n_tok on sequences) — deterministic
+    pad-batches of 8 docs per 128-char length bucket with the per-batch
+    pad target and padding waste. One shuffle on the bucket key; the
+    rank and batch-max windows extend that partitioning, so the plan
+    holds a single exchange (plan test)."""
+    from ..operators.stats import length_bucketed_batches as op
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return op(docs, "doc_id", "n_chars", bucket_size=128, batch_docs=8).select(
+        "doc_id", "len_bucket", "batch_id", "pos_in_batch", "pad_len", "pad_waste"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot rotation (VERDICT r4 item 1). The driver's CORRECTNESS
 # artifact records only the FIRST 50 entries of queries() in insertion

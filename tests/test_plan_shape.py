@@ -496,3 +496,31 @@ def test_shuffle_shards_one_exchange_no_global_sort(spark):
     assert sum(len(v) for v in by_shard.values()) == 200
     for v in by_shard.values():
         assert sorted(v) == list(range(len(v)))
+
+
+def test_length_bucketed_batches_one_exchange(spark):
+    """E39 scale contract: ONE hash exchange on the length bucket — the
+    rank and both batch-level windows extend that partitioning, so no
+    further exchange appears — and batch semantics hold (dense
+    positions, pad_len = batch max, waste >= 0)."""
+    import pandas as pd
+
+    from seizury_hrv_featuresextraction_spark.operators.stats import length_bucketed_batches
+
+    pdf = pd.DataFrame({"doc_id": range(100), "n": [10 + 7 * (i % 40) for i in range(100)]})
+    df = spark.createDataFrame(pdf).repartition(8)
+    out = length_bucketed_batches(df, "doc_id", "n", bucket_size=64, batch_docs=4)
+    plan = _plan(out)
+    assert "BroadcastExchange" not in plan, plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+    rows = out.collect()
+    assert len(rows) == 100
+    by_batch: dict[tuple, list] = {}
+    for r in rows:
+        by_batch.setdefault((r["len_bucket"], r["batch_id"]), []).append(r)
+    for (_, _), members in by_batch.items():
+        assert sorted(m["pos_in_batch"] for m in members) == list(range(len(members)))
+        mx = max(m["n"] for m in members)
+        assert all(m["pad_len"] == mx and m["pad_waste"] == mx - m["n"] and m["pad_waste"] >= 0 for m in members)
+        assert len(members) <= 4
