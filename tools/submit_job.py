@@ -30,6 +30,14 @@ def main():
     ap.add_argument("--sph-seconds", type=float, default=180.0)
     ap.add_argument("--window-seconds", type=float, default=30.0)
     ap.add_argument("--stride-seconds", type=float, default=5.0)
+    ap.add_argument(
+        "--no-check-input",
+        action="store_true",
+        help="skip the input-fingerprint pre-pass: resumes trust config+output "
+        "alone and manifests are stamped input_fp='disabled', so a later "
+        "validating (default) run recomputes those buckets rather than "
+        "serving output whose input was never validated",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -46,7 +54,10 @@ def main():
     )
     seq = spark.read.parquet(args.sequences)
     ann = spark.read.parquet(args.annotations) if args.annotations else None
-    results = run_resumable(spark, seq, ann, args.output, cfg, n_buckets=args.buckets)
+    results = run_resumable(
+        spark, seq, ann, args.output, cfg,
+        n_buckets=args.buckets, check_input=not args.no_check_input,
+    )
     from seizury_hrv_featuresextraction_spark.checkpoint import list_snapshots
 
     snaps = list_snapshots(args.output)
