@@ -244,6 +244,7 @@ def length_bucketed_batches(
     len_col: str,
     bucket_size: int = 128,
     batch_docs: int = 8,
+    salt_hex_chars: int = 2,
 ) -> DataFrame:
     """E39: length-bucketed batching — the pad-batching strategy
     (group similar-length docs so per-batch padding to the batch max is
@@ -258,24 +259,60 @@ def length_bucketed_batches(
     - ``pad_len``: the batch's max length — what every member pads to;
     - ``pad_waste``: pad_len - length, the tokens burned on padding.
 
-    Scale shape: ONE hash shuffle on len_bucket; the rank and both
-    batch-level windows share that partitioning (batch keys extend the
-    bucket key, so Catalyst plans no further exchange). sum(pad_waste)
-    over the output is the padding-efficiency metric batch-size tuning
-    optimizes.
+    Scale shape (two-level parallel row_number — r5 verdict fix): doc
+    lengths are heavy-tailed low, so most of a real corpus lands in a
+    handful of length buckets; ranking a bucket in one window task would
+    make the hot bucket a straggler by construction. Instead the global
+    hash-order rank is composed from
+
+    1. a rank WITHIN ``(len_bucket, salt)`` where salt = the leading
+       ``salt_hex_chars`` hex chars of the ordering hash itself — salt is
+       a MONOTONE prefix of the ordering key, so salt s ranks entirely
+       before salt s+1 and concatenating salted ranks in salt order is
+       exactly the single-task rank (16**salt_hex_chars tasks share each
+       hot bucket);
+    2. a broadcast offset = exclusive running count over the tiny
+       ``(len_bucket, salt)`` count grid — bounded by
+       n_length_classes x 16**salt_hex_chars rows regardless of corpus
+       size (the count agg partial-aggregates map-side off the scan).
+
+    The per-batch pad window then partitions by ``(len_bucket,
+    batch_id)`` — ~``batch_docs`` rows per key, perfectly balanced. Two
+    corpus-sized exchanges on balanced keys replace one exchange with a
+    guaranteed straggler; output is bit-identical to the single-window
+    formulation (pytest pins it against a brute reference).
+    sum(pad_waste) over the output is the padding-efficiency metric
+    batch-size tuning optimizes.
     """
     h = F.md5(F.col(id_col).cast("string"))
     bucket = F.ceil(F.col(len_col) / F.lit(bucket_size)).cast("long")
-    d = df.withColumn("len_bucket", bucket)
-    wb = Window.partitionBy("len_bucket").orderBy(h, id_col)
-    d = d.withColumn("__rk", F.row_number().over(wb) - 1)
-    d = d.withColumn("batch_id", (F.col("__rk") / batch_docs).cast("long")).withColumn(
-        "pos_in_batch", F.pmod(F.col("__rk"), F.lit(batch_docs)).cast("long")
+    salt = F.conv(F.substring(h, 1, salt_hex_chars), 16, 10).cast("int")
+    d = df.withColumn("len_bucket", bucket).withColumn("__h", h).withColumn("__salt", salt)
+
+    # tiny side: per-(bucket, salt) counts -> exclusive running offsets
+    counts = d.groupBy("len_bucket", "__salt").agg(F.count(F.lit(1)).alias("__cnt"))
+    woff = (
+        Window.partitionBy("len_bucket")
+        .orderBy("__salt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "len_bucket",
+        "__salt",
+        F.coalesce(F.sum("__cnt").over(woff), F.lit(0)).cast("long").alias("__off"),
+    )
+
+    wsalt = Window.partitionBy("len_bucket", "__salt").orderBy("__h", id_col)
+    d = d.withColumn("__srk", F.row_number().over(wsalt) - 1)
+    d = d.join(F.broadcast(offsets), ["len_bucket", "__salt"])
+    rk = F.col("__srk") + F.col("__off")
+    d = d.withColumn("batch_id", (rk / batch_docs).cast("long")).withColumn(
+        "pos_in_batch", F.pmod(rk, F.lit(batch_docs)).cast("long")
     )
     wbatch = Window.partitionBy("len_bucket", "batch_id")
     pad = F.max(F.col(len_col)).over(wbatch).cast("long")
     return (
         d.withColumn("pad_len", pad)
         .withColumn("pad_waste", (F.col("pad_len") - F.col(len_col)).cast("long"))
-        .drop("__rk")
+        .drop("__h", "__salt", "__srk", "__off")
     )

@@ -3424,9 +3424,11 @@ def length_bucketed_batches(spark, sf_dir):
     """E39: length-bucketed batching over the documents table (n_chars
     as the length; same op serves n_tok on sequences) — deterministic
     pad-batches of 8 docs per 128-char length bucket with the per-batch
-    pad target and padding waste. One shuffle on the bucket key; the
-    rank and batch-max windows extend that partitioning, so the plan
-    holds a single exchange (plan test)."""
+    pad target and padding waste. Two-level salted row_number (r5
+    verdict fix): rank within (len_bucket, md5-prefix salt) + broadcast
+    count-grid offsets, so a hot length bucket spreads over 256 tasks
+    instead of one; the pad window repartitions on the balanced
+    (len_bucket, batch_id) key (plan + brute-identity pytest)."""
     from ..operators.stats import length_bucketed_batches as op
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
