@@ -3437,6 +3437,49 @@ def length_bucketed_batches(spark, sf_dir):
     )
 
 
+@q(
+    "linear_quality_docs",
+    f"""
+    WITH w AS (SELECT doc_id, {WORDS_DD} AS ws FROM documents),
+    e AS (SELECT doc_id, unnest(ws) AS word FROM w),
+    b AS (SELECT doc_id,
+                 ('0x' || substr(md5('f:' || word), 1, 15))::bigint % 1024 AS j
+          FROM e),
+    s AS (SELECT doc_id,
+                 sum(('0x' || substr(md5('w:' || j::varchar), 1, 8))::bigint
+                     / 4294967296.0 - 0.5) AS dot
+          FROM b GROUP BY doc_id),
+    f AS (SELECT w.doc_id, len(w.ws)::bigint AS n_words,
+                 coalesce(s.dot, 0.0) AS dot
+          FROM w LEFT JOIN s ON s.doc_id = w.doc_id),
+    f2 AS (SELECT doc_id, n_words,
+                  CASE WHEN n_words > 0 THEN dot / n_words ELSE 0.0 END AS sc
+           FROM f)
+    SELECT doc_id, n_words, round(sc, 6) AS score,
+           round(1.0 / (1.0 + exp(-sc)), 6) AS prob,
+           round(sc, 6) > 0.0 AS keep
+    FROM f2
+    """,
+)
+def linear_quality_docs(spark, sf_dir):
+    """E40: hashed-feature linear quality classifier — the fastText/
+    logistic-regression quality pass (GPT-3 WebText classifier shape).
+    The model is a 1024-dim literal weight array IN THE PLAN (md5-derived
+    stand-in for a trained vector — every weight an exactly-representable
+    double both engines re-derive bit-identically); score = mean w[md5
+    (word) mod 1024] per doc via F.aggregate over the in-row word array —
+    ZERO shuffle, zero join, zero UDF. Score/prob compared at round-6
+    (word-sum order differs between engines); keep cuts on the rounded
+    score so both engines make the identical decision."""
+    from ..operators.curation import hashed_linear_classifier, md5_feature_weights
+    from ..operators.dedup import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return hashed_linear_classifier(
+        docs, md5_feature_weights(1024), bias=0.0, threshold=0.0, score_round=6
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot rotation (VERDICT r4 item 1). The driver's CORRECTNESS
 # artifact records only the FIRST 50 entries of queries() in insertion

@@ -219,3 +219,55 @@ def test_detokenize_inverts_tokenize(spark):
     weird = spark.createDataFrame([(9, [1, 999])], "doc_id long, tokens array<int>")
     got = detokenize(weird, vocab).collect()[0]["text_rt"]
     assert "<unk>" in got
+
+
+def test_hashed_linear_classifier_semantics_and_plan(spark):
+    """E40: score = mean w[md5(word) mod dim] + bias, hand-checked against
+    a hashlib reference; null/empty text scores as bias with n_words=0
+    (never -1 / never dropped); keep cuts on the (rounded) score; and the
+    whole pass is scan-stage — ZERO Exchange of any kind in the plan (the
+    model is a plan literal, not data)."""
+    import hashlib
+    import math
+
+    from seizury_hrv_featuresextraction_spark.operators.curation import (
+        hashed_linear_classifier,
+        md5_feature_weights,
+    )
+
+    dim = 64
+    wts = md5_feature_weights(dim)
+    # weights are exactly-representable and re-derivable
+    assert all(-0.5 <= x < 0.5 for x in wts)
+    assert wts[3] == int(hashlib.md5(b"w:3").hexdigest()[:8], 16) / 2**32 - 0.5
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "alpha alpha"), (2, "   "), (3, None)],
+        "doc_id long, text string",
+    )
+    out = hashed_linear_classifier(df, wts, bias=0.25, threshold=0.0)
+    rows = {r["doc_id"]: r for r in out.collect()}
+
+    def ref_score(txt):
+        ws = [w for w in txt.lower().strip().split() if w]
+        if not ws:
+            return 0, 0.25
+        s = sum(
+            wts[int(hashlib.md5(f"f:{w}".encode()).hexdigest()[:15], 16) % dim]
+            for w in ws
+        )
+        return len(ws), s / len(ws) + 0.25
+
+    for i, txt in [(0, "alpha beta gamma"), (1, "alpha alpha")]:
+        n, sc = ref_score(txt)
+        assert rows[i]["n_words"] == n
+        assert abs(rows[i]["score"] - sc) < 1e-12
+        assert abs(rows[i]["prob"] - 1.0 / (1.0 + math.exp(-sc))) < 1e-12
+        assert rows[i]["keep"] == (sc > 0.0)
+    for i in (2, 3):  # empty / null text
+        assert rows[i]["n_words"] == 0
+        assert rows[i]["score"] == 0.25 and rows[i]["keep"] is True
+
+    plan = _plan(out)
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
