@@ -517,7 +517,7 @@ def blocklist_filter(
 
 
 def substring_dup_spans(
-    df: DataFrame, text_col: str, id_col: str, n: int = 10
+    df: DataFrame, text_col: str, id_col: str, n: int = 10, keep_first: bool = False
 ) -> DataFrame:
     """E36: substring-granularity exact dedup detection (the Lee et al.
     "Deduplicating Training Data" ExactSubstr pass at a fixed shingle
@@ -529,6 +529,14 @@ def substring_dup_spans(
 
     Returns (doc_id, span_start, span_end, span_words): 1-based word
     positions of each maximal duplicated span.
+
+    ``keep_first=True`` is the keep-one-canonical variant (Lee et al.
+    §4.2: real corpora keep one occurrence of each duplicated string):
+    the FIRST occurrence of each shingle by (doc_id, pos) is the
+    canonical keeper and is NOT marked duplicated — a row_number over
+    the same shingle-hash partition as the occurrence count, so the
+    plan shape is unchanged (the rank shares stage-1's exchange; the
+    partition just gains a sort).
 
     Scale shape — exactly TWO hash shuffles and zero joins:
     1. shingle key: occurrence counting is a window count partitioned by
@@ -572,9 +580,12 @@ def substring_dup_spans(
     g = w.select("doc_id", F.posexplode(shingles).alias("pos0", "h")).select(
         "doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "h"
     )
-    dup = g.withColumn(
-        "cnt", F.count(F.lit(1)).over(Window.partitionBy("h"))
-    ).filter(F.col("cnt") > 1)
+    dup = g.withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy("h")))
+    if keep_first:
+        rk = F.row_number().over(Window.partitionBy("h").orderBy("doc_id", "pos"))
+        dup = dup.withColumn("rk", rk).filter((F.col("cnt") > 1) & (F.col("rk") > 1))
+    else:
+        dup = dup.filter(F.col("cnt") > 1)
     wdoc = Window.partitionBy("doc_id").orderBy("pos")
     brk = F.when(F.col("pos") - F.lag("pos", 1).over(wdoc) > n, 1).otherwise(0)
     islands = dup.withColumn("island", F.sum(brk).over(wdoc))
@@ -590,15 +601,16 @@ def substring_dup_spans(
 
 
 def substring_dedup_apply(
-    df: DataFrame, text_col: str, id_col: str, n: int = 10
+    df: DataFrame, text_col: str, id_col: str, n: int = 10, keep_first: bool = False
 ) -> DataFrame:
     """E37: APPLY substring dedup — rewrite each document with its
     duplicated spans removed (``substring_dup_spans`` detects; this is
     the pass that actually changes the training corpus, the same
-    detect->act closure as tokenize->detokenize). Removal drops every
-    detected span occurrence (the aggressive published variant; keeping
-    one canonical occurrence is the keeper-window composition already
-    shown by neardup_canonical_docs).
+    detect->act closure as tokenize->detokenize). Default removal drops
+    every detected span occurrence (the aggressive published variant);
+    ``keep_first=True`` keeps the first occurrence of each duplicated
+    shingle by (doc_id, pos) as the canonical copy (Lee et al. §4.2 —
+    the variant real corpora ship), at the same 3-shuffle plan shape.
 
     Returns every document: (doc_id, text_clean, n_words, n_removed) —
     docs without duplicated spans pass through verbatim with
@@ -620,7 +632,7 @@ def substring_dedup_apply(
     once per corpus snapshot.
     """
     spans = (
-        substring_dup_spans(df, text_col, id_col, n)
+        substring_dup_spans(df, text_col, id_col, n, keep_first=keep_first)
         .groupBy("doc_id")
         .agg(F.collect_list(F.struct("span_start", "span_end")).alias("spans"))
     )

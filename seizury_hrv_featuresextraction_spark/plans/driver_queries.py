@@ -3286,6 +3286,56 @@ def substring_dedup_apply(spark, sf_dir):
 
 
 @q(
+    "substring_dedup_keep_one",
+    f"""
+    WITH w AS (SELECT doc_id, {WORDS_DD} AS ws FROM documents),
+         f AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 10),
+         g AS MATERIALIZED (
+           SELECT doc_id, i AS pos, array_to_string(ws[i:i+9], ' ') AS sh
+           FROM f, unnest(generate_series(1, len(ws) - 9)) AS t(i)),
+         c AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY sh) AS cnt,
+                      row_number() OVER (PARTITION BY sh ORDER BY doc_id, pos) AS rk
+               FROM g),
+         d AS (SELECT doc_id, pos FROM c WHERE cnt > 1 AND rk > 1),
+         b AS (SELECT doc_id, pos,
+                      CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 10
+                           THEN 1 ELSE 0 END AS brk
+               FROM d),
+         isl AS (SELECT doc_id, pos,
+                        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                       ROWS UNBOUNDED PRECEDING) AS island
+                 FROM b),
+         spans AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 9 AS e
+                   FROM isl GROUP BY doc_id, island),
+         posk AS (SELECT w.doc_id, i, ws[i] AS word
+                  FROM w, unnest(generate_series(1, len(ws))) AS t(i)),
+         marked AS (SELECT p.doc_id, p.i, p.word, count(s.doc_id) > 0 AS dropped
+                    FROM posk p LEFT JOIN spans s
+                      ON s.doc_id = p.doc_id AND p.i BETWEEN s.s AND s.e
+                    GROUP BY p.doc_id, p.i, p.word)
+    SELECT doc_id,
+           coalesce(string_agg(word, ' ' ORDER BY i) FILTER (WHERE NOT dropped), '') AS text_clean,
+           count(*)::bigint AS n_words,
+           (count(*) FILTER (WHERE dropped))::bigint AS n_removed
+    FROM marked GROUP BY doc_id
+    """,
+)
+def substring_dedup_keep_one(spark, sf_dir):
+    """E37b: substring-dedup rewrite, keep-one-canonical variant (Lee
+    et al. §4.2 — the variant real corpora ship): the FIRST occurrence
+    of each corpus-duplicated 10-word shingle by (doc_id, pos) survives
+    as the canonical copy; every later occurrence is removed. Same
+    3-shuffle shape as the aggressive rewrite — the keeper rank is a
+    row_number sharing the shingle-hash exchange. The twin re-derives
+    keeper ranks on the raw shingle strings and rebuilds each cleaned
+    text position-by-position (full-string equality)."""
+    from ..operators.dedup import substring_dedup_apply as op
+
+    docs = load_table(spark, sf_dir, "documents")
+    return op(docs, "text", "doc_id", n=10, keep_first=True)
+
+
+@q(
     "wav_decode_stats",
     """
     WITH p AS (SELECT doc_id,

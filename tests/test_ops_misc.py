@@ -541,3 +541,42 @@ def test_substring_dedup_vs_bruteforce(spark):
         assert got[i]["n_removed"] == len(ws) - len(expect_clean[i].split())
     # the planted boilerplate was actually removed somewhere
     assert any(g["n_removed"] for g in got.values())
+
+    # keep-one-canonical variant (E37b): the FIRST occurrence of each
+    # duplicated shingle by (doc_id, pos) is NOT marked; brute reference
+    # mirrors the compositional semantics exactly (a keeper position can
+    # still drop if covered by a different shingle's later occurrence)
+    first_occ = {}
+    for i in sorted(doc_words):
+        ws = doc_words[i]
+        for p in range(len(ws) - n + 1):
+            first_occ.setdefault(tuple(ws[p : p + n]), (i, p))
+    expect_keep_clean, expect_keep_removed = {}, {}
+    for i, ws in doc_words.items():
+        dup = [
+            p
+            for p in range(len(ws) - n + 1)
+            if grams[tuple(ws[p : p + n])] > 1 and first_occ[tuple(ws[p : p + n])] != (i, p)
+        ]
+        merged = []
+        for p in dup:
+            if merged and p - merged[-1][1] <= n:
+                merged[-1] = (merged[-1][0], p)
+            else:
+                merged.append((p, p))
+        covered = {q for a, b in merged for q in range(a + 1, b + n + 1)}
+        expect_keep_clean[i] = " ".join(w for q, w in enumerate(ws, 1) if q not in covered)
+        expect_keep_removed[i] = len(covered)
+    got1 = {
+        r["doc_id"]: r.asDict()
+        for r in substring_dedup_apply(df, "text", "doc_id", n=n, keep_first=True).collect()
+    }
+    assert set(got1) == set(doc_words)
+    for i in doc_words:
+        assert got1[i]["text_clean"] == expect_keep_clean[i], (i, got1[i], expect_keep_clean[i])
+        assert got1[i]["n_removed"] == expect_keep_removed[i]
+    # keep-one removes strictly less than drop-all on this corpus, and
+    # at least one canonical occurrence of the boilerplate survived
+    assert sum(g["n_removed"] for g in got1.values()) < sum(g["n_removed"] for g in got.values())
+    kept_total = " ".join(g["text_clean"] for g in got1.values())
+    assert " ".join(boiler) in kept_total
