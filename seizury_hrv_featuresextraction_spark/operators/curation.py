@@ -260,6 +260,95 @@ def decontaminate_overlap(
     )
 
 
+def _bloom_probes(sh: Column, m_bits: int, k: int) -> list[Column]:
+    """k probe positions for one shingle: pmod(xxhash64(i, sh), m). The
+    hash device is Spark's own xxhash64 — build and probe sides use the
+    IDENTICAL function, so there is no cross-language hash drift."""
+    return [F.pmod(F.xxhash64(F.lit(i), sh), F.lit(m_bits)) for i in range(k)]
+
+
+def build_bloom_bitmap(
+    eval_df: DataFrame,
+    n: int = 8,
+    tokens_col: str = "tokens",
+    bits_per_item: int = 10,
+    k: int = 4,
+) -> tuple[list[int], int]:
+    """Bloom bitmap over the eval split's distinct token n-grams,
+    returned as (list of 64-bit words, m_bits). Sizing: m = bits_per_item
+    x n_distinct shingles (rounded to a word), so the expected FP rate is
+    (1 - e^(-k/bits_per_item))^k — ~1.2% at the 10/4 default.
+
+    Build shape: the probe positions are computed IN SPARK (explode k
+    probes per distinct shingle, distinct) and only the <= m_bits
+    distinct set positions come back to the driver — the eval corpus
+    itself is never collected, and the result is bounded by the bitmap
+    size no matter how large the eval suite grows."""
+    shingles = eval_df.select(
+        F.explode(token_shingles(F.col(tokens_col), n)).alias("sh")
+    ).distinct()
+    n_items = shingles.count()
+    m_bits = max(64, ((bits_per_item * max(n_items, 1) + 63) // 64) * 64)
+    pos = (
+        shingles.select(F.explode(F.array(*_bloom_probes(F.col("sh"), m_bits, k))).alias("p"))
+        .distinct()
+        .collect()
+    )
+    words_arr = [0] * (m_bits // 64)
+    for r in pos:
+        p = int(r["p"])
+        words_arr[p // 64] |= 1 << (p % 64)
+    # Spark longs are signed: fold bit 63 into two's complement
+    words_arr = [w - (1 << 64) if w >= (1 << 63) else w for w in words_arr]
+    return words_arr, m_bits
+
+
+def decontaminate_overlap_bloom(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    bits_per_item: int = 10,
+    k: int = 4,
+) -> DataFrame:
+    """E28b: Bloom-filter decontamination — same contract as
+    ``decontaminate_overlap`` (per-train-doc count of eval-overlapping
+    n-grams, only docs with n_overlap > 0 returned) but the eval side is
+    a BITMAP, not the shingle strings. One-sided error: never misses a
+    real overlap (no false negatives), overcounts by the measured FP
+    rate (pytest pins it against the analytic bound).
+
+    Scale shape: the exact path broadcasts every distinct eval shingle
+    STRING (~50 bytes each — a many-benchmark eval union of 10M shingles
+    is a 500 MB broadcast); the bitmap is bits_per_item bits per shingle
+    (~12 MB for the same union), rides as a ONE-ROW broadcast
+    array<bigint>, and the membership test is k getbit probes inside a
+    higher-order filter — the train side stays a zero-join scan stage
+    (broadcast nested loop of a 1-row side), with no shuffle anywhere on
+    the train corpus."""
+    words_arr, m_bits = build_bloom_bitmap(eval_df, n, tokens_col, bits_per_item, k)
+    spark = train.sparkSession
+    bm = spark.createDataFrame([(words_arr,)], "__bm array<bigint>")
+
+    def hit(sh: Column) -> Column:
+        probes = _bloom_probes(sh, m_bits, k)
+        c = F.lit(True)
+        for p in probes:
+            word = F.element_at("__bm", (p / 64).cast("int") + 1)
+            c = c & (F.getbit(word, (p % 64).cast("int")) == 1)
+        return c
+
+    return (
+        train.crossJoin(F.broadcast(bm))
+        .select(
+            F.col(id_col),
+            F.size(F.filter(token_shingles(F.col(tokens_col), n), hit)).alias("n_overlap"),
+        )
+        .filter(F.col("n_overlap") > 0)
+    )
+
+
 # ---------------------------------------------------------------------------
 # E33: bigram-LM cross-entropy scoring (the CCNet/KenLM-style quality pass)
 # ---------------------------------------------------------------------------

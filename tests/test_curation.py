@@ -271,3 +271,56 @@ def test_hashed_linear_classifier_semantics_and_plan(spark):
     plan = _plan(out)
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_decontaminate_bloom_fp_rate_and_no_false_negatives(spark):
+    """E28b: the Bloom decontamination path never misses a real overlap
+    (every exact-path hit appears with n_overlap >= the exact count) and
+    its false-positive rate on a planted all-clean corpus stays within
+    ~2.5x the analytic bound (1 - e^(-k/bits))^k ~= 1.18% at 10/4."""
+    import math
+
+    from seizury_hrv_featuresextraction_spark.operators.curation import (
+        build_bloom_bitmap,
+        decontaminate_overlap,
+        decontaminate_overlap_bloom,
+    )
+
+    n = 8
+    # eval suite: 50 docs x 20 tokens over a dedicated range
+    eval_rows = [(i, [100_000 + i * 20 + j for j in range(20)]) for i in range(50)]
+    eval_df = spark.createDataFrame(eval_rows, "doc_id long, tokens array<int>")
+
+    # train: 200 clean docs (disjoint token range -> zero true overlap)
+    # + 10 contaminated docs embedding one full eval 8-gram
+    clean = [(i, [10_000 + i * 40 + j for j in range(40)]) for i in range(200)]
+    contam = [
+        (1000 + i, [500_000 + i * 12 + j for j in range(12)] + eval_rows[i][1][:n])
+        for i in range(10)
+    ]
+    train = spark.createDataFrame(clean + contam, "doc_id long, tokens array<int>")
+
+    exact = {r["doc_id"]: r["n_overlap"] for r in decontaminate_overlap(train, eval_df, n=n).collect()}
+    bloom = {
+        r["doc_id"]: r["n_overlap"]
+        for r in decontaminate_overlap_bloom(train, eval_df, n=n, bits_per_item=10, k=4).collect()
+    }
+    # no false negatives, and bloom can only overcount
+    assert set(exact) <= set(bloom)
+    for d, c in exact.items():
+        assert bloom[d] >= c, (d, bloom[d], c)
+    assert all(1000 + i in bloom for i in range(10))
+
+    # measured FP rate over the clean docs' shingles
+    clean_shingles = sum(len(t) - n + 1 for _, t in clean)
+    fp_hits = sum(c for d, c in bloom.items() if d < 1000)
+    fp_rate = fp_hits / clean_shingles
+    analytic = (1 - math.exp(-4 / 10)) ** 4
+    assert fp_rate <= 2.5 * analytic, (fp_rate, analytic)
+
+    # bitmap sizing: m = bits_per_item x distinct shingles, word-rounded
+    words_arr, m_bits = build_bloom_bitmap(eval_df, n=n, bits_per_item=10, k=4)
+    n_eval_shingles = 50 * (20 - n + 1)
+    assert m_bits == ((10 * n_eval_shingles + 63) // 64) * 64
+    assert len(words_arr) == m_bits // 64
+    assert any(w != 0 for w in words_arr)
