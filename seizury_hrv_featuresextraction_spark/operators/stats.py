@@ -163,6 +163,65 @@ def pack_sequences(
     return out.withColumn("bin", F.floor(F.col("offset") / budget).cast("long"))
 
 
+def pack_sequences_bfd(
+    df: DataFrame,
+    id_col: str,
+    size_col: str,
+    budget: int,
+    n_shards: int = 16,
+) -> DataFrame:
+    """E12b: best-fit-decreasing bin packing — the no-split alternative
+    to ``pack_sequences`` (which concat-packs and lets docs straddle bin
+    boundaries). Every doc lands whole in exactly one bin; BFD (sort by
+    size descending, place each doc in the fullest bin it still fits)
+    is the classic near-optimal heuristic (<= 11/9 OPT + 1), so measured
+    waste = budget x n_bins - sum(sizes) is the number a training-infra
+    user compares against pad-batching (BENCH/curation_paths.md table).
+
+    Determinism: docs order by (size DESC, id ASC) within their hash
+    shard; among equally-loaded best-fit bins the lowest index wins; new
+    bins take the next index. A pure function of the input — an external
+    engine replaying the same rules reproduces bin ids exactly (the
+    DuckDB twin runs the identical policy as a recursive CTE).
+
+    Scale shape: ONE shuffle on the shard key, then each shard packs
+    sequentially inside an ``applyInPandas`` kernel (bin packing is
+    inherently order-dependent; sharding first bounds every sequential
+    run to corpus/n_shards docs and makes shards the unit of
+    parallelism, exactly as in ``shuffle_shards``). Returns
+    (id, size, shard, bin)."""
+    import pandas as pd
+
+    shard = F.pmod(F.col(id_col), F.lit(n_shards)).cast("int")
+    base = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(size_col).cast("long").alias(size_col),
+        shard.alias("shard"),
+    )
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values([size_col, id_col], ascending=[False, True])
+        loads: list[int] = []
+        bins: list[int] = []
+        for s in pdf[size_col].tolist():
+            best, best_load = -1, -1
+            for j, load in enumerate(loads):
+                if load + s <= budget and load > best_load:
+                    best, best_load = j, load
+            if best < 0:
+                bins.append(len(loads))
+                loads.append(s)
+            else:
+                loads[best] += s
+                bins.append(best)
+        pdf = pdf.copy()
+        pdf["bin"] = pd.array(bins, dtype="int64")
+        return pdf
+
+    out_schema = f"{id_col} long, {size_col} long, shard int, bin long"
+    return base.groupBy("shard").applyInPandas(pack, out_schema)
+
+
 def stratified_hash_sample(
     df: DataFrame, id_col: str, stratum_col: str, rates: dict[str, float],
     default_rate: float = 0.0, seed: str = ""

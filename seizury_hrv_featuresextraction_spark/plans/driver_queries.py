@@ -3488,6 +3488,54 @@ def length_bucketed_batches(spark, sf_dir):
 
 
 @q(
+    "sequence_packing_bfd",
+    """
+    WITH RECURSIVE d AS (
+      SELECT doc_id, n_chars::bigint AS s, (doc_id % 16)::int AS shard,
+             row_number() OVER (PARTITION BY doc_id % 16 ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents),
+    r AS (
+      SELECT DISTINCT shard, 0::bigint AS t, []::bigint[] AS loads,
+             NULL::bigint AS doc_id, NULL::bigint AS bin
+      FROM d
+      UNION ALL
+      SELECT r.shard, r.t + 1,
+             CASE WHEN list_aggregate(list_filter(r.loads, l -> l + d.s <= 4000), 'max') IS NULL
+                  THEN list_append(r.loads, d.s)
+                  ELSE list_transform(generate_series(1, len(r.loads)),
+                         i -> CASE WHEN i = list_position(r.loads,
+                                    list_aggregate(list_filter(r.loads, l -> l + d.s <= 4000), 'max'))
+                              THEN r.loads[i] + d.s ELSE r.loads[i] END)
+             END,
+             d.doc_id,
+             CASE WHEN list_aggregate(list_filter(r.loads, l -> l + d.s <= 4000), 'max') IS NULL
+                  THEN len(r.loads)::bigint
+                  ELSE (list_position(r.loads,
+                          list_aggregate(list_filter(r.loads, l -> l + d.s <= 4000), 'max')) - 1)::bigint
+             END
+      FROM r JOIN d ON d.shard = r.shard AND d.rn = r.t + 1
+    )
+    SELECT doc_id, shard, bin FROM r WHERE doc_id IS NOT NULL
+    """,
+)
+def sequence_packing_bfd(spark, sf_dir):
+    """E12b: best-fit-decreasing packing of documents into 4000-char
+    bins — the no-split alternative to contiguous packing (every doc
+    whole in one bin; waste measurable, see BENCH/curation_paths.md
+    pack-vs-pad table). Fully deterministic policy (size-desc/id order,
+    tightest-fitting-lowest-index bin), so the twin replays it exactly
+    as a recursive CTE carrying each shard's bin-load list — the first
+    ITERATIVE-HEURISTIC oracle in the suite (the CC twin is iterative
+    too, but convergent; this one is order-sensitive state)."""
+    from ..operators.stats import pack_sequences_bfd
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences_bfd(docs, "doc_id", "n_chars", budget=4000, n_shards=16).select(
+        "doc_id", F.col("shard").cast("long").alias("shard"), "bin"
+    )
+
+
+@q(
     "linear_quality_docs",
     f"""
     WITH w AS (SELECT doc_id, {WORDS_DD} AS ws FROM documents),

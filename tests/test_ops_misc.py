@@ -580,3 +580,50 @@ def test_substring_dedup_vs_bruteforce(spark):
     assert sum(g["n_removed"] for g in got1.values()) < sum(g["n_removed"] for g in got.values())
     kept_total = " ".join(g["text_clean"] for g in got1.values())
     assert " ".join(boiler) in kept_total
+
+
+def test_pack_sequences_bfd_invariants(spark):
+    """E12b: BFD packing — no doc split, per-bin capacity respected
+    (every doc <= budget here), bin ids dense per shard, output equals a
+    brute python BFD replay, and the assignment is invariant to input
+    partitioning (determinism)."""
+    import collections
+
+    from seizury_hrv_featuresextraction_spark.operators.stats import pack_sequences_bfd
+
+    rows = [(i, 100 + (i * 137) % 900) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    out = {r["doc_id"]: (r["shard"], r["bin"]) for r in pack_sequences_bfd(df, "doc_id", "n", budget=1000, n_shards=4).collect()}
+    out2 = {r["doc_id"]: (r["shard"], r["bin"]) for r in pack_sequences_bfd(df.repartition(7), "doc_id", "n", budget=1000, n_shards=4).collect()}
+    assert out == out2  # partitioning-invariant
+
+    by_shard = collections.defaultdict(list)
+    for i, s in rows:
+        by_shard[i % 4].append((i, s))
+    expect, sizes = {}, dict(rows)
+    for sh, items in by_shard.items():
+        items.sort(key=lambda x: (-x[1], x[0]))
+        loads = []
+        for i, s in items:
+            best, bl = -1, -1
+            for j, load in enumerate(loads):
+                if load + s <= 1000 and load > bl:
+                    best, bl = j, load
+            if best < 0:
+                expect[i] = (sh, len(loads))
+                loads.append(s)
+            else:
+                loads[best] += s
+                expect[i] = (sh, best)
+    assert out == expect
+
+    # capacity + density
+    loads = collections.defaultdict(int)
+    for i, (sh, b) in out.items():
+        loads[(sh, b)] += sizes[i]
+    assert all(v <= 1000 for v in loads.values())
+    bins_per_shard = collections.defaultdict(set)
+    for sh, b in loads:
+        bins_per_shard[sh].add(b)
+    for sh, bs in bins_per_shard.items():
+        assert sorted(bs) == list(range(len(bs)))
