@@ -71,11 +71,19 @@ STREAM_STATE_SCHEMA = T.StructType(
         T.StructField("next_chunk", T.LongType(), True),
         T.StructField("pend_idx", T.ArrayType(T.LongType()), True),
         T.StructField("pend_toks", T.ArrayType(T.ArrayType(T.IntegerType())), True),
+        T.StructField("gap_age", T.LongType(), True),
+        T.StructField("truncated", T.BooleanType(), True),
     ]
 )
 
 
-def make_hrv_stream_fn(cfg: HRVConfig, max_pending_chunks: int = 4096, strict: bool = True):
+def make_hrv_stream_fn(
+    cfg: HRVConfig,
+    max_pending_chunks: int = 4096,
+    strict: bool = True,
+    max_lateness_batches: int | None = None,
+    late_counter=None,
+):
     fs = cfg.sampling_rate
     spw = cfg.window_samples()
     step = cfg.step_samples()
@@ -84,13 +92,18 @@ def make_hrv_stream_fn(cfg: HRVConfig, max_pending_chunks: int = 4096, strict: b
     def fn(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         (doc_id,) = key
         if state.exists:
-            buf, off_ms, next_win, next_chunk, pend_idx, pend_toks = state.get
+            buf, off_ms, next_win, next_chunk, pend_idx, pend_toks, gap_age, truncated = (
+                state.get
+            )
             buf = list(buf or [])
+            gap_age = int(gap_age or 0)
+            truncated = bool(truncated)
             pending = {
                 int(i): list(t) for i, t in zip(pend_idx or [], pend_toks or [])
             }
         else:
             buf, off_ms, next_win, next_chunk, pending = [], 0, 0, 0, {}
+            gap_age, truncated = 0, False
         chunks = [c for c in pdf_iter if len(c)]
 
         def save(tokens: list[int], offset: int) -> None:
@@ -109,8 +122,14 @@ def make_hrv_stream_fn(cfg: HRVConfig, max_pending_chunks: int = 4096, strict: b
                     int(next_chunk),
                     [int(k) for k in ks],
                     [pending[k] for k in ks],
+                    int(gap_age),
+                    bool(truncated),
                 )
             )
+
+        def count_late(n: int) -> None:
+            if late_counter is not None and n:
+                late_counter.add(n)
 
         if not chunks:
             save(buf, int(off_ms))
@@ -122,6 +141,13 @@ def make_hrv_stream_fn(cfg: HRVConfig, max_pending_chunks: int = 4096, strict: b
         pdf = pd.concat(chunks, ignore_index=True)
         for ci, toks in zip(pdf["chunk_idx"], pdf["tokens"]):
             ci = int(ci)
+            if truncated and ci >= next_chunk:
+                # bounded-lateness drop: the doc's gap was abandoned, so
+                # every post-gap chunk (including the straggler itself
+                # when it finally shows up) is dropped and counted — the
+                # emitted output stays exactly the on-time prefix
+                count_late(1)
+                continue
             if ci < next_chunk or ci in pending:
                 # strict (default): a duplicate/replayed chunk corrupts
                 # the emitted-once window arithmetic, so fail the query.
@@ -142,6 +168,18 @@ def make_hrv_stream_fn(cfg: HRVConfig, max_pending_chunks: int = 4096, strict: b
         while next_chunk in pending:
             ready.append(np.asarray(pending.pop(next_chunk), dtype=np.int64))
             next_chunk += 1
+        if pending and next_chunk not in pending:
+            # a gap is outstanding after this trigger's consumption;
+            # age it, and past the lateness bound abandon the wait:
+            # drop + count everything queued behind the gap and mark
+            # the doc truncated (bounded state, watermark-style policy)
+            gap_age += 1
+            if max_lateness_batches is not None and gap_age > max_lateness_batches:
+                count_late(len(pending))
+                pending.clear()
+                truncated = True
+        else:
+            gap_age = 0
         if not ready:
             save(buf, int(off_ms))
             yield pd.DataFrame(columns=cols)
@@ -193,7 +231,11 @@ class _BatchState:
 
 
 def streaming_hrv_features(
-    chunks: DataFrame, cfg: HRVConfig = DEFAULT_CONFIG, strict: bool = True
+    chunks: DataFrame,
+    cfg: HRVConfig = DEFAULT_CONFIG,
+    strict: bool = True,
+    max_lateness_batches: int | None = None,
+    late_counter=None,
 ) -> DataFrame:
     """(doc_id, chunk_idx, tokens array<int>) stream -> feature rows.
 
@@ -205,8 +247,24 @@ def streaming_hrv_features(
     ``strict=True`` (default) raises on any duplicate/replayed chunk id
     (at-most-once delivery contract); ``strict=False`` drops redelivered
     chunks idempotently — the right mode behind an at-least-once source,
-    where one upstream retry must not kill the query."""
-    fn = make_hrv_stream_fn(cfg, strict=strict)
+    where one upstream retry must not kill the query.
+
+    ``max_lateness_batches`` is the bounded-lateness policy (the
+    watermark analogue for a sequence-numbered stream): when a missing
+    chunk leaves a gap outstanding for more than N of the doc's triggers,
+    the wait is abandoned — everything queued behind the gap is dropped,
+    the doc is marked truncated, and any later arrival for it (including
+    the straggler itself) is dropped on sight. Every dropped chunk is
+    counted in ``late_counter`` (a SparkContext accumulator — the
+    observable audit metric), and the emitted output remains EXACTLY the
+    batch output on the on-time contiguous prefix (tested). ``None``
+    (default) waits forever, bounded only by ``max_pending_chunks``."""
+    fn = make_hrv_stream_fn(
+        cfg,
+        strict=strict,
+        max_lateness_batches=max_lateness_batches,
+        late_counter=late_counter,
+    )
     if chunks.isStreaming:
         return chunks.groupBy("doc_id").applyInPandasWithState(
             fn,

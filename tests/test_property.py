@@ -215,7 +215,7 @@ def test_streaming_hrv_reorder_invariant(toks, cuts, perm_seed, n_batches):
         b = expected[name].to_numpy(float)
         assert np.allclose(a, b, rtol=1e-9, atol=1e-12, equal_nan=True), name
     # all chunks consumed: nothing left pending, same resume point
-    buf, off_ms, next_win, next_chunk, pend_idx, pend_toks = state._v
+    buf, off_ms, next_win, next_chunk, pend_idx, pend_toks, gap_age, truncated = state._v
     assert next_chunk == len(chunks)
     assert not pend_idx
 

@@ -239,3 +239,70 @@ def test_reorder_buffer_nonstrict_drops_redelivery():
     assert_frames_allclose(redelivered, clean, float_cols=list(ALL_FEATURES), key_cols=["doc_id", "window_id"])
     assert (redelivered.sort_values("window_id")["n_beats"].to_numpy()
             == clean.sort_values("window_id")["n_beats"].to_numpy()).all()
+
+
+@pytest.mark.timeout(300)
+def test_streaming_bounded_lateness_drop_and_metric(spark, tmp_path):
+    """Bounded-lateness policy: a chunk gap outstanding for more than
+    max_lateness_batches of the doc's triggers abandons the wait — the
+    chunks queued behind the gap AND the eventual straggler are dropped,
+    every drop is counted in the accumulator metric, and the drained
+    output equals the batch flagship on the ON-TIME contiguous prefix
+    feature-for-feature."""
+    seq_pdf = make_sequences(1, short_range=(1500, 1600), long_range=(1500, 1600), long_frac=0.0)
+    chunks = _chunked(seq_pdf, n_chunks=5)
+    n_chunks = int(chunks["chunk_idx"].max()) + 1
+    assert n_chunks >= 5
+
+    src = str(tmp_path / "late_stream")
+    b1 = chunks[chunks.chunk_idx.isin([0, 1, 3])]   # gap at 2 appears
+    b2 = chunks[chunks.chunk_idx >= 4]              # gap persists -> truncate
+    b3 = chunks[chunks.chunk_idx == 2]              # straggler: too late
+    spark.createDataFrame(b1, schema=CHUNK_SCHEMA).coalesce(1).write.mode("overwrite").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(b2, schema=CHUNK_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(b3, schema=CHUNK_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+
+    late_counter = spark.sparkContext.accumulator(0)
+    stream_in = spark.readStream.schema(CHUNK_SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        streaming_hrv_features(stream_in, CFG, max_lateness_batches=1, late_counter=late_counter)
+        .writeStream.format("memory")
+        .queryName("hrv_late_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    streamed = (
+        spark.sql("select * from hrv_late_stream")
+        .toPandas()
+        .sort_values(["doc_id", "window_id"])
+        .reset_index(drop=True)
+    )
+
+    # metric: every chunk behind the gap (3..n-1) + the straggler 2
+    assert late_counter.value == n_chunks - 2
+
+    # on-time prefix = chunks 0,1 concatenated
+    toks = list(seq_pdf.iloc[0]["tokens"])
+    size = max(1, len(toks) // 5)
+    prefix = toks[: 2 * size]
+    prefix_pdf = seq_pdf.copy()
+    prefix_pdf["tokens"] = [prefix]
+    batch = (
+        extract_features(spark.createDataFrame(prefix_pdf), None, CFG)
+        .select("doc_id", "window_id", "n_beats", *ALL_FEATURES)
+        .toPandas()
+        .sort_values(["doc_id", "window_id"])
+        .reset_index(drop=True)
+    )
+    assert len(streamed) == len(batch) > 0
+    assert streamed["window_id"].tolist() == batch["window_id"].tolist()
+    assert streamed["n_beats"].tolist() == batch["n_beats"].tolist()
+    for name in ALL_FEATURES:
+        np.testing.assert_allclose(
+            streamed[name].to_numpy(), batch[name].to_numpy(), rtol=0, atol=1e-9,
+            err_msg=name,
+        )
