@@ -326,14 +326,30 @@ def _snapshot_dir(output_path: str) -> str:
 
 
 def list_snapshots(output_path: str) -> list[dict]:
+    """Snapshot log, tolerant of a truncated/corrupt vN.json (e.g. a
+    crash or ENOSPC mid-write on a no-hardlink filesystem where the
+    O_EXCL fallback claims the slot before content lands): the bad file
+    is skipped with a warning instead of poisoning every snapshot read.
+    write_snapshot treats a skipped version as occupied (EEXIST on the
+    slot) and lands the next one, so the log stays append-only."""
+    import warnings
+
     d = _snapshot_dir(output_path)
     if not os.path.isdir(d):
         return []
     out = []
     for name in sorted(os.listdir(d)):
         if name.startswith("v") and name.endswith(".json"):
-            with open(os.path.join(d, name)) as f:
-                out.append(json.load(f))
+            p = os.path.join(d, name)
+            try:
+                with open(p) as f:
+                    out.append(json.load(f))
+            except (json.JSONDecodeError, OSError) as e:  # pragma: no cover - rare
+                warnings.warn(
+                    f"skipping unreadable snapshot {p} ({e}); likely a crashed "
+                    "mid-write on a no-hardlink filesystem — quarantine or delete it",
+                    stacklevel=2,
+                )
     return sorted(out, key=lambda s: s["version"])
 
 
@@ -411,10 +427,22 @@ def write_snapshot(output_path: str) -> int:
                 except FileExistsError:
                     version += 1
                 else:
-                    with os.fdopen(fd2, "w") as f2:
-                        json.dump(snap, f2)
-                        f2.flush()
-                        os.fsync(f2.fileno())
+                    # serialize BEFORE touching the claimed slot and
+                    # unlink it on any write failure, so a crash/ENOSPC
+                    # can't leave a permanently truncated vN.json behind
+                    # (list_snapshots additionally tolerates one)
+                    payload = json.dumps(snap)
+                    try:
+                        with os.fdopen(fd2, "w") as f2:
+                            f2.write(payload)
+                            f2.flush()
+                            os.fsync(f2.fileno())
+                    except OSError:
+                        try:
+                            os.unlink(path)
+                        except OSError:  # pragma: no cover - best effort
+                            pass
+                        raise
                     return version
         finally:
             os.unlink(tmp)

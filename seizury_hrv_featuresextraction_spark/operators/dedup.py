@@ -568,7 +568,11 @@ def substring_dup_spans(
 
     w = (
         spread(df)
-        .select(F.col(id_col).alias("doc_id"), words(F.col(text_col)).alias("ws"))
+        # null-safe: words(NULL) is NULL and F.size(NULL) = -1 downstream
+        .select(
+            F.col(id_col).alias("doc_id"),
+            words(F.coalesce(F.col(text_col), F.lit(""))).alias("ws"),
+        )
         # guard before sequence(): Spark's sequence(1, k) DESCENDS for
         # k <= 0, so short docs must not reach the shingle builder
         .filter(F.size("ws") >= n)
@@ -637,7 +641,8 @@ def substring_dedup_apply(
         .agg(F.collect_list(F.struct("span_start", "span_end")).alias("spans"))
     )
     w = spread(df).select(
-        F.col(id_col).alias("doc_id"), words(F.col(text_col)).alias("ws")
+        F.col(id_col).alias("doc_id"),
+        words(F.coalesce(F.col(text_col), F.lit(""))).alias("ws"),
     )
     joined = w.join(spans, "doc_id", "left")
     # two-arg lambda in F.filter = (element, 0-based index); spans carry

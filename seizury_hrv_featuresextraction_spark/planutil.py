@@ -15,9 +15,16 @@ from pyspark.sql import DataFrame
 
 # logical nodes that cannot introduce an exchange: file/in-memory scans
 # plus per-row ops. Anything else (Join/Aggregate/Repartition/Sort/
-# Window/Generate/FlatMap*/Limit/...) disqualifies the probe.
+# Window/Generate/FlatMap*/Limit/...) disqualifies the probe. DSv2
+# scans render as RelationV2 / DataSourceV2Relation (r5 ADVICE — absent
+# from the original list, which silently forced the conservative path
+# for every DSv2 table).
 _NARROW_NODES = {
     "Relation",
+    "RelationV2",
+    "DataSourceV2Relation",
+    "DataSourceV2ScanRelation",
+    "StreamingRelationV2",
     "LogicalRDD",
     "LocalRelation",
     "InMemoryRelation",
@@ -27,6 +34,11 @@ _NARROW_NODES = {
     "SubqueryAlias",
     "View",
 }
+
+# unknown node names that already forced the conservative path, logged
+# once each — plan-string rendering drifts across Spark versions, and a
+# silently-always-repartitioning spread() is a hidden performance cliff
+_WARNED_NODES: set[str] = set()
 
 
 def scan_num_partitions(df: DataFrame) -> int | None:
@@ -63,6 +75,23 @@ def scan_num_partitions(df: DataFrame) -> int | None:
                 i += 1
             continue
         if node and node not in _NARROW_NODES:
+            # wide operators are the expected reason to refuse; an
+            # unknown LEAF/scan-looking node is worth one warning so a
+            # renamed relation node in a future Spark doesn't silently
+            # degrade every spread()/plan_stats() call (safe direction:
+            # the fallback only over-repartitions, never corrupts)
+            if node not in _WARNED_NODES and (
+                "Relation" in node or "Scan" in node
+            ):  # pragma: no cover - future-Spark guard
+                _WARNED_NODES.add(node)
+                import warnings
+
+                warnings.warn(
+                    f"scan_num_partitions: unrecognized scan-like node {node!r} "
+                    "forces the conservative repartition path; add it to "
+                    "_NARROW_NODES if it cannot introduce an exchange",
+                    stacklevel=3,
+                )
             return None
         i += 1
     try:

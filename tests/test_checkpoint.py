@@ -394,3 +394,38 @@ def test_table_fp_is_interpreter_stable():
     assert _table_fp({1: 7, 0: -5}) == 11258907142070501003  # key-order independent
     assert _table_fp({}) == 11400714819323198485
     assert _table_fp({0: 0}) == 15547872573721600895  # empty != single-zero bucket
+
+
+def test_snapshot_log_tolerates_truncated_file(spark, fixture_tables, tiny_cfg, tmp_path):
+    """r5 ADVICE: a truncated vN.json (crash/ENOSPC mid-write on a
+    no-hardlink filesystem) must not poison snapshot reads — it is
+    skipped with a warning, and the next commit lands on a FRESH version
+    (the corrupt slot stays occupied, append-only log preserved)."""
+    import os
+    import warnings as _warnings
+
+    from seizury_hrv_featuresextraction_spark.checkpoint import (
+        _snapshot_dir,
+        list_snapshots,
+        write_snapshot,
+    )
+
+    seq, ann = fixture_tables
+    seq = seq.iloc[:2]
+    sdf = spark.createDataFrame(seq, schema=SEQUENCES_SCHEMA)
+    adf = spark.createDataFrame(ann[ann["doc_id"].isin(seq["doc_id"])], schema=ANNOTATIONS_SCHEMA)
+    out = str(tmp_path / "f_trunc")
+    run_resumable(spark, sdf, adf, out, tiny_cfg, n_buckets=2)
+    assert [s["version"] for s in list_snapshots(out)] == [1]
+
+    # plant a truncated v2.json
+    with open(os.path.join(_snapshot_dir(out), "v2.json"), "w") as f:
+        f.write('{"version": 2, "bucke')
+    with _warnings.catch_warnings(record=True) as rec:
+        _warnings.simplefilter("always")
+        assert [s["version"] for s in list_snapshots(out)] == [1]
+    assert any("unreadable snapshot" in str(w.message) for w in rec)
+
+    # next commit must land v3 (v2 slot occupied), not overwrite v2
+    assert write_snapshot(out) == 3
+    assert [s["version"] for s in list_snapshots(out)] == [1, 3]

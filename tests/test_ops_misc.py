@@ -627,3 +627,19 @@ def test_pack_sequences_bfd_invariants(spark):
         bins_per_shard[sh].add(b)
     for sh, bs in bins_per_shard.items():
         assert sorted(bs) == list(range(len(bs)))
+
+
+def test_substring_dedup_apply_empty_and_null_text(spark):
+    """r5 ADVICE: zero-word and NULL-text docs must survive the rewrite
+    verbatim (n_words=0, n_removed=0, empty clean text) — never dropped,
+    never a -1 size from F.size(NULL)."""
+    from seizury_hrv_featuresextraction_spark.operators.dedup import substring_dedup_apply
+
+    docs = [(0, "x y z w a b c d"), (1, ""), (2, None), (3, "   ")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for kf in (False, True):
+        got = {r["doc_id"]: r.asDict() for r in substring_dedup_apply(df, "text", "doc_id", n=4, keep_first=kf).collect()}
+        assert set(got) == {0, 1, 2, 3}
+        for d in (1, 2, 3):
+            assert got[d]["text_clean"] == "" and got[d]["n_words"] == 0 and got[d]["n_removed"] == 0
+        assert got[0]["n_words"] == 8 and got[0]["n_removed"] == 0
