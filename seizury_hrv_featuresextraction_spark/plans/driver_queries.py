@@ -33,12 +33,20 @@ WORDS_DD = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), w -> w <>
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
 
+# contrast baselines (r5 ADVICE item 8): brute-force twins of operators
+# whose SCALE path is separately oracled. They stay value-gated in-repo
+# (tools/check_queries.py runs them alongside QUERIES) but are NOT
+# exported to the driver — re-verifying a baseline every round would
+# spend rotation slots the real operators need.
+CONTRAST_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+CONTRAST_ORACLE: dict[str, str] = {}
 
-def q(name: str, sql: str | None = None):
+
+def q(name: str, sql: str | None = None, contrast: bool = False):
     def deco(fn):
-        QUERIES[name] = fn
+        (CONTRAST_QUERIES if contrast else QUERIES)[name] = fn
         if sql is not None:
-            ORACLE[name] = sql
+            (CONTRAST_ORACLE if contrast else ORACLE)[name] = sql
         return fn
     return deco
 
@@ -715,6 +723,7 @@ def ngram_jaccard_pairs_q(spark, sf_dir):
 
 @q(
     "ngram_jaccard_pairs_all",
+    
     f"""
     WITH w AS (SELECT doc_id, {WORDS_DD} AS ws FROM documents),
          sh AS (SELECT doc_id, unnest(
@@ -731,6 +740,7 @@ def ngram_jaccard_pairs_q(spark, sf_dir):
     FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
     WHERE n_inter::double / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
     """,
+    contrast=True,
 )
 def ngram_jaccard_pairs_all(spark, sf_dir):
     """Correctness BASELINE (bounded inputs only): the unrestricted
@@ -870,6 +880,7 @@ def cosine_topk(spark, sf_dir):
 
 @q(
     "embedding_near_dup_pairs",
+    
     """
     WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> x::double) AS v
                FROM embeddings WHERE vec_id < 300)
@@ -882,6 +893,7 @@ def cosine_topk(spark, sf_dir):
            / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * a.v[i])))
             * sqrt(list_sum(list_transform(generate_series(1, 64), i -> b.v[i] * b.v[i])))) >= 0.25
     """,
+    contrast=True,
 )
 def embedding_near_dup_pairs(spark, sf_dir):
     from ..operators.dedup import embedding_near_dups
@@ -1969,7 +1981,7 @@ def hrv_features_flagship(spark, sf_dir):
     )
 
 
-@q("hrv_features_flagship_oracle_grid", _FLAGSHIP_SQL)
+@q("hrv_features_flagship_oracle_grid", _FLAGSHIP_SQL, contrast=True)
 def hrv_features_flagship_oracle_grid(spark, sf_dir):
     """The flagship pipeline with its composed FULL-surface DuckDB twin:
     all 23 features + the temporal-leakage-free label checked per

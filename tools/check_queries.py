@@ -79,8 +79,18 @@ def main():
     # registered queries sit outside that window this round
     names = list(qs)
     outside = names[50:]
+    # contrast baselines (r5 ADVICE item 8): not exported to the driver,
+    # but this in-repo gate still value-checks them every run
+    from seizury_hrv_featuresextraction_spark.plans.driver_queries import (
+        CONTRAST_ORACLE,
+        CONTRAST_QUERIES,
+    )
+
+    qs = {**qs, **CONTRAST_QUERIES}
+    oracles = {**oracles, **CONTRAST_ORACLE}
     print(
-        f"registered surface: {len(qs)} queries / {len(oracles)} twins; "
+        f"registered surface: {len(qs)} queries / {len(oracles)} twins "
+        f"(driver-exported: {len(names)}, contrast baselines: {len(CONTRAST_QUERIES)}); "
         f"driver snapshot covers the first 50 — outside this round: "
         f"{outside if outside else 'none'}\n"
     )
