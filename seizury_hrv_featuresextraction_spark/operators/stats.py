@@ -245,6 +245,66 @@ def stratified_hash_sample(
     return df.filter(h < thr)
 
 
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    alpha: float = 0.6,
+    target_frac: float = 0.5,
+    seed: str = "mix:",
+) -> DataFrame:
+    """E41: temperature-weighted source-mixture sampling — the
+    multilingual/multi-source rebalancing pass (Conneau & Lample's
+    p_g ∝ n_g^alpha; mT5 uses alpha=0.3): head groups downsample hard,
+    tail groups keep (almost) everything, total output targets
+    ``target_frac`` of the corpus.
+
+    Per-group keep rate: r_g = min(1, target_frac * N / Z * n_g^(alpha-1))
+    with Z = sum_g n_g^alpha — i.e. each group's quota is its
+    temperature-weighted share of the target. Rates above 1 cap (a
+    filter cannot upsample), so the realized total can undershoot when
+    the tail is large; the capped rate is part of the contract.
+
+    Unlike ``stratified_hash_sample`` (CONFIGURED rates), the rates here
+    are DERIVED from the data in one tiny group-count aggregate. Row
+    selection is the same deterministic md5 device, with the threshold
+    ROUNDED to an integer (round(r*65536)) so the 16-bit hash compare is
+    integer-vs-integer in any engine — pow() may differ by 1 ulp between
+    math libraries, which only matters if r*65536 lands within 1 ulp of
+    x.5 (measure-zero; stressed at sf0.1/sf1.0).
+
+    Scale shape: one map-side-combining count agg over the group key
+    (group cardinality rows), rates broadcast back, selection a
+    scan-stage filter — the corpus itself is never shuffled."""
+    n = F.col("__n").cast("double")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    tot = counts.agg(
+        F.sum("__n").cast("double").alias("__tot"),
+        F.sum(F.pow(F.col("__n").cast("double"), F.lit(alpha))).alias("__z"),
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            group_col,
+            F.least(
+                F.lit(1.0),
+                F.lit(target_frac) * F.col("__tot") / F.col("__z") * F.pow(n, F.lit(alpha - 1.0)),
+            ).alias("__rate"),
+        )
+        .withColumn("__thr", F.round(F.col("__rate") * 65536).cast("long"))
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))), 1, 4),
+        16,
+        10,
+    ).cast("long")
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(h < F.col("__thr"))
+        .drop("__rate", "__thr")
+    )
+
+
 def cap_per_group(df: DataFrame, id_col: str, group_col: str, k: int) -> DataFrame:
     """Per-group quota (E15): keep at most ``k`` rows per group, chosen
     by deterministic hash order (NOT arrival order — stable under any

@@ -3506,6 +3506,33 @@ def length_bucketed_batches(spark, sf_dir):
 
 
 @q(
+    "mixture_sample_docs",
+    """
+    WITH c AS (SELECT source, count(*)::double AS n FROM documents GROUP BY source),
+    t AS (SELECT sum(n) AS tot, sum(pow(n, 0.6)) AS z FROM c),
+    r AS (SELECT source, round(least(1.0, 0.5 * tot / z * pow(n, 0.6) / n) * 65536)::bigint AS thr
+          FROM c, t)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN r USING (source)
+    WHERE ('0x' || substr(md5('mix:' || d.doc_id::varchar), 1, 4))::bigint < thr
+    """,
+)
+def mixture_sample_docs(spark, sf_dir):
+    """E41: temperature-weighted source-mixture sampling (p_g ∝
+    n_g^0.6, target 50% of the corpus) — the multilingual/multi-source
+    rebalancing pass of LLM pretraining. Rates are DERIVED from a tiny
+    group-count agg (vs the configured rates of stratified_sample),
+    broadcast back, and rows keep via the deterministic md5 device with
+    an integer-rounded threshold so the 16-bit compare is
+    integer-vs-integer in both engines (pow's 1-ulp cross-library drift
+    cannot flip it off a knife edge)."""
+    from ..operators.stats import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return mixture_sample(docs, "doc_id", "source", alpha=0.6, target_frac=0.5)
+
+
+@q(
     "sequence_packing_bfd",
     """
     WITH RECURSIVE d AS (

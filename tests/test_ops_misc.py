@@ -643,3 +643,33 @@ def test_substring_dedup_apply_empty_and_null_text(spark):
         for d in (1, 2, 3):
             assert got[d]["text_clean"] == "" and got[d]["n_words"] == 0 and got[d]["n_removed"] == 0
         assert got[0]["n_words"] == 8 and got[0]["n_removed"] == 0
+
+
+def test_mixture_sample_temperature_rebalance(spark):
+    """E41: temperature sampling keeps the tail whole (rate caps at 1)
+    and downsamples the head to its n^alpha share; selection is
+    deterministic (same rows on rerun) and the corpus side joins the
+    broadcast rate table (no sort-merge join)."""
+    from seizury_hrv_featuresextraction_spark.operators.stats import mixture_sample
+
+    rows = (
+        [(i, "head") for i in range(900)]
+        + [(1000 + i, "mid") for i in range(90)]
+        + [(2000 + i, "tail") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mixture_sample(df, "doc_id", "source", alpha=0.6, target_frac=0.5)
+    kept = [(r["doc_id"], r["source"]) for r in out.collect()]
+    by = {}
+    for _, s in kept:
+        by[s] = by.get(s, 0) + 1
+    # rates: head ~0.42 (downsampled), mid ~1.06 -> cap 1, tail ~2.55 -> cap 1
+    assert by["mid"] == 90 and by["tail"] == 10
+    assert 0.33 * 900 < by["head"] < 0.52 * 900, by
+    # deterministic
+    kept2 = [(r["doc_id"], r["source"]) for r in mixture_sample(df, "doc_id", "source", alpha=0.6, target_frac=0.5).collect()]
+    assert sorted(kept) == sorted(kept2)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
