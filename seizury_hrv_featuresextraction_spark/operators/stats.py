@@ -305,6 +305,42 @@ def mixture_sample(
     )
 
 
+def importance_sample(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    floor: float = 0.05,
+    seed: str = "imp:",
+) -> DataFrame:
+    """E42: score-guided importance sampling — the GPT-3 Appendix-A
+    move (documents kept with probability increasing in classifier
+    score, so high-quality text is over-represented WITHOUT hard
+    filtering; low scores survive at a floor rate, preserving
+    diversity). Keep probability p = floor + (1 - floor) * score for a
+    score in [0, 1] (e.g. ``hashed_linear_classifier``'s sigmoid
+    ``prob``).
+
+    Selection is the engine's deterministic md5 device: keep iff
+    hash16(id) < round(p * 65536). The per-doc threshold is an INTEGER,
+    so the only cross-engine float risk is p*65536 landing within 1 ulp
+    of x.5 — measure-zero, same contract as ``mixture_sample``. Unlike
+    ``rand()``-based sampling the decision is reproducible across runs,
+    partitionings, and engines, and composes with resume.
+
+    Scale shape: pure scan-stage filter over (id, score) — zero
+    shuffle, zero join, zero state. Returns the kept rows with the
+    realized ``keep_thr`` attached (auditability: the exact integer cut
+    each row survived)."""
+    p = F.lit(float(floor)) + F.lit(1.0 - float(floor)) * F.col(score_col)
+    thr = F.round(p * 65536).cast("long")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))), 1, 4),
+        16,
+        10,
+    ).cast("long")
+    return df.withColumn("keep_thr", thr).filter(h < F.col("keep_thr"))
+
+
 def cap_per_group(df: DataFrame, id_col: str, group_col: str, k: int) -> DataFrame:
     """Per-group quota (E15): keep at most ``k`` rows per group, chosen
     by deterministic hash order (NOT arrival order — stable under any

@@ -3533,6 +3533,51 @@ def mixture_sample_docs(spark, sf_dir):
 
 
 @q(
+    "importance_sample_docs",
+    f"""
+    WITH w AS (SELECT doc_id, {WORDS_DD} AS ws FROM documents),
+    e AS (SELECT doc_id, unnest(ws) AS word FROM w),
+    b AS (SELECT doc_id,
+                 ('0x' || substr(md5('f:' || word), 1, 15))::bigint % 1024 AS j
+          FROM e),
+    s AS (SELECT doc_id,
+                 sum(('0x' || substr(md5('w:' || j::varchar), 1, 8))::bigint
+                     / 4294967296.0 - 0.5) AS dot
+          FROM b GROUP BY doc_id),
+    f AS (SELECT w.doc_id, len(w.ws)::bigint AS n_words,
+                 coalesce(s.dot, 0.0) AS dot
+          FROM w LEFT JOIN s ON s.doc_id = w.doc_id),
+    f2 AS (SELECT doc_id,
+                  round(1.0 / (1.0 + exp(-(CASE WHEN n_words > 0
+                                                THEN dot / n_words ELSE 0.0 END))), 6) AS prob
+           FROM f),
+    t AS (SELECT doc_id, prob,
+                 round((0.05 + 0.95 * prob) * 65536)::bigint AS keep_thr
+          FROM f2)
+    SELECT doc_id, prob, keep_thr
+    FROM t
+    WHERE ('0x' || substr(md5('imp:' || doc_id::varchar), 1, 4))::bigint < keep_thr
+    """,
+)
+def importance_sample_docs(spark, sf_dir):
+    """E42: classifier-guided importance sampling (GPT-3 Appendix A) —
+    keep probability 0.05 + 0.95*prob over the E40 linear-classifier
+    sigmoid, realized through the deterministic md5 device with
+    per-doc INTEGER thresholds. Composed on the ROUND-6 prob (the
+    gate-proven value), so both engines derive bit-identical cuts; the
+    whole pass (classifier + sampler) stays zero-shuffle scan-stage."""
+    from ..operators.curation import hashed_linear_classifier, md5_feature_weights
+    from ..operators.dedup import spread
+    from ..operators.stats import importance_sample
+
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    scored = hashed_linear_classifier(
+        docs, md5_feature_weights(1024), bias=0.0, threshold=0.0, score_round=6
+    ).select("doc_id", "prob")
+    return importance_sample(scored, "doc_id", "prob", floor=0.05)
+
+
+@q(
     "sequence_packing_bfd",
     """
     WITH RECURSIVE d AS (

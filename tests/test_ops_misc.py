@@ -673,3 +673,32 @@ def test_mixture_sample_temperature_rebalance(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_importance_sample_monotone_and_deterministic(spark):
+    """E42: keep rate rises monotonically with score (floor for
+    score=0, ~1 for score=1), the decision is deterministic across
+    reruns/partitionings, and the pass is scan-stage (zero Exchange)."""
+    from seizury_hrv_featuresextraction_spark.operators.stats import importance_sample
+
+    rows = [(i, 0.0) for i in range(2000)] + [(10_000 + i, 0.5) for i in range(2000)] + [
+        (20_000 + i, 1.0) for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    out = importance_sample(df, "doc_id", "score", floor=0.05)
+    kept = [(r["doc_id"], r["keep_thr"]) for r in out.collect()]
+    by = {0: 0, 1: 0, 2: 0}
+    for d, thr in kept:
+        by[d // 10_000] += 1
+    n = 2000
+    assert 0.02 * n < by[0] < 0.09 * n        # floor ~5%
+    assert 0.45 * n < by[1] < 0.60 * n        # ~52.5%
+    assert by[2] == n                          # p=1 -> thr=65536 > any 16-bit hash
+    # thresholds are the advertised integers
+    thrs = {r["keep_thr"] for r in out.collect()}
+    assert thrs == {round(0.05 * 65536), round(0.525 * 65536), 65536}
+    kept2 = [(r["doc_id"], r["keep_thr"]) for r in importance_sample(df.repartition(7), "doc_id", "score", floor=0.05).collect()]
+    assert sorted(kept) == sorted(kept2)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
