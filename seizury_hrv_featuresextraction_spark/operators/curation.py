@@ -474,6 +474,42 @@ def tokenize(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """E43: overlapping document chunking — the RAG / embedding-prep
+    pass (long docs split into fixed word windows with overlap so no
+    boundary sentence is lost; chunk k covers words
+    [1 + k*stride, 1 + k*stride + chunk_words - 1], the final chunk
+    truncates at the doc end). Returns (doc_id, chunk_id, start_word,
+    n_words, chunk_text); zero-word/NULL docs emit nothing.
+
+    Scale shape: pure scan-stage posexplode of an in-row sequence —
+    zero shuffle, zero join, zero UDF; chunking 100 TB costs one read
+    and writes ~chunk_words/stride x the input. The downstream embed
+    step consumes (doc_id, chunk_id) as its key. Guard: Spark's
+    ``sequence(0, k)`` DESCENDS for k < 0, so empty docs must not reach
+    the sequence builder."""
+    ws = words(F.coalesce(F.col(text_col), F.lit("")))
+    d = df.select(F.col(id_col), ws.alias("__ws")).filter(F.size("__ws") > 0)
+    ks = F.sequence(F.lit(0), F.floor((F.size("__ws") - 1) / stride).cast("int"))
+    e = d.select(id_col, "__ws", F.explode(ks).alias("chunk_id"))
+    start = F.col("chunk_id") * stride + 1
+    return e.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        start.cast("long").alias("start_word"),
+        F.least(F.lit(chunk_words), F.size("__ws") - F.col("chunk_id") * stride)
+        .cast("long")
+        .alias("n_words"),
+        F.array_join(F.slice("__ws", start, chunk_words), " ").alias("chunk_text"),
+    )
+
+
 def md5_feature_weights(dim: int, seed: str = "w:") -> list[float]:
     """Deterministic stand-in for a trained linear-classifier weight
     vector: w[j] = md5-derived 32-bit int / 2^32 - 0.5, uniform on

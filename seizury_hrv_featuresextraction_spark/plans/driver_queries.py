@@ -3533,6 +3533,31 @@ def mixture_sample_docs(spark, sf_dir):
 
 
 @q(
+    "chunk_documents_rag",
+    f"""
+    WITH w AS (SELECT doc_id, {WORDS_DD} AS ws FROM documents),
+    d AS (SELECT doc_id, ws, len(ws) AS n FROM w WHERE len(ws) > 0),
+    c AS (SELECT doc_id, ws, n, unnest(generate_series(0, (n - 1) // 24)) AS k FROM d)
+    SELECT doc_id, k::bigint AS chunk_id, (1 + k * 24)::bigint AS start_word,
+           least(32, n - k * 24)::bigint AS n_words,
+           array_to_string(ws[1 + k * 24 : least(n, k * 24 + 32)], ' ') AS chunk_text
+    FROM c
+    """,
+)
+def chunk_documents_rag(spark, sf_dir):
+    """E43: overlapping document chunking (32-word chunks, stride 24 —
+    sized to this corpus's doc lengths) for RAG/embedding prep. Pure
+    scan-stage posexplode of an in-row sequence: zero shuffle, zero
+    join; the twin rebuilds every chunk string position-by-position so
+    an off-by-one slice boundary is a hard mismatch."""
+    from ..operators.curation import chunk_documents
+    from ..operators.dedup import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return chunk_documents(docs, "doc_id", "text", chunk_words=32, stride=24)
+
+
+@q(
     "importance_sample_docs",
     f"""
     WITH w AS (SELECT doc_id, {WORDS_DD} AS ws FROM documents),

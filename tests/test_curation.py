@@ -324,3 +324,31 @@ def test_decontaminate_bloom_fp_rate_and_no_false_negatives(spark):
     assert m_bits == ((10 * n_eval_shingles + 63) // 64) * 64
     assert len(words_arr) == m_bits // 64
     assert any(w != 0 for w in words_arr)
+
+
+def test_chunk_documents_overlap_and_plan(spark):
+    """E43: chunk boundaries and overlap are exact (hand-checked on a
+    known word stream), the final chunk truncates, empty/NULL docs emit
+    nothing, and the pass is scan-stage (zero Exchange)."""
+    from seizury_hrv_featuresextraction_spark.operators.curation import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(1, 11))  # 10 words
+    df = spark.createDataFrame(
+        [(0, text), (1, "a b"), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    out = chunk_documents(df, "doc_id", "text", chunk_words=4, stride=3)
+    rows = sorted(
+        ((r["doc_id"], r["chunk_id"], r["start_word"], r["n_words"], r["chunk_text"]) for r in out.collect())
+    )
+    # doc 0: starts 1,4,7,10 -> lengths 4,4,4,1
+    assert [r for r in rows if r[0] == 0] == [
+        (0, 0, 1, 4, "w1 w2 w3 w4"),
+        (0, 1, 4, 4, "w4 w5 w6 w7"),
+        (0, 2, 7, 4, "w7 w8 w9 w10"),
+        (0, 3, 10, 1, "w10"),
+    ]
+    assert [r for r in rows if r[0] == 1] == [(1, 0, 1, 2, "a b")]
+    assert not [r for r in rows if r[0] in (2, 3)]
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
