@@ -120,3 +120,42 @@ def lsh_band_buckets(
         ]
     )
     return _dim_guard(vec, dim, out)
+
+
+def hash_embed(text: Column, dim: int = 64) -> Column:
+    """E45: deterministic text embedding by SIGNED FEATURE HASHING
+    (Weinberger et al. 2009's hashing trick): each word scatters ±1 into
+    bucket md5(word) mod dim (sign from the next hash nibble), then the
+    vector L2-normalizes. Not a learned embedding — but a real,
+    collision-tolerant one (inner products are unbiased estimates of
+    word-overlap similarity), fully deterministic, and derivable by any
+    engine from md5 alone, which makes the chunk -> embed -> ANN loop
+    end-to-end value-oracled with no model stub.
+
+    Components before normalization are INTEGER sums of ±1 — exact in
+    both engines; the single float op is the final 1/sqrt(sum sq)
+    scale. Cost is O(dim x n_words) per row in whole-stage codegen
+    (each output slot scans the word list); the Arrow-kernel variant
+    would one-pass scatter instead — at dim 64 the expression form is
+    the simpler win since it keeps the pass fused into the scan.
+    Returns array<double> of length ``dim`` (all-zero docs embed as the
+    zero vector, not NaN)."""
+    from .text import words
+
+    ws = words(F.coalesce(text, F.lit("")))
+    bucket = lambda w: F.conv(  # noqa: E731
+        F.substring(F.md5(F.concat(F.lit("e:"), w)), 1, 15), 16, 10
+    ).cast("long") % dim
+    sign = lambda w: F.when(  # noqa: E731
+        F.conv(F.substring(F.md5(F.concat(F.lit("s:"), w)), 1, 1), 16, 10).cast("int") % 2
+        == 0,
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+    raw = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: F.aggregate(
+            ws, F.lit(0.0), lambda acc, w: acc + F.when(bucket(w) == j, sign(w)).otherwise(F.lit(0.0))
+        ),
+    )
+    nrm = F.sqrt(F.aggregate(raw, F.lit(0.0), lambda acc, x: acc + x * x))
+    return F.when(nrm > 0, F.transform(raw, lambda x: x / nrm)).otherwise(raw)

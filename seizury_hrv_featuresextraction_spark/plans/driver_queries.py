@@ -3558,6 +3558,55 @@ def chunk_documents_rag(spark, sf_dir):
 
 
 @q(
+    "chunk_hash_embeddings",
+    f"""
+    WITH w AS (SELECT doc_id, {WORDS_DD} AS ws FROM documents),
+    d AS (SELECT doc_id, ws, len(ws) AS n FROM w WHERE len(ws) > 0),
+    c AS (SELECT doc_id, unnest(generate_series(0, (n - 1) // 24)) AS k, ws, n FROM d),
+    e AS (SELECT doc_id, k AS chunk_id, ws[1 + k * 24 : least(n, k * 24 + 32)] AS cw FROM c),
+    raw AS (SELECT doc_id, chunk_id, j,
+                   list_sum(list_transform(cw,
+                     w -> CASE WHEN ('0x' || substr(md5('e:' || w), 1, 15))::bigint % 16 = j
+                               THEN (CASE WHEN ('0x' || substr(md5('s:' || w), 1, 1))::bigint % 2 = 0
+                                          THEN 1.0 ELSE -1.0 END)
+                               ELSE 0.0 END)) AS v
+            FROM e, unnest(generate_series(0, 15)) AS t(j)),
+    nn AS (SELECT doc_id, chunk_id, sqrt(sum(v * v)) AS nrm
+           FROM raw GROUP BY doc_id, chunk_id)
+    SELECT r.doc_id, r.chunk_id::bigint AS chunk_id, r.j::bigint AS dim_idx,
+           round(CASE WHEN nrm > 0 THEN v / nrm ELSE v END, 6) AS val
+    FROM raw r JOIN nn USING (doc_id, chunk_id)
+    """,
+)
+def chunk_hash_embeddings(spark, sf_dir):
+    """E45: the chunk -> embed leg of the RAG indexing pipeline with a
+    REAL (not stubbed) deterministic embedding: signed feature hashing
+    (Weinberger et al.) — ±1 scatter by md5 bucket, L2 normalize.
+    Components are exact ±1 integer sums in both engines; only the
+    final normalization is float (round-6 contract). Zero shuffle:
+    chunking and embedding both live in the scan stage; output exploded
+    to (doc_id, chunk_id, dim_idx, val) so the twin compares plain
+    doubles, never engine-specific array stringifications."""
+    from ..functions.vectors import hash_embed
+    from ..operators.curation import chunk_documents
+    from ..operators.dedup import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    chunks = chunk_documents(docs, "doc_id", "text", chunk_words=32, stride=24)
+    emb = chunks.select(
+        "doc_id", "chunk_id", hash_embed(F.col("chunk_text"), dim=16).alias("v")
+    )
+    return emb.select(
+        "doc_id",
+        "chunk_id",
+        F.posexplode("v").alias("dim_idx", "val0"),
+    ).select(
+        "doc_id", "chunk_id", F.col("dim_idx").cast("long").alias("dim_idx"),
+        F.round("val0", 6).alias("val"),
+    )
+
+
+@q(
     "importance_sample_docs",
     f"""
     WITH w AS (SELECT doc_id, {WORDS_DD} AS ws FROM documents),

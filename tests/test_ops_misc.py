@@ -702,3 +702,35 @@ def test_importance_sample_monotone_and_deterministic(spark):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_hash_embed_properties(spark):
+    """E45: signed-feature-hash embeddings — unit norm, deterministic,
+    word-overlap-sensitive (same text -> identical vector, cosine 1;
+    disjoint vocab -> |cosine| well below 1), zero/null text -> zero
+    vector, and the whole pass is scan-stage."""
+    import numpy as np
+
+    from seizury_hrv_featuresextraction_spark.functions.vectors import hash_embed
+
+    df = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "omega psi chi phi upsilon tau"),
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = df.select("doc_id", hash_embed(F.col("text"), dim=32).alias("v"))
+    vecs = {r["doc_id"]: np.array(r["v"]) for r in out.collect()}
+    assert all(len(v) == 32 for v in vecs.values())
+    np.testing.assert_allclose(np.linalg.norm(vecs[0]), 1.0, atol=1e-12)
+    np.testing.assert_array_equal(vecs[0], vecs[1])  # deterministic
+    cos = float(vecs[0] @ vecs[2])
+    assert abs(cos) < 0.8  # disjoint vocab: far from parallel
+    assert np.all(vecs[3] == 0.0) and np.all(vecs[4] == 0.0)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
