@@ -145,6 +145,47 @@ def main() -> None:
     )
     rows.append(("substring_dedup_apply (E37 rewrite)", t, n_docs))
 
+    # r6 operators: keep-one rewrite, linear classifier, mixture /
+    # importance sampling, RAG chunking, hash embeddings
+    from seizury_hrv_featuresextraction_spark.functions.vectors import hash_embed
+    from seizury_hrv_featuresextraction_spark.operators.curation import (
+        chunk_documents,
+        hashed_linear_classifier,
+        md5_feature_weights,
+    )
+    from seizury_hrv_featuresextraction_spark.operators.stats import (
+        importance_sample,
+        mixture_sample,
+    )
+
+    t, _ = timed(
+        substring_dedup_apply(docs, "text", "doc_id", n=10, keep_first=True).agg(
+            F.sum("n_removed"), F.sum(F.length("text_clean"))
+        )
+    )
+    rows.append(("substring_dedup_keep_one (E37b)", t, n_docs))
+
+    scored = hashed_linear_classifier(docs, md5_feature_weights(1024), score_round=6)
+    t, _ = timed(scored.agg(F.sum("score"), F.sum(F.col("keep").cast("int"))))
+    rows.append(("hashed_linear_classifier (E40, dim 1024)", t, n_docs))
+
+    t, kept = timed(mixture_sample(docs, "doc_id", "source").select("doc_id"))
+    rows.append((f"mixture_sample (E41, kept {kept})", t, n_docs))
+
+    t, kept = timed(importance_sample(scored, "doc_id", "prob").select("doc_id"))
+    rows.append((f"importance_sample (E42 over E40 prob, kept {kept})", t, n_docs))
+
+    chunks = chunk_documents(docs, "doc_id", "text", chunk_words=32, stride=24)
+    t, n_chunks = timed(chunks.select("doc_id", "chunk_id"))
+    rows.append((f"chunk_documents (E43, {n_chunks} chunks)", t, n_docs))
+
+    t, _ = timed(
+        chunks.select(hash_embed(F.col("chunk_text"), dim=16).alias("v")).agg(
+            F.sum(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
+        )
+    )
+    rows.append(("chunk hash_embed dim16 (E45)", t, n_docs))
+
     lines = [
         "# BENCH/curation_paths.md — measured curation-operator throughput",
         "",
@@ -161,8 +202,17 @@ def main() -> None:
     for name, t, n in rows:
         lines.append(f"| {name} | {t:.2f} | {n / t:,.0f} | {mb / t:.1f} |")
     path = os.path.join(REPO, "BENCH", "curation_paths.md")
+    # preserve one-off measured sections (Bloom-vs-exact, pack-vs-pad)
+    # appended after the throughput table: everything from the first
+    # "## " heading onward survives a re-run
+    tail = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        i = old.find("\n## ")
+        if i >= 0:
+            tail = "\n" + old[i:]
     with open(path, "w") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write("\n".join(lines) + tail + ("\n" if not tail.endswith("\n") else ""))
     print(f"wrote {path}")
     print(json.dumps({n: round(t, 2) for n, t, _ in rows}))
     spark.stop()
