@@ -536,6 +536,7 @@ def hashed_linear_classifier(
     threshold: float = 0.0,
     feature_seed: str = "f:",
     score_round: int | None = None,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """E40: linear quality classifier over hashed bag-of-words features —
     the fastText/logistic-regression quality pass every web-scale
@@ -580,6 +581,7 @@ def hashed_linear_classifier(
         score_out, prob_out = score, prob
     return df.select(
         id_col,
+        *extra_cols,
         n.cast("long").alias("n_words"),
         score_out.alias("score"),
         prob_out.alias("prob"),

@@ -286,3 +286,62 @@ def test_streaming_curation_pipeline_equals_batch(spark, tmp_path):
     # dup-group partner was dropped by state, never emitted
     assert not set(got["doc_id"]) & {a + 1 for a in b1[:3]}
     assert not set(got["doc_id"]) & {4000 + c for c in b1[3:6]}
+
+
+@pytest.mark.timeout(300)
+def test_streaming_rag_leg_equals_batch(spark, tmp_path):
+    """r6: the RAG indexing leg (quality-score -> importance-sample ->
+    chunk -> hash-embed) is pure scan-stage, so the SAME operator code
+    runs unchanged in readStream (the classifier carries text through
+    via extra_cols, so no stream-stream join appears); drained output
+    == batch across microbatch boundaries."""
+    import numpy as np
+
+    from seizury_hrv_featuresextraction_spark.functions.vectors import hash_embed
+    from seizury_hrv_featuresextraction_spark.operators.curation import (
+        chunk_documents,
+        hashed_linear_classifier,
+        md5_feature_weights,
+    )
+    from seizury_hrv_featuresextraction_spark.operators.stats import importance_sample
+
+    wts = md5_feature_weights(64)
+    texts = [" ".join(f"w{i}x{j % 9}" for j in range(6 + (i * 3) % 20)) for i in range(24)]
+    pdf = pd.DataFrame({"doc_id": range(24), "text": texts})
+    src = str(tmp_path / "rag_src")
+    for lo, hi in ((0, 8), (8, 16), (16, 24)):
+        spark.createDataFrame(pdf.iloc[lo:hi], schema=SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def pipeline(df):
+        scored = hashed_linear_classifier(df, wts, score_round=6, extra_cols=("text",))
+        kept = importance_sample(scored, "doc_id", "prob", floor=0.3)
+        chunks = chunk_documents(kept, "doc_id", "text", chunk_words=5, stride=3)
+        return chunks.select(
+            "doc_id", "chunk_id", hash_embed(F.col("chunk_text"), dim=8).alias("v")
+        )
+
+    batch = {
+        (r["doc_id"], r["chunk_id"]): np.array(r["v"])
+        for r in pipeline(spark.createDataFrame(pdf, schema=SCHEMA)).collect()
+    }
+    assert batch  # some docs survived the sampler
+
+    stream_in = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        pipeline(stream_in)
+        .writeStream.format("memory")
+        .queryName("rag_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    streamed = {
+        (r["doc_id"], r["chunk_id"]): np.array(r["v"])
+        for r in spark.sql("select * from rag_stream").collect()
+    }
+    assert set(streamed) == set(batch)
+    for k in batch:
+        np.testing.assert_allclose(streamed[k], batch[k], atol=1e-12)
