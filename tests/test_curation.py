@@ -352,3 +352,34 @@ def test_chunk_documents_overlap_and_plan(spark):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_chunk_documents_coverage_invariants(spark):
+    """E43 invariants over many lengths in one job: every word position
+    is covered by >= 1 chunk, chunk starts advance by exactly the
+    stride, only the FINAL chunk may be short, and consecutive chunks
+    overlap by chunk_words - stride (when both are full)."""
+    from seizury_hrv_featuresextraction_spark.operators.curation import chunk_documents
+
+    chunk_words, stride = 7, 4
+    docs = [(n, " ".join(f"t{n}_{i}" for i in range(1, n + 1))) for n in range(1, 40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = chunk_documents(df, "doc_id", "text", chunk_words, stride)
+    rows = {}
+    for r in out.collect():
+        rows.setdefault(r["doc_id"], []).append(r)
+    assert set(rows) == {n for n, _ in docs}
+    for n, rs in rows.items():
+        rs.sort(key=lambda r: r["chunk_id"])
+        covered = set()
+        for i, r in enumerate(rs):
+            assert r["chunk_id"] == i and r["start_word"] == 1 + i * stride
+            end = r["start_word"] + r["n_words"] - 1
+            assert end <= n
+            assert r["n_words"] == min(chunk_words, n - i * stride)
+            got_words = r["chunk_text"].split()
+            assert got_words == [f"t{n}_{j}" for j in range(r["start_word"], end + 1)]
+            covered.update(range(r["start_word"], end + 1))
+            if i + 1 < len(rs) and r["n_words"] == chunk_words:
+                assert end - rs[i + 1]["start_word"] + 1 == chunk_words - stride
+        assert covered == set(range(1, n + 1)), n
