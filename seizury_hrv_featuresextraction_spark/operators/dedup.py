@@ -516,6 +516,83 @@ def blocklist_filter(
     return with_domain.join(blocked.select("domain"), "domain", "left_anti").drop("domain")
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_words: int = 3,
+    min_containment: float = 0.8,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """E46: ASYMMETRIC near-dup via shingle containment
+    C(A in B) = |A∩B| / |A| (Broder's containment, the measure Jaccard
+    misses: a wire story embedded verbatim in a long page has tiny
+    Jaccard but containment ~1 in one direction). Emits one row per
+    ORDERED pair direction that clears ``min_containment`` —
+    (id_small, id_big, n_inter, containment), where id_small is the
+    contained side.
+
+    Scale shape mirrors ``ngram_jaccard_pairs``: with ``candidates``
+    (LSH pairs — the scale path; note banding RECALL for containment is
+    bounded by the Jaccard the band scheme sees, so pure-containment
+    pairs with tiny Jaccard need a shingle-partitioned candidate pass —
+    documented tradeoff), each doc's distinct-shingle set joins the
+    candidate pair once and both directions come from ONE
+    array_intersect. Without candidates, the bounded-input baseline
+    self-join."""
+    sets = spread(df).select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_words).alias("sg"),
+    )
+    if candidates is None:
+        sh = sets.select("id", F.explode("sg").alias("sh"))
+        pairs = (
+            sh.alias("a")
+            .join(sh.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        sa = sets.select(F.col("id").alias("id_a"), F.col("sg").alias("sg_a"))
+        sb = sets.select(F.col("id").alias("id_b"), F.col("sg").alias("sg_b"))
+        pairs = (
+            candidates.select("id_a", "id_b")
+            .join(sa, "id_a")
+            .join(sb, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.size(F.array_intersect("sg_a", "sg_b")).cast("long").alias("n_inter"),
+            )
+            .filter(F.col("n_inter") > 0)
+        )
+    sizes = sets.select("id", F.size("sg").alias("n_sg"))
+    both = (
+        pairs.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sg", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sg", "n_b"), "id_b")
+    )
+    # two directed rows from one undirected pair row
+    directed = both.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("id_small"),
+                    F.col("id_b").alias("id_big"),
+                    (F.col("n_inter") / F.col("n_a")).alias("containment"),
+                    F.col("n_inter"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("id_small"),
+                    F.col("id_a").alias("id_big"),
+                    (F.col("n_inter") / F.col("n_b")).alias("containment"),
+                    F.col("n_inter"),
+                ),
+            )
+        ).alias("d")
+    ).select("d.id_small", "d.id_big", "d.n_inter", "d.containment")
+    return directed.filter(F.col("containment") >= min_containment)
+
+
 def substring_dup_spans(
     df: DataFrame, text_col: str, id_col: str, n: int = 10, keep_first: bool = False
 ) -> DataFrame:

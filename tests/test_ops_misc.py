@@ -734,3 +734,31 @@ def test_hash_embed_properties(spark):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_containment_pairs_asymmetric(spark):
+    """E46: a short doc fully embedded in a long one gets containment
+    1.0 in the small->big direction and a small value the other way
+    (both below Jaccard's radar); the baseline (no-candidates) path
+    computes exact values verified by hand."""
+    from seizury_hrv_featuresextraction_spark.operators.dedup import containment_pairs
+
+    short = "alpha beta gamma delta epsilon"          # 3 shingles
+    long_ = short + " " + " ".join(f"u{j}" for j in range(30))
+    other = "zeta eta theta iota kappa lambda"
+    df = spark.createDataFrame(
+        [(1, short), (2, long_), (3, other)], "doc_id long, text string"
+    )
+    out = {
+        (r["id_small"], r["id_big"]): r
+        for r in containment_pairs(df, "text", "doc_id", 3, min_containment=0.0).collect()
+    }
+    r12 = out[(1, 2)]
+    assert r12["n_inter"] == 3 and r12["containment"] == 1.0  # short fully inside long
+    n_long = len(long_.split()) - 2
+    assert abs(out[(2, 1)]["containment"] - 3 / n_long) < 1e-12
+    assert not any(3 in k for k in out)  # no shared shingles with 'other'
+
+    # threshold keeps only the contained direction
+    kept = containment_pairs(df, "text", "doc_id", 3, min_containment=0.8).collect()
+    assert [(r["id_small"], r["id_big"]) for r in kept] == [(1, 2)]
