@@ -516,6 +516,79 @@ def blocklist_filter(
     return with_domain.join(blocked.select("domain"), "domain", "left_anti").drop("domain")
 
 
+def dedup_against_corpus(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    near: bool = True,
+    n_hashes: int = 4,
+    band_size: int = 2,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """E47: CROSS-corpus dedup — drop new-crawl documents already
+    present in (or near-duplicating) an existing corpus. Every other
+    dedup op here is within-corpus; real ingestion is incremental, and
+    the reference side is the accumulated training set, so this is the
+    pass each new crawl snapshot runs FIRST (then within-crawl dedup on
+    the survivors).
+
+    Two stages, each an anti-join against the reference side:
+    1. exact: drop new docs whose normalized-text fingerprint exists in
+       the reference (left_anti on the 16-byte fp — the shuffle carries
+       fingerprints, never text);
+    2. near (``near=True``): drop new docs sharing any MinHash LSH band
+       bucket with a reference doc (left_anti on (band_idx, band_val) —
+       the same banding device as ``minhash_lsh_pairs``, so recall
+       follows the band curve; survivors are banding-novel).
+
+    Scale shape: both anti-joins shuffle on short keys (16-byte fp /
+    band strings); the reference side at 100 TB is corpus-scale, so
+    neither side broadcasts — a sort-merge/shuffled-hash anti-join on a
+    uniformly-hashed key, or co-located joins when both sides live in
+    the fp/band-bucketed layout (E13/E29). The reference side in
+    steady state is a PRECOMPUTED fp/band table maintained
+    incrementally (checkpoint pattern), not re-derived per crawl —
+    derivation here keeps the operator self-contained.
+
+    Returns the surviving new-crawl rows unchanged."""
+    new_fp = new_df.withColumn("__fp", doc_fingerprint(F.col(text_col)))
+    ref_fp = (
+        ref_df.select(doc_fingerprint(F.col(text_col)).alias("__fp")).distinct()
+    )
+    survivors = new_fp.join(ref_fp, "__fp", "left_anti").drop("__fp")
+    if not near:
+        return survivors
+
+    def bands(d: DataFrame) -> DataFrame:
+        sig = minhash_signature_table(d, text_col, id_col, n_hashes, shingle_words)
+        n_bands = n_hashes // band_size
+        return sig.select(
+            "id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.concat_ws(
+                            "|", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("band_idx", "band_val"),
+        )
+
+    hit_ids = (
+        bands(survivors)
+        .join(
+            bands(ref_df).select("band_idx", "band_val").distinct(),
+            ["band_idx", "band_val"],
+        )
+        .select(F.col("id").alias(id_col))
+        .distinct()
+    )
+    return survivors.join(hit_ids, id_col, "left_anti")
+
+
 def containment_pairs(
     df: DataFrame,
     text_col: str,

@@ -3533,6 +3533,72 @@ def mixture_sample_docs(spark, sf_dir):
 
 
 @q(
+    "dedup_against_corpus_docs",
+    f"""
+    WITH split AS (SELECT *, ('0x' || substr(md5('xc:' || doc_id::varchar), 1, 15))::bigint % 3 AS res
+                   FROM documents),
+    newd AS (SELECT doc_id, text FROM split WHERE res = 2),
+    refd AS (SELECT doc_id, text FROM split WHERE res <> 2),
+    reffp AS (SELECT DISTINCT substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 16) AS fp
+              FROM refd),
+    surv AS (SELECT n.doc_id, n.text FROM newd n
+             WHERE substr(md5(regexp_replace(lower(trim(n.text)), '\\s+', ' ', 'g')), 1, 16)
+                   NOT IN (SELECT fp FROM reffp)),
+    wsn AS (SELECT doc_id, text, {WORDS_DD} AS ws FROM surv),
+    wsr AS (SELECT doc_id, {WORDS_DD} AS ws FROM refd),
+    sgn AS (SELECT doc_id, text,
+                   list_distinct(list_transform(generate_series(1, greatest(0, len(ws) - 2)),
+                                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sg
+            FROM wsn),
+    sgr AS (SELECT doc_id,
+                   list_distinct(list_transform(generate_series(1, greatest(0, len(ws) - 2)),
+                                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sg
+            FROM wsr),
+    sign_ AS (SELECT doc_id, text,
+                     list_min(list_transform(sg, s -> md5('0:' || s))) AS mh0,
+                     list_min(list_transform(sg, s -> md5('1:' || s))) AS mh1,
+                     list_min(list_transform(sg, s -> md5('2:' || s))) AS mh2,
+                     list_min(list_transform(sg, s -> md5('3:' || s))) AS mh3
+              FROM sgn WHERE len(sg) > 0),
+    sigr AS (SELECT doc_id,
+                    list_min(list_transform(sg, s -> md5('0:' || s))) AS mh0,
+                    list_min(list_transform(sg, s -> md5('1:' || s))) AS mh1,
+                    list_min(list_transform(sg, s -> md5('2:' || s))) AS mh2,
+                    list_min(list_transform(sg, s -> md5('3:' || s))) AS mh3
+             FROM sgr WHERE len(sg) > 0),
+    bn AS (SELECT doc_id, 0 AS band_idx, mh0 || '|' || mh1 AS band_val FROM sign_
+           UNION ALL
+           SELECT doc_id, 1 AS band_idx, mh2 || '|' || mh3 AS band_val FROM sign_),
+    br AS (SELECT DISTINCT 0 AS band_idx, mh0 || '|' || mh1 AS band_val FROM sigr
+           UNION ALL
+           SELECT DISTINCT 1 AS band_idx, mh2 || '|' || mh3 AS band_val FROM sigr),
+    hits AS (SELECT DISTINCT bn.doc_id FROM bn JOIN br USING (band_idx, band_val))
+    SELECT s.doc_id, length(s.text)::bigint AS n_chars
+    FROM surv s WHERE s.doc_id NOT IN (SELECT doc_id FROM hits)
+    """,
+)
+def dedup_against_corpus_docs(spark, sf_dir):
+    """E47: cross-corpus dedup — the incremental-ingestion pass: the
+    md5-residue 1/3 of documents plays the NEW crawl, the other 2/3 the
+    accumulated corpus; new docs drop on exact fingerprint collision,
+    then on sharing any MinHash LSH band with the reference. Both
+    stages are anti-joins on short keys (16-byte fp / band strings) —
+    neither side broadcasts at corpus scale. The twin independently
+    re-derives both stages (NOT IN over the same md5 devices)."""
+    from ..operators.dedup import dedup_against_corpus, spread
+
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    res = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.lit("xc:"), F.col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long"),
+        F.lit(3),
+    )
+    new_df = docs.filter(res == 2)
+    ref_df = docs.filter(res != 2)
+    out = dedup_against_corpus(new_df, ref_df, "text", "doc_id", near=True)
+    return out.select("doc_id", F.length("text").cast("long").alias("n_chars"))
+
+
+@q(
     "containment_pairs_docs",
     f"""
     WITH w AS (SELECT doc_id, {WORDS_DD} AS ws FROM documents),

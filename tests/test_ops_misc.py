@@ -762,3 +762,39 @@ def test_containment_pairs_asymmetric(spark):
     # threshold keeps only the contained direction
     kept = containment_pairs(df, "text", "doc_id", 3, min_containment=0.8).collect()
     assert [(r["id_small"], r["id_big"]) for r in kept] == [(1, 2)]
+
+
+def test_dedup_against_corpus_semantics(spark):
+    """E47: a new-crawl doc drops on exact fingerprint collision with
+    the reference corpus, a near-dup drops only on the LSH band stage
+    (near=True), and a novel doc always survives; anti-join plan, no
+    broadcast of the corpus-scale reference keys required for
+    correctness."""
+    from seizury_hrv_featuresextraction_spark.operators.dedup import dedup_against_corpus
+
+    ref = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "spark catalyst optimizer rewrites logical plans fast"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "The Quick  brown fox jumps over the lazy dog tonight"),  # exact (normalized)
+            (11, "spark catalyst optimizer rewrites logical plans slowly"),  # near-dup
+            (12, "completely novel content about entirely different things here"),
+        ],
+        "doc_id long, text string",
+    )
+    both = sorted(
+        r["doc_id"]
+        for r in dedup_against_corpus(new, ref, "text", "doc_id", near=True).collect()
+    )
+    assert 10 not in both and 12 in both
+    exact_only = sorted(
+        r["doc_id"]
+        for r in dedup_against_corpus(new, ref, "text", "doc_id", near=False).collect()
+    )
+    assert exact_only == [11, 12]  # near-dup survives the exact-only pass
+    assert 11 not in both  # ...but drops once banding runs
