@@ -666,6 +666,82 @@ def containment_pairs(
     return directed.filter(F.col("containment") >= min_containment)
 
 
+def containment_candidate_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_words: int = 3,
+    min_containment: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """E46 scale path: SHINGLE-PARTITIONED candidate generation for
+    containment pairs. Jaccard banding (``minhash_lsh_pairs``) collides
+    with probability driven by JACCARD similarity, but the pairs E46
+    exists for — a 200-word wire story verbatim inside a 20k-word page —
+    have J ≈ 0.01 and essentially never share a band. This pass
+    partitions by the shingles themselves, so a pair sharing ANY
+    non-capped shingle is counted and the recall bound is structural:
+    every pair whose true containment clears ``min_containment`` is
+    emitted (proof below), independent of the Jaccard value.
+
+    Plan — one self-join on the 8-byte xxhash64(shingle) key, never on
+    shingle text and never all-pairs:
+    1. explode distinct shingles, reduce to (id, h=xxhash64(shingle));
+    2. optional doc-frequency cap (``max_doc_freq``): window count over
+       h — the E36 hot-shingle device — drops corpus-boilerplate
+       shingles BEFORE pairing, since a shingle in d docs creates
+       O(d^2) join rows; capped recall is documented, not silent: a doc
+       whose shingles are predominantly corpus-hot can be missed;
+    3. self-join on h (a < b) + pair-key groupBy with map-side combine
+       -> n_match per candidate pair;
+    4. keep pairs with n_match >= floor(min_containment *
+       least(n_a, n_b)) where n_a/n_b are the docs' KEPT shingle counts
+       (a cheap groupBy(id).count side table).
+
+    Recall proof (uncapped): if either direction of a pair passes the
+    exact filter then n_inter >= min_c * n_small_side >= min_c *
+    least(n_a, n_b) >= floor(min_c * least(n_a, n_b)), and n_match >=
+    n_inter (hash collisions only ever ADD matches) — so the candidate
+    set is a superset of the exact answer and the downstream
+    array_intersect verify (``containment_pairs``) makes the composed
+    output EQUAL to the brute-force exact result. floor() (never
+    ceil/round) keeps the 0.8*5-style float knife edges one-sided.
+
+    Returns (id_a, id_b) with id_a < id_b."""
+    from pyspark.sql import Window
+
+    sh = (
+        spread(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(word_shingles(F.col(text_col), shingle_words)).alias("s"),
+        )
+        .select("id", F.xxhash64("s").alias("h"))
+    )
+    if max_doc_freq is not None:
+        sh = (
+            sh.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("h")))
+            .filter(F.col("__df") <= max_doc_freq)
+            .drop("__df")
+        )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_kept"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_match"))
+    )
+    return (
+        pairs.join(sizes.select(F.col("id").alias("id_a"), F.col("n_kept").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_kept").alias("n_b")), "id_b")
+        .filter(
+            F.col("n_match")
+            >= F.floor(F.lit(float(min_containment)) * F.least(F.col("n_a"), F.col("n_b")))
+        )
+        .select("id_a", "id_b")
+    )
+
+
 def substring_dup_spans(
     df: DataFrame, text_col: str, id_col: str, n: int = 10, keep_first: bool = False
 ) -> DataFrame:

@@ -3606,31 +3606,20 @@ def dedup_against_corpus_docs(spark, sf_dir):
                     list_distinct(list_transform(generate_series(1, greatest(0, len(ws) - 2)),
                                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sg
                   FROM w),
-         sig AS (SELECT doc_id,
-                        list_min(list_transform(sg, s -> md5('0:' || s))) AS mh0,
-                        list_min(list_transform(sg, s -> md5('1:' || s))) AS mh1,
-                        list_min(list_transform(sg, s -> md5('2:' || s))) AS mh2,
-                        list_min(list_transform(sg, s -> md5('3:' || s))) AS mh3
-                 FROM sets WHERE len(sg) > 0),
-         bands AS (
-           SELECT doc_id, 0 AS band_idx, mh0 || '|' || mh1 AS band_val FROM sig
-           UNION ALL
-           SELECT doc_id, 1 AS band_idx, mh2 || '|' || mh3 AS band_val FROM sig),
-         cand AS (
-           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM bands a JOIN bands b
-             ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
-         inter AS (
-           SELECT id_a, id_b, len(list_intersect(sa.sg, sb.sg))::bigint AS n_inter,
-                  len(sa.sg) AS n_a, len(sb.sg) AS n_b
-           FROM cand JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b
-           WHERE len(list_intersect(sa.sg, sb.sg)) > 0),
+         sh AS (SELECT doc_id, unnest(sg) AS s FROM sets),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::bigint AS n_inter
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         sizes AS (SELECT doc_id, len(sg) AS n FROM sets),
          directed AS (
            SELECT id_a AS id_small, id_b AS id_big, n_inter,
-                  n_inter::double / n_a AS c FROM inter
+                  n_inter::double / sa.n AS c
+           FROM pairs JOIN sizes sa ON sa.doc_id = id_a
            UNION ALL
            SELECT id_b AS id_small, id_a AS id_big, n_inter,
-                  n_inter::double / n_b AS c FROM inter)
+                  n_inter::double / sb.n AS c
+           FROM pairs JOIN sizes sb ON sb.doc_id = id_b)
     SELECT id_small, id_big, n_inter, round(c, 6) AS containment
     FROM directed WHERE c >= 0.8
     """,
@@ -3638,13 +3627,20 @@ def dedup_against_corpus_docs(spark, sf_dir):
 def containment_pairs_docs(spark, sf_dir):
     """E46: asymmetric near-dup via Broder containment |A∩B|/|A| —
     catches a short doc embedded in a long one (tiny Jaccard, huge
-    one-way containment). Scale path: LSH candidates + one
-    array_intersect feeding BOTH directions; the containment ratio is
-    an exact small-integer division, bit-identical across engines."""
-    from ..operators.dedup import containment_pairs, minhash_lsh_pairs
+    one-way containment). Scale path (r7): SHINGLE-PARTITIONED
+    candidates (`containment_candidate_pairs` — self-join on the 8-byte
+    shingle hash, count-threshold pre-filter) + one array_intersect
+    verify feeding BOTH directions. Unlike the r6 Jaccard-band wiring,
+    the candidate set provably supersets the exact answer (uncapped),
+    so the twin is the BRUTE exact formulation — the gate now checks
+    recall, not just precision. The containment ratio is an exact
+    small-integer division, bit-identical across engines."""
+    from ..operators.dedup import containment_candidate_pairs, containment_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    cand = minhash_lsh_pairs(docs, "text", "doc_id", n_hashes=4, band_size=2, shingle_words=3)
+    cand = containment_candidate_pairs(
+        docs, "text", "doc_id", shingle_words=3, min_containment=0.8
+    )
     out = containment_pairs(
         docs, "text", "doc_id", shingle_words=3, min_containment=0.8, candidates=cand
     )

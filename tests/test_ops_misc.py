@@ -764,6 +764,78 @@ def test_containment_pairs_asymmetric(spark):
     assert [(r["id_small"], r["id_big"]) for r in kept] == [(1, 2)]
 
 
+def test_containment_scale_path_finds_tiny_jaccard_pair(spark):
+    """r6 VERDICT weak item: a short doc verbatim inside a long doc has
+    containment 1.0 but Jaccard ~0.01 — the Jaccard-band candidate pass
+    structurally misses it, the shingle-partitioned pass must find it,
+    and the composed scale path must equal the brute baseline exactly."""
+    from seizury_hrv_featuresextraction_spark.operators.dedup import (
+        containment_candidate_pairs,
+        containment_pairs,
+        minhash_lsh_pairs,
+    )
+
+    short = " ".join(f"wire{j}" for j in range(30))  # the embedded story
+    long_ = (
+        " ".join(f"page{j}" for j in range(1500))
+        + " " + short + " "
+        + " ".join(f"tail{j}" for j in range(1500))
+    )
+    other = " ".join(f"noise{j}" for j in range(40))
+    df = spark.createDataFrame(
+        [(1, short), (2, long_), (3, other)], "doc_id long, text string"
+    )
+
+    # the Jaccard-band path whiffs (deterministic md5 minhashes, J~0.01)
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(df, "text", "doc_id", 4, 2, 3).collect()
+    }
+    assert (1, 2) not in lsh, "planted pair must be invisible to Jaccard banding"
+
+    # the shingle-partitioned pass finds it
+    cand = containment_candidate_pairs(df, "text", "doc_id", 3, min_containment=0.8)
+    assert (1, 2) in {(r["id_a"], r["id_b"]) for r in cand.collect()}
+
+    # composed scale path == brute baseline, pair present at containment 1.0
+    scale = containment_pairs(
+        df, "text", "doc_id", 3, min_containment=0.8, candidates=cand
+    )
+    brute = containment_pairs(df, "text", "doc_id", 3, min_containment=0.8)
+    key = lambda r: (r["id_small"], r["id_big"], r["n_inter"], round(r["containment"], 12))
+    s_rows, b_rows = sorted(map(key, scale.collect())), sorted(map(key, brute.collect()))
+    assert s_rows == b_rows and (1, 2, 28, 1.0) in s_rows, (s_rows, b_rows)
+
+
+def test_containment_candidates_doc_frequency_cap(spark):
+    """max_doc_freq drops corpus-hot shingles BEFORE pairing: pairs held
+    together only by boilerplate disappear (documented recall bound),
+    rare-shingle pairs survive, and sizes count KEPT shingles."""
+    from seizury_hrv_featuresextraction_spark.operators.dedup import (
+        containment_candidate_pairs,
+    )
+
+    boiler = "subscribe to our newsletter today"  # hot: in every doc
+    rows = [(i, boiler + " " + " ".join(f"d{i}w{j}" for j in range(10))) for i in range(6)]
+    rows.append((100, "unique alpha beta gamma delta epsilon zeta"))
+    rows.append((101, "unique alpha beta gamma delta epsilon zeta"))  # exact twin
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in containment_candidate_pairs(df, "text", "doc_id", 3, 0.0).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in containment_candidate_pairs(
+            df, "text", "doc_id", 3, 0.0, max_doc_freq=3
+        ).collect()
+    }
+    assert (100, 101) in uncapped and (100, 101) in capped  # rare-shingle twin survives
+    assert any(a < 6 and b < 6 for a, b in uncapped)  # boilerplate pairs exist uncapped
+    assert not any(a < 6 and b < 6 for a, b in capped)  # and are gone under the cap
+
+
 def test_dedup_against_corpus_semantics(spark):
     """E47: a new-crawl doc drops on exact fingerprint collision with
     the reference corpus, a near-dup drops only on the LSH band stage

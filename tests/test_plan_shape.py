@@ -444,6 +444,44 @@ def test_substring_dup_spans_two_shuffles_no_join(spark):
     assert all(r["span_start"] == 1 and r["span_end"] == 40 and r["span_words"] == 40 for r in rows)
 
 
+def test_containment_candidates_hash_join_no_cartesian(spark):
+    """E46 scale contract (r7): candidate generation self-joins on the
+    8-byte xxhash64(shingle) key — never a cartesian/nested-loop pair
+    enumeration, never a join on shingle TEXT — and the pair count is a
+    hash aggregate (map-side combine on the pair key)."""
+    import re
+
+    import pandas as pd
+
+    from seizury_hrv_featuresextraction_spark.operators.dedup import (
+        containment_candidate_pairs,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(40),
+            "text": [" ".join(f"d{i}w{j}" for j in range(20)) for i in range(40)],
+        }
+    )
+    docs = spark.createDataFrame(pdf).repartition(8)
+    # disable auto-broadcast so the tiny test input shows the at-scale
+    # join strategy (at 100 TB neither shingle side broadcasts)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = containment_candidate_pairs(docs, "text", "doc_id", 3, min_containment=0.8)
+        plan = _plan(out)
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+        # the self-join partitions on the hash column h, not on shingle strings
+        keys = [k.strip() for k in re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)]
+        assert any(k.startswith("h#") for k in keys), (keys, plan)
+        assert "HashAggregate" in plan, plan
+        # all-unique vocab: zero candidate pairs
+        assert out.count() == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_scan_num_partitions_guard(spark):
     """planutil.scan_num_partitions: narrow plans (scans, cached
     relations, project/filter over either) report their split count;
