@@ -429,3 +429,121 @@ def test_snapshot_log_tolerates_truncated_file(spark, fixture_tables, tiny_cfg, 
     # next commit must land v3 (v2 slot occupied), not overwrite v2
     assert write_snapshot(out) == 3
     assert [s["version"] for s in list_snapshots(out)] == [1, 3]
+
+
+# ---------------------------------------------------------------------------
+# r6 VERDICT Missing #2: curation-scope resume (per-bucket profile phase +
+# global finalize == one-shot E30 pipeline)
+# ---------------------------------------------------------------------------
+
+
+def _curation_docs(n=160, extra_from=None):
+    rows = []
+    ids = range(n) if extra_from is None else range(extra_from, extra_from + n)
+    for i in ids:
+        if i % 17 == 0:
+            text = "spam " * 30  # gopher: top_word_frac = 1.0 -> dropped
+        elif i % 13 == 0:
+            text = "too short"  # gopher: n_words < 10 -> dropped
+        elif i % 7 == 0:
+            text = "identical content shared by several documents for exact dedup " + "pad " * 5
+        else:
+            text = " ".join(f"d{i}w{j}" for j in range(20))
+        rows.append((i, f"src{i % 3}", text.strip()))
+    return rows
+
+
+def _curation_oneshot(docs, k):
+    from pyspark.sql import functions as F
+
+    from seizury_hrv_featuresextraction_spark.operators.curation import gopher_repetition_filter
+    from seizury_hrv_featuresextraction_spark.operators.dedup import (
+        dedup_exact_keep,
+        derive_url,
+        url_dedup_keep,
+    )
+    from seizury_hrv_featuresextraction_spark.operators.stats import cap_per_group
+
+    u = url_dedup_keep(derive_url(docs)).drop("url")
+    g = gopher_repetition_filter(u)
+    e = dedup_exact_keep(g, "text", "doc_id")
+    return cap_per_group(e, "doc_id", "source", k=k).select(
+        "doc_id", "source", "domain", "n_words"
+    )
+
+
+def _rows(df):
+    return sorted(
+        (r["doc_id"], r["source"], r["domain"], r["n_words"]) for r in df.collect()
+    )
+
+
+def test_curation_resume_kill_restart_matches_oneshot(spark, tmp_path):
+    """Kill the profile phase after 2 buckets, restart, finalize: the
+    finished buckets are skipped and the final output is IDENTICAL to
+    the one-shot curation_pipeline composition — the global stages are
+    never evaluated per bucket, so keeper windows see the whole corpus."""
+    import pytest as _pytest
+
+    from seizury_hrv_featuresextraction_spark.checkpoint import (
+        finalize_curation,
+        read_manifest,
+        run_curation_resumable,
+    )
+    from seizury_hrv_featuresextraction_spark.operators.dedup import derive_url
+
+    docs = spark.createDataFrame(_curation_docs(), "doc_id long, source string, text string")
+    with_url = derive_url(docs)
+    out = str(tmp_path / "curation_out")
+
+    with _pytest.raises(RuntimeError, match="injected failure"):
+        run_curation_resumable(spark, with_url, out, n_buckets=4, k_per_source=5, fail_after_bucket=2)
+    mid = read_manifest(out)
+    assert len(mid) == 2
+    done_first = sorted(mid)
+
+    results = run_curation_resumable(spark, with_url, out, n_buckets=4, k_per_source=5)
+    statuses = {r.bucket: r.status for r in results}
+    assert all(statuses[k] == "skipped" for k in done_first)
+    assert all(s in ("ok", "skipped") for s in statuses.values())
+
+    got = finalize_curation(spark, out, k_per_source=5)
+    expected = _curation_oneshot(docs, k=5)
+    assert _rows(got) == _rows(expected) and len(_rows(expected)) > 0
+
+    # idempotent re-run: everything skipped, output unchanged
+    again = run_curation_resumable(spark, with_url, out, n_buckets=4, k_per_source=5)
+    assert all(r.status == "skipped" for r in again)
+    assert _rows(finalize_curation(spark, out, k_per_source=5)) == _rows(expected)
+
+
+def test_curation_resume_appended_crawl_recomputes_changed_buckets(spark, tmp_path):
+    """Appending a new crawl recomputes ONLY the buckets whose input
+    slice changed (input-fingerprint diff), and the finalized output
+    equals the one-shot run over the appended corpus."""
+    from seizury_hrv_featuresextraction_spark.checkpoint import (
+        bucket_of,
+        finalize_curation,
+        run_curation_resumable,
+    )
+    from pyspark.sql import functions as F
+
+    from seizury_hrv_featuresextraction_spark.operators.dedup import derive_url
+
+    base = spark.createDataFrame(_curation_docs(), "doc_id long, source string, text string")
+    out = str(tmp_path / "curation_out")
+    run_curation_resumable(spark, derive_url(base), out, n_buckets=4, k_per_source=5)
+
+    extra = spark.createDataFrame(
+        _curation_docs(12, extra_from=1000), "doc_id long, source string, text string"
+    )
+    appended = base.unionByName(extra)
+    changed = {
+        r["b"] for r in extra.select(bucket_of(F.col("doc_id"), 4).alias("b")).distinct().collect()
+    }
+    results = run_curation_resumable(spark, derive_url(appended), out, n_buckets=4, k_per_source=5)
+    assert {r.bucket for r in results if r.status == "ok"} == changed
+    assert {r.bucket for r in results if r.status == "skipped"} == set(range(4)) - changed
+
+    got = finalize_curation(spark, out, k_per_source=5)
+    assert _rows(got) == _rows(_curation_oneshot(appended, k=5))
