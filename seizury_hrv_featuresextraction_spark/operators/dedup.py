@@ -666,6 +666,119 @@ def containment_pairs(
     return directed.filter(F.col("containment") >= min_containment)
 
 
+def corpus_reference_keys(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    near: bool = True,
+    n_hashes: int = 4,
+    band_size: int = 2,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """E47 steady state: the PRECOMPUTED dedup keys of a corpus slice —
+    one (kind, key) row per exact fingerprint ('fp') and, with
+    ``near=True``, per MinHash LSH band ('band', key =
+    band_idx ':' band_val). ``dedup_against_reference`` anti-joins new
+    crawls against this table instead of re-deriving the accumulated
+    corpus per crawl; ``append_reference_keys`` maintains it
+    incrementally (append-only — duplicate keys are harmless to an
+    anti-join, so maintenance never rewrites or distinct-compacts the
+    accumulated table)."""
+    fp = df.select(
+        F.lit("fp").alias("kind"),
+        doc_fingerprint(F.col(text_col)).alias("key"),
+    ).filter(F.col("key").isNotNull())
+    if not near:
+        return fp
+    sig = minhash_signature_table(df, text_col, id_col, n_hashes, shingle_words)
+    n_bands = n_hashes // band_size
+    bands = sig.select(
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(b)),
+                        F.concat_ws(
+                            "|", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+                        ),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("key")
+    ).select(F.lit("band").alias("kind"), "key")
+    return fp.unionByName(bands)
+
+
+def dedup_against_reference(
+    new_df: DataFrame,
+    ref_keys: DataFrame,
+    text_col: str,
+    id_col: str,
+    near: bool = True,
+    n_hashes: int = 4,
+    band_size: int = 2,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """E47 steady-state path: ``dedup_against_corpus`` semantics against
+    a MAINTAINED (kind, key) reference table — the accumulated corpus is
+    never re-scanned or re-hashed per crawl; the reference side of both
+    anti-joins is the precomputed key table (at 100 TB: short strings,
+    fp/band-bucketable for co-located anti-joins). Same two stages:
+    exact fp left_anti, then LSH band left_anti on the survivors.
+    Identical output to ``dedup_against_corpus(new_df, ref_df, ...)``
+    when ``ref_keys = corpus_reference_keys(ref_df, ...)`` (pinned by
+    pytest)."""
+    ref_fp = ref_keys.filter(F.col("kind") == "fp").select(F.col("key").alias("__fp"))
+    new_fp = new_df.withColumn("__fp", doc_fingerprint(F.col(text_col)))
+    survivors = new_fp.join(ref_fp, "__fp", "left_anti").drop("__fp")
+    if not near:
+        return survivors
+
+    sig = minhash_signature_table(survivors, text_col, id_col, n_hashes, shingle_words)
+    n_bands = n_hashes // band_size
+    new_bands = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(b)),
+                        F.concat_ws(
+                            "|", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+                        ),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("key"),
+    )
+    ref_bands = ref_keys.filter(F.col("kind") == "band").select("key")
+    hit_ids = new_bands.join(ref_bands, "key").select(F.col("id").alias(id_col)).distinct()
+    return survivors.join(hit_ids, id_col, "left_anti")
+
+
+def append_reference_keys(
+    df: DataFrame,
+    ref_path: str,
+    text_col: str,
+    id_col: str,
+    near: bool = True,
+    n_hashes: int = 4,
+    band_size: int = 2,
+    shingle_words: int = 3,
+) -> None:
+    """Maintain the steady-state reference table: append the keys of a
+    crawl's SURVIVORS to the accumulated parquet table after each
+    ingestion round (append mode — no read-modify-write of the
+    corpus-scale key table; dupes are anti-join-neutral)."""
+    corpus_reference_keys(
+        df, text_col, id_col, near, n_hashes, band_size, shingle_words
+    ).write.mode("append").parquet(ref_path)
+
+
 def containment_candidate_pairs(
     df: DataFrame,
     text_col: str,

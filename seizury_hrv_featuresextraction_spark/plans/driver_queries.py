@@ -3541,9 +3541,14 @@ def mixture_sample_docs(spark, sf_dir):
     refd AS (SELECT doc_id, text FROM split WHERE res <> 2),
     reffp AS (SELECT DISTINCT substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 16) AS fp
               FROM refd),
+    -- NOT EXISTS with plain equality (never NOT IN): a NULL-text doc has
+    -- a NULL md5 fingerprint, and NOT IN with NULL on either side filters
+    -- rows or empties the result, diverging from Spark's left_anti which
+    -- KEEPS NULL-key rows (NULL never equals in the join) — r6 ADVICE.
     surv AS (SELECT n.doc_id, n.text FROM newd n
-             WHERE substr(md5(regexp_replace(lower(trim(n.text)), '\\s+', ' ', 'g')), 1, 16)
-                   NOT IN (SELECT fp FROM reffp)),
+             WHERE NOT EXISTS (
+               SELECT 1 FROM reffp r
+               WHERE r.fp = substr(md5(regexp_replace(lower(trim(n.text)), '\\s+', ' ', 'g')), 1, 16))),
     wsn AS (SELECT doc_id, text, {WORDS_DD} AS ws FROM surv),
     wsr AS (SELECT doc_id, {WORDS_DD} AS ws FROM refd),
     sgn AS (SELECT doc_id, text,

@@ -836,6 +836,56 @@ def test_containment_candidates_doc_frequency_cap(spark):
     assert not any(a < 6 and b < 6 for a, b in capped)  # and are gone under the cap
 
 
+def test_dedup_against_reference_two_crawl_chain(spark, tmp_path):
+    """E47 steady state (r7): crawl 2 dedups against corpus + crawl-1
+    survivors via the MAINTAINED (kind, key) parquet table — the
+    accumulated side is never re-derived — and each crawl's survivors
+    equal the re-derivation path ``dedup_against_corpus`` exactly."""
+    from seizury_hrv_featuresextraction_spark.operators.dedup import (
+        append_reference_keys,
+        dedup_against_corpus,
+        dedup_against_reference,
+    )
+
+    base = " ".join(f"story{j}" for j in range(12))
+    corpus0 = spark.createDataFrame(
+        [(1, base), (2, "completely different reference article about spark engines")],
+        "doc_id long, text string",
+    )
+    crawl1 = spark.createDataFrame(
+        [
+            (10, base),  # exact dup of corpus doc 1 -> drops
+            (11, base.replace("story3", "edited")),  # near dup -> band stage decides
+            (12, " ".join(f"fresh1x{j}" for j in range(12))),  # novel -> survives
+        ],
+        "doc_id long, text string",
+    )
+    ref_path = str(tmp_path / "refkeys")
+    append_reference_keys(corpus0, ref_path, "text", "doc_id")
+
+    keys1 = spark.read.parquet(ref_path)
+    s1 = dedup_against_reference(crawl1, keys1, "text", "doc_id")
+    e1 = dedup_against_corpus(crawl1, corpus0, "text", "doc_id")
+    ids = lambda df: sorted(r["doc_id"] for r in df.collect())
+    assert ids(s1) == ids(e1)
+    assert 10 not in ids(s1) and 12 in ids(s1)
+
+    # maintain: append ONLY the survivors' keys, then ingest crawl 2
+    append_reference_keys(s1, ref_path, "text", "doc_id")
+    crawl2 = spark.createDataFrame(
+        [
+            (20, base),  # dup of corpus0 -> drops
+            (21, " ".join(f"fresh1x{j}" for j in range(12))),  # dup of crawl-1 survivor -> drops
+            (22, " ".join(f"fresh2x{j}" for j in range(12))),  # novel -> survives
+        ],
+        "doc_id long, text string",
+    )
+    keys2 = spark.read.parquet(ref_path)
+    s2 = dedup_against_reference(crawl2, keys2, "text", "doc_id")
+    e2 = dedup_against_corpus(crawl2, corpus0.unionByName(s1.select("doc_id", "text")), "text", "doc_id")
+    assert ids(s2) == ids(e2) == [22]
+
+
 def test_dedup_against_corpus_semantics(spark):
     """E47: a new-crawl doc drops on exact fingerprint collision with
     the reference corpus, a near-dup drops only on the LSH band stage
