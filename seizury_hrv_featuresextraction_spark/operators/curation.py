@@ -279,27 +279,35 @@ def build_bloom_bitmap(
     x n_distinct shingles (rounded to a word), so the expected FP rate is
     (1 - e^(-k/bits_per_item))^k — ~1.2% at the 10/4 default.
 
-    Build shape: the probe positions are computed IN SPARK (explode k
-    probes per distinct shingle, distinct) and only the <= m_bits
-    distinct set positions come back to the driver — the eval corpus
-    itself is never collected, and the result is bounded by the bitmap
-    size no matter how large the eval suite grows."""
+    Build shape: the probe positions are computed IN SPARK and OR-packed
+    into 64-bit words EXECUTOR-SIDE (groupBy(p >> 6) + bit_or of the
+    shifted bit — map-side partial aggregation collapses each word once
+    per task), so the driver collects at most m_bits/64 bigint rows
+    (~the bitmap itself, ~1.5 MB per 100M bits) — never the probe
+    positions (r6 ADVICE: the previous distinct-positions collect was
+    ~10^8 driver Rows at the docstring's 10M-shingle eval union). The
+    eval corpus itself is never collected, and the result stays bounded
+    by the bitmap size no matter how large the eval suite grows."""
     shingles = eval_df.select(
         F.explode(token_shingles(F.col(tokens_col), n)).alias("sh")
     ).distinct()
     n_items = shingles.count()
     m_bits = max(64, ((bits_per_item * max(n_items, 1) + 63) // 64) * 64)
-    pos = (
+    # shiftleft needs call_function for a Column shift amount; longs are
+    # signed so bit 63 arrives already two's-complement folded via bit_or
+    bit = F.call_function(
+        "shiftleft", F.lit(1).cast("long"), (F.col("p") % 64).cast("int")
+    )
+    packed = (
         shingles.select(F.explode(F.array(*_bloom_probes(F.col("sh"), m_bits, k))).alias("p"))
-        .distinct()
+        .select(F.shiftright("p", 6).cast("int").alias("w"), bit.alias("b"))
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("word"))
         .collect()
     )
     words_arr = [0] * (m_bits // 64)
-    for r in pos:
-        p = int(r["p"])
-        words_arr[p // 64] |= 1 << (p % 64)
-    # Spark longs are signed: fold bit 63 into two's complement
-    words_arr = [w - (1 << 64) if w >= (1 << 63) else w for w in words_arr]
+    for r in packed:
+        words_arr[int(r["w"])] = int(r["word"])
     return words_arr, m_bits
 
 

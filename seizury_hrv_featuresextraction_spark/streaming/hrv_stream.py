@@ -92,9 +92,14 @@ def make_hrv_stream_fn(
     def fn(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         (doc_id,) = key
         if state.exists:
-            buf, off_ms, next_win, next_chunk, pend_idx, pend_toks, gap_age, truncated = (
-                state.get
-            )
+            # pad-unpack: checkpoints written before the r6
+            # bounded-lateness feature carry 6-field state (no
+            # gap_age/truncated) — resume them with the defaults instead
+            # of raising ValueError on an 8-wide unpack (r6 ADVICE)
+            got = tuple(state.get)
+            if len(got) == 6:
+                got = got + (0, False)
+            buf, off_ms, next_win, next_chunk, pend_idx, pend_toks, gap_age, truncated = got
             buf = list(buf or [])
             gap_age = int(gap_age or 0)
             truncated = bool(truncated)

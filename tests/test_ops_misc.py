@@ -736,6 +736,43 @@ def test_hash_embed_properties(spark):
     assert "Exchange" not in plan, plan
 
 
+def test_hash_embed_arrow_bitwise_equals_expression(spark):
+    """r6 VERDICT ask #4: the one-pass Arrow scatter kernel must produce
+    BIT-IDENTICAL vectors to the codegen expression form (integer ±1
+    sums; the only float op is the same IEEE normalize), including the
+    null/empty/whitespace edges, at small and large dim."""
+    import math
+
+    from seizury_hrv_featuresextraction_spark.functions.vectors import (
+        hash_embed,
+        hash_embed_udf,
+    )
+
+    rows = [
+        (0, "alpha beta gamma alpha  beta\tworld"),
+        (1, "  padded   with   runs  "),
+        (2, None),
+        (3, ""),
+        (4, "   "),
+        (5, " ".join(f"w{j % 37}" for j in range(120))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # dim 192 keeps the expression side's O(dim x n_words) cost test-sized
+    # while still exercising a beyond-codegen-width vector
+    for dim in (16, 192):
+        both = df.select(
+            "doc_id",
+            hash_embed(F.col("text"), dim=dim).alias("expr"),
+            hash_embed_udf(dim=dim)(F.col("text")).alias("arrow"),
+        ).collect()
+        for r in both:
+            assert len(r["arrow"]) == dim
+            assert all(
+                (a == e) or (math.isnan(a) and math.isnan(e))
+                for a, e in zip(r["arrow"], r["expr"])
+            ), (dim, r["doc_id"])
+
+
 def test_containment_pairs_asymmetric(spark):
     """E46: a short doc fully embedded in a long one gets containment
     1.0 in the small->big direction and a small value the other way

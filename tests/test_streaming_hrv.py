@@ -306,3 +306,24 @@ def test_streaming_bounded_lateness_drop_and_metric(spark, tmp_path):
             streamed[name].to_numpy(), batch[name].to_numpy(), rtol=0, atol=1e-9,
             err_msg=name,
         )
+
+
+def test_pre_lateness_checkpoint_state_pad_unpacks():
+    """r6 ADVICE: state written before the bounded-lateness feature is
+    6-field (no gap_age/truncated); resuming it must pad-unpack with
+    defaults (0/False) and continue producing the same output as a
+    never-interrupted run — not raise ValueError on an 8-wide unpack."""
+    from seizury_hrv_featuresextraction_spark.streaming.hrv_stream import make_hrv_stream_fn
+
+    c0, c1 = [800] * 40, [810] * 40
+    clean = _drive(make_hrv_stream_fn(CFG), [[("d0", 0, c0)], [("d0", 1, c1)]])
+
+    fn = make_hrv_stream_fn(CFG)
+    state = FakeState()
+    outs = list(fn(("d0",), iter([pd.DataFrame([("d0", 0, c0)], columns=["doc_id", "chunk_idx", "tokens"])]), state))
+    # simulate the old checkpoint: strip the two r6 fields from state
+    assert len(state._v) == 8
+    state._v = tuple(state._v)[:6]
+    outs.extend(fn(("d0",), iter([pd.DataFrame([("d0", 1, c1)], columns=["doc_id", "chunk_idx", "tokens"])]), state))
+    resumed = pd.concat(outs, ignore_index=True).sort_values("window_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(resumed, clean)

@@ -1,0 +1,90 @@
+"""E45 hash_embed: expression (codegen) vs Arrow scatter kernel across
+dims — measures the crossover the r6 VERDICT asked for and appends a
+'## E45' section to BENCH/curation_paths.md (bench_curation.py preserves
+'## ' sections across its re-runs).
+
+The expression form is O(dim x n_words)/row (each slot rescans the word
+list); the Arrow kernel is O(n_words + dim)/row plus Arrow transfer.
+Usage: python tools/bench_hash_embed.py  (env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from seizury_hrv_featuresextraction_spark.functions.vectors import hash_embed, hash_embed_udf  # noqa: E402
+from seizury_hrv_featuresextraction_spark.operators.dedup import spread  # noqa: E402
+from seizury_hrv_featuresextraction_spark.session import get_spark  # noqa: E402
+from seizury_hrv_featuresextraction_spark.sources.registry import load_table  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BEST_OF = 3
+DIMS = (16, 64, 256, 512)
+
+
+def timed(df) -> float:
+    best = 1e18
+    for _ in range(BEST_OF):
+        t0 = time.time()
+        # sum one slot: forces full vector computation without draining
+        # dim x n_docs doubles to the driver
+        df.select(F.sum(F.element_at("v", 1))).collect()
+        best = min(best, time.time() - t0)
+    return best
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark()
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text")).cache()
+    n_docs = docs.count()
+
+    # interleave variants per round (within-process drift discipline)
+    lines = [
+        f"## E45: hash_embed expression vs Arrow kernel ({sf_dir.rsplit('/', 1)[-1]}, {n_docs} docs, best-of-{BEST_OF}, interleaved)",
+        "",
+        "Identical (bit-exact) outputs — pytest-pinned; pick by dim:",
+        "",
+        "| dim | expr (s) | arrow (s) | expr docs/s | arrow docs/s | winner |",
+        "|---|---|---|---|---|---|",
+    ]
+    for dim in DIMS:
+        e = timed(docs.select(hash_embed(F.col("text"), dim=dim).alias("v")))
+        a = timed(docs.select(hash_embed_udf(dim=dim)(F.col("text")).alias("v")))
+        win = "expr" if e < a else "arrow"
+        lines.append(
+            f"| {dim} | {e:.2f} | {a:.2f} | {n_docs / e:,.0f} | {n_docs / a:,.0f} | {win} |"
+        )
+        print(lines[-1], flush=True)
+    lines += [
+        "",
+        "At 100 TB: keep the expression form while dim is small enough that",
+        "it fuses into the scan and stays ahead; switch to the Arrow kernel",
+        "past the measured crossover (large-dim feature hashing), where the",
+        "O(dim x n_words) rescan dominates Arrow batch transfer.",
+        "",
+    ]
+    path = os.path.join(REPO, "BENCH", "curation_paths.md")
+    old = open(path).read()
+    marker = "\n## E45: hash_embed expression vs Arrow kernel"
+    i = old.find(marker)
+    if i >= 0:  # replace a previous run of this section (ends at next ## or EOF)
+        j = old.find("\n## ", i + 1)
+        old = old[:i] + (old[j:] if j >= 0 else "")
+    with open(path, "w") as f:
+        f.write(old.rstrip("\n") + "\n\n" + "\n".join(lines))
+    print(f"wrote {path}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
