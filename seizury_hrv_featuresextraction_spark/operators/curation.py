@@ -493,8 +493,14 @@ def chunk_documents(
     pass (long docs split into fixed word windows with overlap so no
     boundary sentence is lost; chunk k covers words
     [1 + k*stride, 1 + k*stride + chunk_words - 1], the final chunk
-    truncates at the doc end). Returns (doc_id, chunk_id, start_word,
-    n_words, chunk_text); zero-word/NULL docs emit nothing.
+    truncates at the doc end). A tail chunk that would add NO new words
+    (fully contained in the previous chunk — happens when
+    stride < n_words <= chunk_words boundary-aligns) is suppressed
+    (r6 VERDICT ask #6): k_max = max(0, min(floor((n-1)/stride),
+    ceil((n-chunk_words)/stride))) — the min keeps gapped sampling
+    (stride > chunk_words) at the every-stride contract. Returns
+    (doc_id, chunk_id, start_word, n_words, chunk_text);
+    zero-word/NULL docs emit nothing.
 
     Scale shape: pure scan-stage posexplode of an in-row sequence —
     zero shuffle, zero join, zero UDF; chunking 100 TB costs one read
@@ -504,7 +510,16 @@ def chunk_documents(
     the sequence builder."""
     ws = words(F.coalesce(F.col(text_col), F.lit("")))
     d = df.select(F.col(id_col), ws.alias("__ws")).filter(F.size("__ws") > 0)
-    ks = F.sequence(F.lit(0), F.floor((F.size("__ws") - 1) / stride).cast("int"))
+    n = F.size("__ws")
+    k_max = F.greatest(
+        F.lit(0),
+        F.least(
+            F.floor((n - 1) / stride),
+            # ceil((n - chunk_words) / stride) in floor form
+            F.floor((n - chunk_words + stride - 1) / stride),
+        ),
+    ).cast("int")
+    ks = F.sequence(F.lit(0), k_max)
     e = d.select(id_col, "__ws", F.explode(ks).alias("chunk_id"))
     start = F.col("chunk_id") * stride + 1
     return e.select(

@@ -3659,7 +3659,7 @@ def containment_pairs_docs(spark, sf_dir):
     f"""
     WITH w AS (SELECT doc_id, {WORDS_DD} AS ws FROM documents),
     d AS (SELECT doc_id, ws, len(ws) AS n FROM w WHERE len(ws) > 0),
-    c AS (SELECT doc_id, ws, n, unnest(generate_series(0, (n - 1) // 24)) AS k FROM d)
+    c AS (SELECT doc_id, ws, n, unnest(generate_series(0, greatest(0, least((n - 1) // 24, (n - 32 + 23) // 24)))) AS k FROM d)
     SELECT doc_id, k::bigint AS chunk_id, (1 + k * 24)::bigint AS start_word,
            least(32, n - k * 24)::bigint AS n_words,
            array_to_string(ws[1 + k * 24 : least(n, k * 24 + 32)], ' ') AS chunk_text
@@ -3684,7 +3684,7 @@ def chunk_documents_rag(spark, sf_dir):
     f"""
     WITH w AS (SELECT doc_id, {WORDS_DD} AS ws FROM documents),
     d AS (SELECT doc_id, ws, len(ws) AS n FROM w WHERE len(ws) > 0),
-    c AS (SELECT doc_id, unnest(generate_series(0, (n - 1) // 24)) AS k, ws, n FROM d),
+    c AS (SELECT doc_id, unnest(generate_series(0, greatest(0, least((n - 1) // 24, (n - 32 + 23) // 24)))) AS k, ws, n FROM d),
     e AS (SELECT doc_id, k AS chunk_id, ws[1 + k * 24 : least(n, k * 24 + 32)] AS cw FROM c),
     raw AS (SELECT doc_id, chunk_id, j,
                    list_sum(list_transform(cw,

@@ -340,12 +340,12 @@ def test_chunk_documents_overlap_and_plan(spark):
     rows = sorted(
         ((r["doc_id"], r["chunk_id"], r["start_word"], r["n_words"], r["chunk_text"]) for r in out.collect())
     )
-    # doc 0: starts 1,4,7,10 -> lengths 4,4,4,1
+    # doc 0: starts 1,4,7 -> lengths 4,4,4; the k=3 tail (start 10,
+    # "w10" alone) is fully inside chunk 2 and is suppressed (r7)
     assert [r for r in rows if r[0] == 0] == [
         (0, 0, 1, 4, "w1 w2 w3 w4"),
         (0, 1, 4, 4, "w4 w5 w6 w7"),
         (0, 2, 7, 4, "w7 w8 w9 w10"),
-        (0, 3, 10, 1, "w10"),
     ]
     assert [r for r in rows if r[0] == 1] == [(1, 0, 1, 2, "a b")]
     assert not [r for r in rows if r[0] in (2, 3)]
@@ -382,4 +382,9 @@ def test_chunk_documents_coverage_invariants(spark):
             covered.update(range(r["start_word"], end + 1))
             if i + 1 < len(rs) and r["n_words"] == chunk_words:
                 assert end - rs[i + 1]["start_word"] + 1 == chunk_words - stride
+            # tail-suppression contract (r7): every chunk after the
+            # first must ADD at least one new word position
+            if i > 0:
+                prev_end = rs[i - 1]["start_word"] + rs[i - 1]["n_words"] - 1
+                assert end > prev_end, (n, i)
         assert covered == set(range(1, n + 1)), n
