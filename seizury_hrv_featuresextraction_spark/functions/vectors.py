@@ -134,10 +134,15 @@ def hash_embed(text: Column, dim: int = 64) -> Column:
 
     Components before normalization are INTEGER sums of ±1 — exact in
     both engines; the single float op is the final 1/sqrt(sum sq)
-    scale. Cost is O(dim x n_words) per row in whole-stage codegen
-    (each output slot scans the word list); the Arrow-kernel variant
-    would one-pass scatter instead — at dim 64 the expression form is
-    the simpler win since it keeps the pass fused into the scan.
+    scale. Cost caveat (measured r7, BENCH/curation_paths.md): the raw
+    scatter is O(dim x n_words) per row, but the L2-normalize wrapper
+    re-evaluates the raw aggregate per output slot (no common-subexpr
+    elimination through when/transform), so the END-TO-END expression
+    is effectively O(dim^2 x n_words) per row — it cliffs hard past
+    dim ~16. Use this form only when the tiny-dim pass must stay fused
+    into a scan; ``hash_embed_udf`` (bit-identical Arrow scatter,
+    O(n_words + dim), flat across dims) is the default for standalone
+    embedding jobs and anything above dim 16.
     Returns array<double> of length ``dim`` (all-zero docs embed as the
     zero vector, not NaN)."""
     from .text import words

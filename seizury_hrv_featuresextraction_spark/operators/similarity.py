@@ -153,3 +153,50 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "corpus_id", "cos")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: DataFrame,
+    tau: float = 0.9,
+    with_cluster: bool = False,
+) -> DataFrame:
+    """E49: SemDeDup (Abbas et al. 2023) — semantic near-dup REMOVAL over
+    an embedding column: cluster the corpus (broadcast-argmax assignment,
+    zero corpus shuffle), compare pairs only WITHIN a cluster, and drop
+    every row with a same-cluster neighbor at cosine >= tau that has a
+    smaller id (so exactly one representative — the smallest id — of
+    each tau-ball survives). The cluster bound is the whole point at
+    100 TB: the quadratic is corpus^2/n_clusters^2 per cluster instead
+    of corpus^2, the same device the paper uses to make semantic dedup
+    tractable on LAION/C4 scale.
+
+    Determinism: assignment ties break to the lowest cid (lexicographic
+    struct argmax), the drop rule is a pure predicate (no rank windows),
+    and cosine is the sequential-fold dot product — an external engine
+    replaying the same rules reproduces survivors exactly.
+
+    Scale shape: ONE shuffle on the int cluster key feeding the
+    self-join (both sides the same child plan -> exchange reuse), a
+    distinct on dropped ids, and a short-key anti-join back to the
+    corpus. Returns the surviving corpus rows unchanged
+    (``with_cluster=True`` instead returns (id_col, cluster) survivors —
+    the assignment audit view)."""
+    c = spread(corpus).select(F.col(id_col).alias("id"), to_double(F.col(vec_col)).alias("v"))
+    a = _assign_nearest(c, centroids, "v", "cluster")
+    dropped = (
+        a.alias("x")
+        .join(
+            a.alias("y"),
+            (F.col("x.cluster") == F.col("y.cluster")) & (F.col("y.id") < F.col("x.id")),
+        )
+        .filter(cosine(F.col("x.v"), F.col("y.v")) >= tau)
+        .select(F.col("x.id").alias(id_col))
+        .distinct()
+    )
+    if with_cluster:
+        keep = a.select(F.col("id").alias(id_col), F.col("cluster").cast("long").alias("cluster"))
+        return keep.join(dropped, id_col, "left_anti")
+    return corpus.join(dropped, id_col, "left_anti")

@@ -1745,6 +1745,62 @@ def ivf_topk_fixed(spark, sf_dir):
 
 
 @q(
+    "semantic_dedup_embeddings",
+    f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v
+               FROM embeddings),
+         planted AS (
+           SELECT vec_id, v FROM e
+           UNION ALL
+           SELECT vec_id + 1000000, v FROM e WHERE vec_id % 10 = 0
+           UNION ALL
+           SELECT vec_id + 2000000, list_transform(v, x -> x * 2) FROM e WHERE vec_id % 10 = 5),
+         cent AS (SELECT (vec_id + 1)::int AS cid, v AS cvec FROM e WHERE vec_id < 8),
+         asg0 AS (
+           SELECT p.vec_id, p.v, c.cid,
+                  row_number() OVER (PARTITION BY p.vec_id
+                                     ORDER BY {_COS_DD.format(a='p.v', b='c.cvec')} DESC, c.cid) AS rk
+           FROM planted p CROSS JOIN cent c),
+         asg AS (SELECT vec_id, v, cid AS cluster FROM asg0 WHERE rk = 1),
+         dropped AS (
+           SELECT DISTINCT x.vec_id
+           FROM asg x JOIN asg y ON x.cluster = y.cluster AND y.vec_id < x.vec_id
+           WHERE {_COS_DD.format(a='x.v', b='y.v')} >= 0.9)
+    SELECT a.vec_id, a.cluster::bigint AS cluster
+    FROM asg a
+    WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.vec_id = a.vec_id)
+    """,
+)
+def semantic_dedup_embeddings(spark, sf_dir):
+    """E49: SemDeDup (Abbas et al. 2023) — semantic near-dup removal:
+    cluster (fixed first-8 centroids, broadcast argmax, zero corpus
+    shuffle), pairwise cosine only WITHIN clusters, drop every row with
+    a smaller-id same-cluster neighbor at cos >= 0.9. The corpus is the
+    embeddings table plus DETERMINISTIC planted dups (exact copies at
+    +1e6 for vec_id%10==0, 2x-scaled copies at +2e6 for vec_id%10==5 —
+    scale-invariance makes cos exactly ~1); natural pairs max out at
+    cos 0.60 (measured both SFs), so tau=0.9 sits 0.3 from any knife
+    edge. Output (vec_id, cluster) audits the assignment too."""
+    from ..functions.vectors import to_double
+    from ..operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    scaled = emb.filter(F.col("vec_id") % 10 == 5).select(
+        (F.col("vec_id") + 2000000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * F.lit(2.0)).cast("float")).alias("embedding"),
+    )
+    corpus = emb.unionByName(copies).unionByName(scaled)
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + 1).cast("int").alias("cid"),
+        to_double(F.col("embedding")).alias("cvec"),
+    )
+    return semantic_dedup(corpus, "embedding", "vec_id", cent, tau=0.9, with_cluster=True)
+
+
+@q(
     "deterministic_sample",
     """
     SELECT doc_id, lang
