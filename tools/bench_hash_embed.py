@@ -75,9 +75,9 @@ def main() -> None:
     print(lines[-1], flush=True)
     lines += [
         "",
-        "At 100 TB: keep the expression form while dim is small enough that",
-        "it fuses into the scan and stays ahead; switch to the Arrow kernel",
-        "past the measured crossover (large-dim feature hashing). The expr",
+        "At 100 TB: the Arrow kernel wins at every dim measured (flat ~0.4s",
+        "vs a quadratic cliff); the expression form remains only for passes",
+        "that must stay fused into a scan at tiny dims. The expr",
         "form's true cost is O(dim^2 x n_words)/row: the L2-normalize",
         "wrapper re-evaluates the raw aggregate per output slot (no CSE",
         "through when/transform), which is why large dims cliff.",
