@@ -637,3 +637,54 @@ def detokenize(
             ).alias("text_rt")
         )
     )
+
+
+def quality_budget_select(
+    df: DataFrame,
+    weights: list[float],
+    budget: int,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """E51: quality-ordered token-budget selection — the curation pass
+    that turns "we want B tokens per source" into a concrete keep set
+    (FineWeb / LLaMA-style: rank by classifier quality, take greedily
+    until the budget is spent). Score every doc with the E40 hashed
+    linear classifier, order each source by (round-6 prob desc, doc_id)
+    and keep docs while the running token total stays within ``budget``
+    (a doc that would cross the line is excluded — the budget is a hard
+    cap, not a target to overshoot).
+
+    Determinism / twin safety: the cumulative sum runs over the ROUNDED
+    prob (the established E40/E42 device — the raw word-sum order
+    differs between engines), ties broken by id, and the budget compare
+    is exact integer n_words arithmetic — an external engine replaying
+    the same ordering reproduces the keep set bit-for-bit.
+
+    Scale shape: ONE shuffle on the source key; scoring stays in the
+    scan stage (E40 is shuffle-free), and the window is a single sorted
+    run per source. A hot source serializes into one task the same way
+    E36's hot-shingle window does — linear, not quadratic; if one
+    source dominates the corpus, pre-aggregate per-salt partial sums
+    and broadcast exclusive offsets (the E39 two-level device — order
+    keys here are data-dependent probs, so the salt must come from a
+    quantile pass rather than a hash prefix)."""
+    from pyspark.sql import Window
+
+    scored = hashed_linear_classifier(
+        df, weights, score_round=6, text_col=text_col, id_col=id_col,
+        extra_cols=(source_col,),
+    )
+    w = Window.partitionBy(source_col).orderBy(F.desc("prob"), F.asc(id_col))
+    return (
+        scored.withColumn("cum_tokens", F.sum("n_words").over(w))
+        .filter(F.col("cum_tokens") <= budget)
+        .select(
+            id_col,
+            source_col,
+            "n_words",
+            "prob",
+            F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        )
+    )

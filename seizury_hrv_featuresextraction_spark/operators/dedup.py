@@ -999,3 +999,66 @@ def substring_dedup_apply(
         F.size("ws").cast("long").alias("n_words"),
         (F.size("ws") - F.size(kept)).cast("long").alias("n_removed"),
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame, text_col: str, id_col: str, k: int = 5, w: int = 4
+) -> DataFrame:
+    """E50: winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    MOSS — the local document-fingerprinting guarantee: any shared run
+    of >= w+k-1 words between two docs shares at least one selected
+    fingerprint). Per doc: hash every k-word shingle, slide a w-hash
+    window, select each window's MINIMUM hash (rightmost occurrence on
+    ties — the paper's robust-winnowing rule), and emit the distinct
+    selected (position, hash) pairs. Density is ~2/(w+1) fingerprints
+    per shingle, so the output is a bounded-size sketch usable for
+    copy/overlap detection without shipping the text.
+
+    Hash device: 28-bit md5-prefix shingle hash (the repo's standard
+    exactly-reproducible-everywhere device), packed with the position
+    complement as ``h * 2**32 + (2**32 - 1 - pos0)`` — an int64 whose
+    MINIMUM is lexicographic (min hash, then max position): the
+    rightmost-min selection becomes a plain ``array_min``. Decode is
+    shift/mask, all exact integer arithmetic, zero float risk.
+
+    Scale shape: the entire operator is in-row higher-order expressions
+    in the SCAN STAGE — zero shuffle, zero join, zero UDF; fingerprinting
+    100 TB costs one read and writes the ~2n/(w+1)-row sketch. Short
+    docs (fewer than k+w-1 words but at least k) emit the single global
+    minimum — the standard short-document convention; docs under k
+    words emit nothing.
+
+    Ref parity note: the reference engine has no fingerprint sketch; this
+    extends the doc-fingerprint family (functions/text.py:doc_fingerprint)
+    with the positional local sketch a 100 TB near-dup triage pass needs.
+    """
+    d = (
+        spread(df)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            words(F.coalesce(F.col(text_col), F.lit(""))).alias("ws"),
+        )
+        .filter(F.size("ws") >= k)
+    )
+    n_sh = F.size("ws") - F.lit(k - 1)
+    h28 = lambda i: F.conv(  # noqa: E731
+        F.substring(F.md5(F.array_join(F.slice("ws", i, k), " ")), 1, 7), 16, 10
+    ).cast("long")
+    keys = F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: h28(i) * F.lit(4294967296) + (F.lit(4294967295) - (i - 1)),
+    )
+    # window starts 1..max(1, n_sh-w+1); slice() clamps at the array end,
+    # so a doc with n_sh < w yields exactly one all-shingle window
+    starts = F.sequence(F.lit(1), F.greatest(F.lit(1), n_sh - F.lit(w - 1)))
+    sel = F.array_distinct(
+        F.transform(starts, lambda s: F.array_min(F.slice(keys, s, w)))
+    )
+    e = d.select("doc_id", F.explode(sel).alias("key"))
+    return e.select(
+        "doc_id",
+        (F.lit(4294967295) - F.col("key").bitwiseAND(F.lit(4294967295)) + 1)
+        .cast("long")
+        .alias("pos"),
+        F.shiftright(F.col("key"), 32).cast("long").alias("fp"),
+    )

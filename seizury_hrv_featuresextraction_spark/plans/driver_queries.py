@@ -3410,6 +3410,46 @@ def substring_dedup_keep_one(spark, sf_dir):
 
 
 @q(
+    "winnowing_fingerprints",
+    f"""
+    WITH w AS (SELECT doc_id, {WORDS_DD} AS ws FROM documents),
+         sh AS MATERIALIZED (
+           SELECT doc_id, i::bigint AS pos,
+                  ('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 7))::bigint AS h,
+                  (len(ws) - 4)::bigint AS n_sh
+           FROM w, unnest(generate_series(1, len(ws) - 4)) AS t(i)
+           WHERE len(ws) >= 5),
+         keys AS (SELECT doc_id, pos, n_sh,
+                         h * 4294967296 + (4294967295 - (pos - 1)) AS key
+                  FROM sh),
+         sel AS (SELECT doc_id, pos, n_sh,
+                        min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk
+                 FROM keys),
+         d AS (SELECT DISTINCT doc_id, mk
+               FROM sel WHERE pos <= greatest(1, n_sh - 3))
+    SELECT doc_id,
+           (4294967295 - (mk % 4294967296) + 1)::bigint AS pos,
+           (mk // 4294967296)::bigint AS fp
+    FROM d
+    """,
+)
+def winnowing_fingerprints_docs(spark, sf_dir):
+    """E50: winnowing (MOSS) positional fingerprint sketch — min hash
+    per w=4-hash window over k=5-word shingles, rightmost min on ties;
+    any >= w+k-1-word run shared between docs shares a fingerprint (the
+    paper's locality guarantee). Entirely in-row scan-stage expressions:
+    zero shuffle/join/UDF; the rightmost-min rule rides an exact int64
+    pack (28-bit md5-prefix hash * 2^32 + position complement) whose
+    array_min IS the winnowing selection — the twin replays the same
+    pack with a window min, all integer arithmetic, zero float risk."""
+    from ..operators.dedup import winnowing_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnowing_fingerprints(docs, "text", "doc_id", k=5, w=4)
+
+
+@q(
     "wav_decode_stats",
     """
     WITH p AS (SELECT doc_id,
@@ -3918,6 +3958,53 @@ def linear_quality_docs(spark, sf_dir):
     return hashed_linear_classifier(
         docs, md5_feature_weights(1024), bias=0.0, threshold=0.0, score_round=6
     )
+
+
+@q(
+    "quality_budget_select",
+    f"""
+    WITH w AS (SELECT doc_id, {WORDS_DD} AS ws FROM documents),
+    e AS (SELECT doc_id, unnest(ws) AS word FROM w),
+    b AS (SELECT doc_id,
+                 ('0x' || substr(md5('f:' || word), 1, 15))::bigint % 1024 AS j
+          FROM e),
+    s AS (SELECT doc_id,
+                 sum(('0x' || substr(md5('w:' || j::varchar), 1, 8))::bigint
+                     / 4294967296.0 - 0.5) AS dot
+          FROM b GROUP BY doc_id),
+    f AS (SELECT w.doc_id, len(w.ws)::bigint AS n_words,
+                 coalesce(s.dot, 0.0) AS dot
+          FROM w LEFT JOIN s ON s.doc_id = w.doc_id),
+    p AS (SELECT doc_id, n_words,
+                 round(1.0 / (1.0 + exp(-(CASE WHEN n_words > 0
+                                               THEN dot / n_words
+                                               ELSE 0.0 END))), 6) AS prob
+          FROM f),
+    j2 AS (SELECT d.source, p.doc_id, p.n_words, p.prob
+           FROM p JOIN documents d ON d.doc_id = p.doc_id),
+    c AS (SELECT doc_id, source, n_words, prob,
+                 (sum(n_words) OVER (PARTITION BY source
+                                     ORDER BY prob DESC, doc_id
+                                     ROWS UNBOUNDED PRECEDING))::bigint AS cum_tokens
+          FROM j2)
+    SELECT doc_id, source, n_words, prob, cum_tokens
+    FROM c WHERE cum_tokens <= 800
+    """,
+)
+def quality_budget_select_docs(spark, sf_dir):
+    """E51: quality-ordered token-budget selection — "B tokens per
+    source" made concrete (the FineWeb/LLaMA curation move): rank each
+    source by the E40 classifier prob (round-6, the established
+    cross-engine-stable device), keep greedily while the running token
+    total stays <= 800. ONE shuffle on the source key; scoring is
+    shuffle-free scan-stage; the budget compare is exact integer
+    arithmetic over a fully deterministic (prob desc, doc_id) order, so
+    the twin reproduces the keep set bit-for-bit."""
+    from ..operators.curation import md5_feature_weights, quality_budget_select
+    from ..operators.dedup import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text", "source"))
+    return quality_budget_select(docs, md5_feature_weights(1024), budget=800)
 
 
 # ---------------------------------------------------------------------------

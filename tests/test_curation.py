@@ -388,3 +388,55 @@ def test_chunk_documents_coverage_invariants(spark):
                 prev_end = rs[i - 1]["start_word"] + rs[i - 1]["n_words"] - 1
                 assert end > prev_end, (n, i)
         assert covered == set(range(1, n + 1)), n
+
+
+def test_quality_budget_select_semantics(spark):
+    """E51: pandas replay of the budget rule — per source order by
+    (round-6 prob desc, doc_id), cumsum n_words, keep while <= budget;
+    the straddling doc is excluded (hard cap)."""
+    import numpy as np
+    import pandas as pd
+
+    from seizury_hrv_featuresextraction_spark.operators.curation import (
+        hashed_linear_classifier,
+        md5_feature_weights,
+        quality_budget_select,
+    )
+
+    rng = np.random.default_rng(5)
+    vocab = [f"tok{i}" for i in range(60)]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(40),
+            "source": [f"s{i % 3}" for i in range(40)],
+            "text": [" ".join(rng.choice(vocab, rng.integers(5, 25))) for _ in range(40)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    wts = md5_feature_weights(64)
+    budget = 60
+
+    got = quality_budget_select(df, wts, budget=budget).toPandas()
+
+    scored = hashed_linear_classifier(
+        df, wts, score_round=6, extra_cols=("source",)
+    ).toPandas()
+    keep = []
+    for src, g in scored.groupby("source"):
+        g = g.sort_values(["prob", "doc_id"], ascending=[False, True])
+        cum = g["n_words"].cumsum()
+        keep.extend(g.loc[cum <= budget, "doc_id"].tolist())
+    assert sorted(got["doc_id"]) == sorted(keep)
+    # per-source totals within budget, and adding the best excluded doc busts it
+    for src, g in got.groupby("source"):
+        assert g["n_words"].sum() <= budget
+        assert g["cum_tokens"].max() == g["n_words"].sum()
+        excl = scored[(scored["source"] == src) & (~scored["doc_id"].isin(got["doc_id"]))]
+        sg = scored[scored["source"] == src].sort_values(
+            ["prob", "doc_id"], ascending=[False, True]
+        )
+        ranks = {d: i for i, d in enumerate(sg["doc_id"])}
+        if len(excl):
+            first_excl = min(excl["doc_id"], key=lambda d: ranks[d])
+            prefix = sg[sg.index.map(lambda ix: ranks[sg.loc[ix, "doc_id"]] <= ranks[first_excl])]
+            assert prefix["n_words"].sum() > budget

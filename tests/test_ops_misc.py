@@ -957,3 +957,111 @@ def test_dedup_against_corpus_semantics(spark):
     )
     assert exact_only == [11, 12]  # near-dup survives the exact-only pass
     assert 11 not in both  # ...but drops once banding runs
+
+
+def test_semantic_dedup_matches_numpy_replay(spark):
+    """E49 SemDeDup vs a NumPy replay of its exact rules: broadcast-argmax
+    cluster assignment (ties to smallest cid), drop any row with a
+    same-cluster smaller-id neighbor at cos >= tau. Planted exact and
+    2x-scaled copies must drop (scale-invariant cosine); the replay pins
+    every survivor, not just the planted ones."""
+    from seizury_hrv_featuresextraction_spark.functions.vectors import to_double
+    from seizury_hrv_featuresextraction_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(11)
+    n, d, tau = 30, 16, 0.95
+    base = rng.standard_normal((n, d))
+    rows = [(i, list(map(float, base[i]))) for i in range(n)]
+    rows.append((100, list(map(float, base[4]))))          # exact copy of 4
+    rows.append((101, list(map(float, base[7] * 2.0))))    # scaled copy of 7
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    df = spark.createDataFrame(pdf)
+
+    cent = df.filter(F.col("vec_id") < 4).select(
+        (F.col("vec_id") + 1).cast("int").alias("cid"),
+        to_double(F.col("embedding")).alias("cvec"),
+    )
+    out = (
+        semantic_dedup(df, "embedding", "vec_id", cent, tau=tau, with_cluster=True)
+        .toPandas()
+        .sort_values("vec_id")
+    )
+
+    v = np.array([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
+    ids = pdf["vec_id"].to_numpy()
+    c = v[:4] / np.linalg.norm(v[:4], axis=1, keepdims=True)
+    u = v / np.linalg.norm(v, axis=1, keepdims=True)
+    cos_cent = u @ c.T
+    cluster = np.argmax(cos_cent, axis=1) + 1  # ties impossible with random data
+    cos_all = u @ u.T
+    dropped = {
+        ids[i]
+        for i in range(len(ids))
+        for j in range(len(ids))
+        if ids[j] < ids[i] and cluster[j] == cluster[i] and cos_all[i, j] >= tau
+    }
+    keep = sorted(int(x) for x in ids if x not in dropped)
+
+    assert out["vec_id"].tolist() == keep
+    assert 100 in dropped and 101 in dropped  # planted copies removed
+    got_cluster = dict(zip(out["vec_id"], out["cluster"]))
+    exp_cluster = {int(ids[i]): int(cluster[i]) for i in range(len(ids)) if ids[i] not in dropped}
+    assert got_cluster == {k: exp_cluster[k] for k in got_cluster}
+
+
+def _winnow_brute(ws, k, w):
+    import hashlib
+
+    n_sh = len(ws) - k + 1
+    if n_sh < 1:
+        return set()
+    hs = [
+        int(hashlib.md5(" ".join(ws[i : i + k]).encode()).hexdigest()[:7], 16)
+        for i in range(n_sh)
+    ]
+    out = set()
+    for s in range(max(1, n_sh - w + 1)):
+        win = hs[s : s + w]
+        m = min(win)
+        pos = s + max(i for i, v in enumerate(win) if v == m)  # rightmost min
+        out.add((pos + 1, m))
+    return out
+
+
+def test_winnowing_fingerprints_matches_brute(spark):
+    """E50 vs a literal replay of robust winnowing (min per window,
+    rightmost tie), including the short-doc (n_sh < w) and sub-k edges,
+    plus the MOSS guarantee: docs sharing a >= w+k-1-word run share a
+    selected fingerprint hash."""
+    from seizury_hrv_featuresextraction_spark.operators.dedup import winnowing_fingerprints
+
+    k, w = 3, 4
+    rng = np.random.default_rng(7)
+    vocab = ["w%d" % i for i in range(40)]
+    mk = lambda n: " ".join(rng.choice(vocab, n))  # noqa: E731
+    shared = mk(k + w - 1)  # exactly the guarantee threshold
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6],
+            "text": [
+                mk(30),
+                mk(12) + " " + shared + " " + mk(9),   # shares a run with 3
+                shared + " " + mk(25),
+                mk(k + 1),                              # n_sh=2 < w: one global min
+                mk(k - 1),                              # sub-k: no output
+                None,                                   # null-safe
+            ],
+        }
+    )
+    out = winnowing_fingerprints(
+        spark.createDataFrame(docs), "text", "doc_id", k=k, w=w
+    ).toPandas()
+    got = {
+        d: set(zip(g["pos"].astype(int), g["fp"].astype(int)))
+        for d, g in out.groupby("doc_id")
+    }
+    for _, r in docs.iterrows():
+        exp = _winnow_brute((r["text"] or "").lower().split(), k, w)
+        assert got.get(r["doc_id"], set()) == exp, r["doc_id"]
+    assert {h for _, h in got[2]} & {h for _, h in got[3]}  # MOSS guarantee
+    assert 5 not in got and 6 not in got and len(got[4]) == 1

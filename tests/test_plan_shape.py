@@ -589,3 +589,35 @@ def test_length_bucketed_batches_salted_rank(spark):
         mx = max(m["n"] for m in members)
         assert all(m["pad_len"] == mx and m["pad_waste"] == mx - m["n"] and m["pad_waste"] >= 0 for m in members)
         assert len(members) <= 4
+
+
+def test_winnowing_and_budget_select_plan_shapes(spark):
+    """E50/E51 scale contracts: winnowing fingerprinting is pure
+    scan-stage (zero hash shuffles, zero joins — the whole selection is
+    in-row expressions); budget selection shuffles exactly once (the
+    source-key window) with no broadcast (the model is a plan literal)."""
+    import pandas as pd
+
+    from seizury_hrv_featuresextraction_spark.operators.curation import (
+        md5_feature_weights,
+        quality_budget_select,
+    )
+    from seizury_hrv_featuresextraction_spark.operators.dedup import winnowing_fingerprints
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(50),
+            "source": [f"s{i % 4}" for i in range(50)],
+            "text": [" ".join(f"v{i}x{j}" for j in range(20)) for i in range(50)],
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(8)
+
+    plan = _plan(winnowing_fingerprints(df, "text", "doc_id"))
+    assert "Join" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "BroadcastExchange" not in plan, plan
+
+    plan = _plan(quality_budget_select(df, md5_feature_weights(32), budget=100))
+    assert "BroadcastExchange" not in plan, plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
