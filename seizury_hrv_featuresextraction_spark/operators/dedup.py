@@ -1062,3 +1062,54 @@ def winnowing_fingerprints(
         .alias("pos"),
         F.shiftright(F.col("key"), 32).cast("long").alias("fp"),
     )
+
+
+def fingerprint_overlap_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """E50b: copy-detection candidate pairs from the winnowing sketch —
+    the MOSS consumer: two docs are candidates when they share >=
+    ``min_shared`` distinct selected fingerprints (by the winnowing
+    guarantee, any >= w+k-1-word shared run contributes one). Ranking
+    by ``shared_fps`` is exactly how MOSS orders its report.
+
+    ``df_cap`` drops fingerprints selected in more than that many docs
+    before pairing (boilerplate k-grams — the E46b hot-key device):
+    without it a fingerprint in d docs emits d^2/2 pairs; with it the
+    join is provably bounded at cap^2/2 per fingerprint. Capped hits
+    lose only boilerplate evidence — a real copied run also carries
+    rarer fingerprints.
+
+    Scale shape: the sketch build is scan-stage (E50); then one
+    fp-key exchange SHARED by the doc-frequency window and both join
+    sides (same child plan), and one pair-key aggregation. The joined
+    rows carry only (8-byte-packed fp, two ids) — never text."""
+    fps = (
+        winnowing_fingerprints(df, text_col, id_col, k=k, w=w)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    if df_cap is not None:
+        from pyspark.sql import Window
+
+        fps = (
+            fps.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+            .filter(F.col("__df") <= df_cap)
+            .drop("__df")
+        )
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )

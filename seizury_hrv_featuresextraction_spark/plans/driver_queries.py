@@ -3409,29 +3409,37 @@ def substring_dedup_keep_one(spark, sf_dir):
     return op(docs, "text", "doc_id", n=10, keep_first=True)
 
 
+# Winnowing sketch CTE chain (E50/E50b twins): k=5-word shingles, 28-bit
+# md5-prefix hash packed as h*2^32 + position complement, w=4-hash window
+# min = the rightmost-min winnowing selection. All exact integer
+# arithmetic — zero float risk.
+_WINNOW_CTES = f"""
+    w AS (SELECT doc_id, {WORDS_DD} AS ws FROM documents),
+    sh AS MATERIALIZED (
+      SELECT doc_id, i::bigint AS pos,
+             ('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 7))::bigint AS h,
+             (len(ws) - 4)::bigint AS n_sh
+      FROM w, unnest(generate_series(1, len(ws) - 4)) AS t(i)
+      WHERE len(ws) >= 5),
+    keys AS (SELECT doc_id, pos, n_sh,
+                    h * 4294967296 + (4294967295 - (pos - 1)) AS key
+             FROM sh),
+    sel AS (SELECT doc_id, pos, n_sh,
+                   min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk
+            FROM keys),
+    wfp AS (SELECT DISTINCT doc_id, mk
+            FROM sel WHERE pos <= greatest(1, n_sh - 3))"""
+
+
 @q(
     "winnowing_fingerprints",
     f"""
-    WITH w AS (SELECT doc_id, {WORDS_DD} AS ws FROM documents),
-         sh AS MATERIALIZED (
-           SELECT doc_id, i::bigint AS pos,
-                  ('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 7))::bigint AS h,
-                  (len(ws) - 4)::bigint AS n_sh
-           FROM w, unnest(generate_series(1, len(ws) - 4)) AS t(i)
-           WHERE len(ws) >= 5),
-         keys AS (SELECT doc_id, pos, n_sh,
-                         h * 4294967296 + (4294967295 - (pos - 1)) AS key
-                  FROM sh),
-         sel AS (SELECT doc_id, pos, n_sh,
-                        min(key) OVER (PARTITION BY doc_id ORDER BY pos
-                                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk
-                 FROM keys),
-         d AS (SELECT DISTINCT doc_id, mk
-               FROM sel WHERE pos <= greatest(1, n_sh - 3))
+    WITH {_WINNOW_CTES}
     SELECT doc_id,
            (4294967295 - (mk % 4294967296) + 1)::bigint AS pos,
            (mk // 4294967296)::bigint AS fp
-    FROM d
+    FROM wfp
     """,
 )
 def winnowing_fingerprints_docs(spark, sf_dir):
@@ -3447,6 +3455,36 @@ def winnowing_fingerprints_docs(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return winnowing_fingerprints(docs, "text", "doc_id", k=5, w=4)
+
+
+@q(
+    "fingerprint_overlap_pairs",
+    f"""
+    WITH {_WINNOW_CTES},
+    d AS (SELECT DISTINCT doc_id, (mk // 4294967296) AS fp FROM wfp),
+    capped AS (SELECT doc_id, fp
+               FROM (SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS c FROM d)
+               WHERE c <= 10)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::bigint AS shared_fps
+    FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+)
+def fingerprint_overlap_pairs_docs(spark, sf_dir):
+    """E50b: MOSS copy-detection candidates — doc pairs sharing >= 2
+    distinct winnowing fingerprints, ranked by shared_fps (exactly how
+    MOSS orders its report; any >= w+k-1-word shared run contributes a
+    fingerprint by the E50 guarantee). Fingerprints selected in > 10
+    docs are dropped before pairing (the E46b hot-key cap: bounds the
+    fp-key join at cap^2/2 rows per fingerprint — boilerplate evidence
+    only; a real copied run also carries rarer fingerprints). Sketch
+    build is scan-stage; then one fp-key exchange shared by the
+    doc-frequency window and both join sides, one pair-key agg."""
+    from ..operators.dedup import fingerprint_overlap_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return fingerprint_overlap_pairs(docs, "text", "doc_id", k=5, w=4, min_shared=2, df_cap=10)
 
 
 @q(

@@ -1065,3 +1065,51 @@ def test_winnowing_fingerprints_matches_brute(spark):
         assert got.get(r["doc_id"], set()) == exp, r["doc_id"]
     assert {h for _, h in got[2]} & {h for _, h in got[3]}  # MOSS guarantee
     assert 5 not in got and 6 not in got and len(got[4]) == 1
+
+
+def test_fingerprint_overlap_pairs_brute_and_cap(spark):
+    """E50b vs a brute replay: shared distinct-fp counts per pair from
+    the winnowing brute; a planted >= w+k-1-word copied run must pair
+    its two docs (the MOSS guarantee), and a boilerplate fingerprint
+    present in every doc must stop pairing docs once df_cap excludes it."""
+    from seizury_hrv_featuresextraction_spark.operators.dedup import fingerprint_overlap_pairs
+
+    k, w = 3, 4
+    rng = np.random.default_rng(13)
+    vocab = ["q%d" % i for i in range(50)]
+    mk = lambda n: " ".join(rng.choice(vocab, n))  # noqa: E731
+    boiler = mk(k + w - 1)  # shared by ALL docs -> hot fingerprint(s)
+    run = mk(2 * (k + w - 1))  # copied run shared by docs 1 and 2 only
+    docs = {
+        1: boiler + " " + mk(10) + " " + run,
+        2: run + " " + mk(12) + " " + boiler,
+        3: boiler + " " + mk(20),
+        4: boiler + " " + mk(18),
+        5: mk(25),
+    }
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())}))
+
+    def brute_pairs(cap):
+        fps = {d: {h for _, h in _winnow_brute(t.lower().split(), k, w)} for d, t in docs.items()}
+        from collections import Counter
+
+        dfreq = Counter(h for s in fps.values() for h in s)
+        fps = {d: {h for h in s if dfreq[h] <= cap} for d, s in fps.items()}
+        out = {}
+        ids = sorted(fps)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                n = len(fps[a] & fps[b])
+                if n >= 1:
+                    out[(a, b)] = n
+        return out
+
+    for cap in (100, 3):
+        got = fingerprint_overlap_pairs(
+            df, "text", "doc_id", k=k, w=w, min_shared=1, df_cap=cap
+        ).toPandas()
+        gd = {(int(r.id_a), int(r.id_b)): int(r.shared_fps) for r in got.itertuples()}
+        assert gd == brute_pairs(cap), cap
+    # uncapped: the planted run pairs 1-2; capped at 3: boiler-only pairs vanish
+    assert (1, 2) in brute_pairs(3) and brute_pairs(3)[(1, 2)] >= 1
+    assert (3, 4) in brute_pairs(100) and (3, 4) not in brute_pairs(3)
