@@ -1090,9 +1090,14 @@ def fingerprint_overlap_pairs(
     fp-key exchange SHARED by the doc-frequency window and both join
     sides (same child plan), and one pair-key aggregation. The joined
     rows carry only (8-byte-packed fp, two ids) — never text."""
+    # one explicit fp-key exchange up front: hashpartitioning(fp) satisfies
+    # the clustering needs of the (doc_id, fp) distinct, the doc-frequency
+    # window AND both self-join sides (subset-key clustering), so none of
+    # them re-shuffles — without it each stage plans its own exchange
     fps = (
         winnowing_fingerprints(df, text_col, id_col, k=k, w=w)
         .select("doc_id", "fp")
+        .repartition("fp")
         .distinct()
     )
     if df_cap is not None:
