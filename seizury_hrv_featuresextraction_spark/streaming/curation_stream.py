@@ -123,3 +123,67 @@ def streaming_curation_pipeline(docs: DataFrame, k: int = 20) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_dedup_against_reference(
+    stream_df: DataFrame,
+    ref_keys: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 4,
+    band_size: int = 2,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """E47b streaming leg: continuous-ingestion dedup of a document
+    STREAM against the maintained (kind, key) reference table — the
+    steady-state crawl pipeline as one append-mode query. Unlike the
+    keyed stages above, the per-doc decision here is STATELESS (each
+    doc's fate depends only on itself and the static reference), so
+    drained output == ``dedup_against_reference`` on the same rows
+    under ANY microbatch split — exact equality, no first-arrival
+    caveat.
+
+    Shape: exact-fp stage is a stream-static LEFT ANTI join against the
+    fp keys (static side corpus-scale, shuffled/bucketed — never
+    collected). Band stage computes the doc's LSH band keys IN-ROW
+    (functions.text.minhash_signature — same values as the batch
+    signature aggregate) and drops on ``arrays_overlap`` with the
+    static band-key set carried as a one-row broadcast array: the
+    explode + join-back + per-doc any() the batch plan uses is a
+    streaming aggregation, which an append stream cannot do statelessly.
+    The broadcast bound is the E28 decontamination contract — at corpus
+    scale swap the exact array for the E28b Bloom bitmap (same one-row
+    broadcast shape, one-sided error). Docs with no shingles skip the
+    band check (the batch signature table has no row for them)."""
+    from ..functions.text import doc_fingerprint, minhash_signature, word_shingles
+
+    ref_fp = ref_keys.filter(F.col("kind") == "fp").select(F.col("key").alias("__fp"))
+    fp_surv = (
+        stream_df.withColumn("__fp", doc_fingerprint(F.col(text_col)))
+        .join(ref_fp, "__fp", "left_anti")
+        .drop("__fp")
+    )
+
+    n_bands = n_hashes // band_size
+    sig = minhash_signature(word_shingles(F.col(text_col), shingle_words), n_hashes)
+    my_bands = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.concat_ws(
+            ":",
+            b.cast("string"),
+            F.array_join(F.slice(sig, b * band_size + 1, band_size), "|"),
+        ),
+    )
+    ref_band_arr = ref_keys.filter(F.col("kind") == "band").agg(
+        F.collect_set("key").alias("__ref_bands")
+    )
+    withref = fp_surv.withColumn("__bands", my_bands).join(
+        F.broadcast(ref_band_arr), F.lit(True)
+    )
+    # size() is -1 for NULL arrays: <= 0 covers both the no-shingle and
+    # NULL-text docs (batch: no signature row -> survives the band stage)
+    kept = withref.filter(
+        (F.size(word_shingles(F.col(text_col), shingle_words)) <= 0)
+        | ~F.arrays_overlap(F.col("__bands"), F.col("__ref_bands"))
+    )
+    return kept.drop("__bands", "__ref_bands")
