@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, to_double
+from ..functions.vectors import cosine, dot, norm, to_double
 from .dedup import spread
 
 
@@ -162,6 +162,7 @@ def semantic_dedup(
     centroids: DataFrame,
     tau: float = 0.9,
     with_cluster: bool = False,
+    salt: int = 8,
 ) -> DataFrame:
     """E49: SemDeDup (Abbas et al. 2023) — semantic near-dup REMOVAL over
     an embedding column: cluster the corpus (broadcast-argmax assignment,
@@ -175,24 +176,58 @@ def semantic_dedup(
 
     Determinism: assignment ties break to the lowest cid (lexicographic
     struct argmax), the drop rule is a pure predicate (no rank windows),
-    and cosine is the sequential-fold dot product — an external engine
-    replaying the same rules reproduces survivors exactly.
+    and the pair predicate is a dot of once-normalized unit vectors —
+    numerically within ~1e-15 of any sane cosine formulation, so an
+    external engine replaying the same rules reproduces survivors
+    exactly whenever pair cosines keep a margin from tau (the
+    registered corpus: >= 0.099). CONTRACT:
+    ``id_col`` must be unique — the drop rule is a strict well-ordering
+    on ids, and two rows sharing an id are never compared with each
+    other (nor collapsed), so duplicate-id corpora give
+    engine-dependent results.
 
-    Scale shape: ONE shuffle on the int cluster key feeding the
-    self-join (both sides the same child plan -> exchange reuse), a
-    distinct on dropped ids, and a short-key anti-join back to the
-    corpus. Returns the surviving corpus rows unchanged
-    (``with_cluster=True`` instead returns (id_col, cluster) survivors —
-    the assignment audit view)."""
+    Scale shape: the pair self-join shuffles on (cluster, salt) — the
+    x side hashes ids into ``salt`` buckets, the y side replicates into
+    every bucket, so each cluster's quadratic splits into ``salt``
+    independent tasks. Without the salt the join key is the bare
+    cluster id and parallelism is capped at n_clusters with the whole
+    hot cluster in one task — a CPU-skew straggler AQE's skew-join
+    never splits (its thresholds are shuffle BYTES; the pair blow-up is
+    compute, not input size). Replication costs salt x the unit-vector
+    shuffle on the y side only. Then a distinct on dropped ids and a
+    short-key anti-join back to the corpus. Returns the surviving
+    corpus rows unchanged (``with_cluster=True`` instead returns
+    (id_col, cluster) survivors — the assignment audit view)."""
     c = spread(corpus).select(F.col(id_col).alias("id"), to_double(F.col(vec_col)).alias("v"))
     a = _assign_nearest(c, centroids, "v", "cluster")
-    dropped = (
-        a.alias("x")
-        .join(
-            a.alias("y"),
-            (F.col("x.cluster") == F.col("y.cluster")) & (F.col("y.id") < F.col("x.id")),
+    # pre-normalize ONCE per row so the quadratic pair stage is a single
+    # dot fold instead of cosine's dot + two norm folds (~3x on the
+    # dominant stage); the norm is materialized as a column FIRST — a
+    # norm expression inside transform() re-evaluates the fold per
+    # element (the measured hash_embed O(dim^2) trap). Zero-norm rows
+    # keep cosine's 0.0 contract via an all-zero unit vector. The pair
+    # shuffle carries only (id, cluster, unit vector) — v is dropped.
+    au = (
+        a.withColumn("__nrm", norm(F.col("v")))
+        .withColumn(
+            "u",
+            F.when(
+                F.col("__nrm") > 0, F.transform("v", lambda x: x / F.col("__nrm"))
+            ).otherwise(F.transform("v", lambda x: x * F.lit(0.0))),
         )
-        .filter(cosine(F.col("x.v"), F.col("y.v")) >= tau)
+        .select("id", "cluster", "u")
+    )
+    sx = au.withColumn("__s", F.pmod(F.xxhash64("id"), F.lit(salt)))
+    sy = au.withColumn("__s", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+    dropped = (
+        sx.alias("x")
+        .join(
+            sy.alias("y"),
+            (F.col("x.cluster") == F.col("y.cluster"))
+            & (F.col("x.__s") == F.col("y.__s"))
+            & (F.col("y.id") < F.col("x.id")),
+        )
+        .filter(dot(F.col("x.u"), F.col("y.u")) >= tau)
         .select(F.col("x.id").alias(id_col))
         .distinct()
     )

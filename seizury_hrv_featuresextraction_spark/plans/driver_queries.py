@@ -1752,9 +1752,9 @@ def ivf_topk_fixed(spark, sf_dir):
          planted AS (
            SELECT vec_id, v FROM e
            UNION ALL
-           SELECT vec_id + 1000000, v FROM e WHERE vec_id % 10 = 0
+           SELECT vec_id + 100000000, v FROM e WHERE vec_id % 10 = 0
            UNION ALL
-           SELECT vec_id + 2000000, list_transform(v, x -> x * 2) FROM e WHERE vec_id % 10 = 5),
+           SELECT vec_id + 200000000, list_transform(v, x -> x * 2) FROM e WHERE vec_id % 10 = 5),
          cent AS (SELECT (vec_id + 1)::int AS cid, v AS cvec FROM e WHERE vec_id < 8),
          asg0 AS (
            SELECT p.vec_id, p.v, c.cid,
@@ -1777,19 +1777,24 @@ def semantic_dedup_embeddings(spark, sf_dir):
     shuffle), pairwise cosine only WITHIN clusters, drop every row with
     a smaller-id same-cluster neighbor at cos >= 0.9. The corpus is the
     embeddings table plus DETERMINISTIC planted dups (exact copies at
-    +1e6 for vec_id%10==0, 2x-scaled copies at +2e6 for vec_id%10==5 —
+    +1e8 for vec_id%10==0, 2x-scaled copies at +2e8 for vec_id%10==5 —
     scale-invariance makes cos exactly ~1); natural pairs max out at
     cos 0.60 (measured both SFs), so tau=0.9 sits 0.3 from any knife
-    edge. Output (vec_id, cluster) audits the assignment too."""
+    edge. Planted offsets are +1e8/+2e8 so ids stay UNIQUE on every
+    corpus incl. the sf1.0 replica set (ids to ~9e6): duplicate ids
+    break the smaller-id drop rule's well-ordering — found at sf1.0
+    where +1e6 offsets collided with replica ids (engine kept both
+    same-id rows, the twin's per-id window collapsed them). Output
+    (vec_id, cluster) audits the assignment too."""
     from ..functions.vectors import to_double
     from ..operators.similarity import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     copies = emb.filter(F.col("vec_id") % 10 == 0).select(
-        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+        (F.col("vec_id") + 100000000).alias("vec_id"), "embedding"
     )
     scaled = emb.filter(F.col("vec_id") % 10 == 5).select(
-        (F.col("vec_id") + 2000000).alias("vec_id"),
+        (F.col("vec_id") + 200000000).alias("vec_id"),
         F.transform("embedding", lambda x: (x * F.lit(2.0)).cast("float")).alias("embedding"),
     )
     corpus = emb.unionByName(copies).unionByName(scaled)

@@ -186,6 +186,28 @@ def main() -> None:
     )
     rows.append(("chunk hash_embed dim16 (E45)", t, n_docs))
 
+    # r7 operators: winnowing sketch + pair consumer, budget selection
+    from seizury_hrv_featuresextraction_spark.operators.curation import (
+        quality_budget_select,
+    )
+    from seizury_hrv_featuresextraction_spark.operators.dedup import (
+        fingerprint_overlap_pairs,
+        winnowing_fingerprints,
+    )
+
+    t, n_fp = timed(winnowing_fingerprints(docs, "text", "doc_id", k=5, w=4))
+    rows.append((f"winnowing_fingerprints (E50, {n_fp} fps)", t, n_docs))
+
+    t, n_pairs = timed(
+        fingerprint_overlap_pairs(docs, "text", "doc_id", k=5, w=4, min_shared=2, df_cap=10)
+    )
+    rows.append((f"fingerprint_overlap_pairs (E50b, {n_pairs} pairs)", t, n_docs))
+
+    t, kept = timed(
+        quality_budget_select(docs, md5_feature_weights(1024), budget=800).select("doc_id")
+    )
+    rows.append((f"quality_budget_select (E51, kept {kept})", t, n_docs))
+
     lines = [
         "# BENCH/curation_paths.md — measured curation-operator throughput",
         "",
