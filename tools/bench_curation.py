@@ -195,7 +195,11 @@ def main() -> None:
         winnowing_fingerprints,
     )
 
-    t, n_fp = timed(winnowing_fingerprints(docs, "text", "doc_id", k=5, w=4))
+    wfp = winnowing_fingerprints(docs, "text", "doc_id", k=5, w=4)
+    n_fp = wfp.count()
+    # agg over the VALUES (not count): drains 1 row instead of ~100k
+    # py4j Row objects, which would otherwise dominate the wall
+    t, _ = timed(wfp.agg(F.sum("fp"), F.sum("pos")))
     rows.append((f"winnowing_fingerprints (E50, {n_fp} fps)", t, n_docs))
 
     t, n_pairs = timed(
