@@ -621,3 +621,56 @@ def test_winnowing_and_budget_select_plan_shapes(spark):
     plan = _plan(quality_budget_select(df, md5_feature_weights(32), budget=100))
     assert "BroadcastExchange" not in plan, plan
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_semantic_dedup_salted_pair_join(spark):
+    """E49 scale contract: the pair self-join keys on (cluster, salt) —
+    parallelism salt x n_clusters, not capped at n_clusters — with the y
+    side replicated per salt (explode). At broadcastable sizes the pair
+    join is a BHJ on the same salted keys (also asserted); with
+    broadcast off, both sides exchange on (cluster, __s)."""
+    import pandas as pd
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from seizury_hrv_featuresextraction_spark.functions.vectors import to_double
+    from seizury_hrv_featuresextraction_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(40),
+            "embedding": [list(map(float, rng.standard_normal(8))) for _ in range(40)],
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(8)
+    cent = df.filter("vec_id < 4").select(
+        (F.col("vec_id") + 1).cast("int").alias("cid"),
+        to_double(F.col("embedding")).alias("cvec"),
+    )
+
+    def pair_join_lines(plan):
+        return [
+            ln for ln in plan.splitlines()
+            if ("SortMergeJoin" in ln or "BroadcastHashJoin" in ln)
+            and "cluster#" in ln and "__s#" in ln
+        ]
+
+    out = semantic_dedup(df, "embedding", "vec_id", cent, tau=0.95, with_cluster=True, salt=4)
+    plan = _plan(out)
+    assert pair_join_lines(plan), plan  # join keys carry the salt
+    assert "explode" in plan.lower(), plan  # y side replicated
+
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(
+            semantic_dedup(df, "embedding", "vec_id", cent, tau=0.95, with_cluster=True, salt=4)
+        )
+        salted_ex = [
+            k for k in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+            if "cluster#" in k and "__s#" in k
+        ]
+        assert len(salted_ex) >= 2, plan  # both pair sides shuffle on (cluster, salt)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
