@@ -688,3 +688,161 @@ def quality_budget_select(
             F.col("cum_tokens").cast("long").alias("cum_tokens"),
         )
     )
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 6,
+    end_mark: str = "</w>",
+) -> "list[tuple[str, str, int]]":
+    """E52: BPE tokenizer training (Sennrich et al. 2016) — learn the
+    first ``k`` byte-pair merges from the corpus. The pipeline step
+    every LLM build runs BEFORE tokenization (E34 consumes a vocab;
+    this is where one comes from).
+
+    Algorithm, exactly the reference shape: (1) corpus -> word
+    frequency table (the ONLY corpus-scale stage: one groupBy(word)
+    shuffle with map-side combine — the shuffle carries distinct words,
+    never documents); (2) k rounds over the VOCAB of: count adjacent
+    symbol pairs weighted by word frequency, take the most frequent
+    pair (ties broken lexicographically by (left, right) — pinned,
+    where the reference's dict max() is arbitrary), merge it greedily
+    left-to-right in every word. Words start as character lists +
+    ``end_mark``.
+
+    The greedy merge is a native ``F.aggregate`` fold: append the next
+    symbol, or replace the just-appended left with left||right when the
+    pair matches — after a merge the accumulator tail is the merged
+    token (never equal to ``left``, since ``right`` is non-empty), so
+    the fold cannot double-consume a position; this reproduces the
+    reference's skip-the-consumed-index scan exactly (overlapping runs
+    like 'aaa' merge at alternating positions).
+
+    Scale shape: the k-round loop runs on the word-frequency table —
+    BOUNDED by |distinct words| regardless of corpus size (the
+    canonical implementation trains on the frequency dict, not the
+    corpus) — with one tiny argmax action per round and an eager
+    localCheckpoint pinning each round's vocab (k nested fold
+    expressions would otherwise stack in one lineage). Returns the
+    merge list [(left, right, pair_count)] in rank order — plan-literal
+    input to a downstream encoder the same way E40's weights are."""
+    from .dedup import spread
+    from ..functions.text import words
+
+    wc = (
+        spread(df)
+        .select(F.explode(words(F.coalesce(F.col(text_col), F.lit("")))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")), lambda i: F.col("word").substr(i, F.lit(1))
+    )
+    vocab = wc.select(
+        "word", "cnt", F.concat(chars, F.array(F.lit(end_mark))).alias("syms")
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(k):
+        # guard: sequence(1, 0) DESCENDS — fully-merged single-symbol
+        # words must contribute no pairs
+        n_pairs = F.size("syms") - 1
+        pair_idx = F.when(n_pairs >= 1, F.sequence(F.lit(1), n_pairs)).otherwise(
+            F.array().cast("array<int>")
+        )
+        pairs = vocab.select(
+            "cnt",
+            F.explode(
+                F.transform(
+                    pair_idx,
+                    lambda i: F.struct(
+                        F.element_at("syms", i).alias("l"),
+                        F.element_at("syms", (i + 1).cast("int")).alias("r"),
+                    ),
+                )
+            ).alias("pr"),
+        )
+        top = (
+            pairs.groupBy(F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
+            .agg(F.sum("cnt").alias("total"))
+            .orderBy(F.desc("total"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, total = top[0]["l"], top[0]["r"], int(top[0]["total"])
+        merges.append((left, right, total))
+        step = lambda acc, x: F.when(  # noqa: E731
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(F.concat(F.element_at(acc, -1), x)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x)))
+        vocab = vocab.select(
+            "word",
+            "cnt",
+            F.aggregate("syms", F.array().cast("array<string>"), step).alias("syms"),
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: "list[tuple[str, str, int]]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    end_mark: str = "</w>",
+) -> DataFrame:
+    """E52b: apply learned BPE merges — encode every document with the
+    merge list from ``bpe_train_merges``, in rank order (the apply side
+    real pipelines run at corpus scale; training runs once on the
+    bounded vocab, encoding touches every document).
+
+    Scale shape: the merge list is PLAN-LITERAL (like the E40 weights)
+    and the whole encoder is nested in-row folds over each word's
+    character array — ZERO shuffle, zero join, zero UDF: encoding
+    100 TB costs one read. Contrast E34's tokenize, whose vocab is data
+    and rides a broadcast join. Expression depth grows with k, so very
+    long merge lists eventually want the vocab-join form (train already
+    materializes the merged vocab) — at the k here the codegen'd fold
+    chain is the cheaper plan.
+
+    Returns (id_col, n_tokens, tok_md5): token count and an md5 over
+    the '-'-joined token stream (the E34 array-compare device — never
+    compare array columns raw across engines). Empty/NULL docs encode
+    to zero tokens and md5('')."""
+    from ..functions.text import words
+
+    def fold_merge(syms, left, right):
+        step = lambda acc, x: F.when(  # noqa: E731
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(F.concat(F.element_at(acc, -1), x)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x)))
+        return F.aggregate(syms, F.array().cast("array<string>"), step)
+
+    def enc(w):
+        syms = F.concat(
+            F.transform(F.sequence(F.lit(1), F.length(w)), lambda i: w.substr(i, F.lit(1))),
+            F.array(F.lit(end_mark)),
+        )
+        for left, right, _ in merges:
+            syms = fold_merge(syms, left, right)
+        return syms
+
+    ws = words(F.coalesce(F.col(text_col), F.lit("")))
+    toks = F.flatten(F.transform(ws, enc))
+    return df.select(
+        id_col,
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.md5(F.array_join(toks, "-")).alias("tok_md5"),
+    )

@@ -440,3 +440,99 @@ def test_quality_budget_select_semantics(spark):
             first_excl = min(excl["doc_id"], key=lambda d: ranks[d])
             prefix = sg[sg.index.map(lambda ix: ranks[sg.loc[ix, "doc_id"]] <= ranks[first_excl])]
             assert prefix["n_words"].sum() > budget
+
+
+def test_bpe_train_merges_matches_reference(spark):
+    """E52 vs a direct dict-based replay of Sennrich get_stats/
+    merge_vocab (greedy left-to-right merge, skip-consumed-index scan,
+    lexicographic tie-break) — merge lists must be identical, including
+    overlapping-run words ('aaaa') and single-char words."""
+    import numpy as np
+
+    from seizury_hrv_featuresextraction_spark.operators.curation import bpe_train_merges
+
+    rng = np.random.default_rng(17)
+    vocab = ["low", "lower", "newest", "widest", "aaaa", "aa", "b", "banana"]
+    texts = [" ".join(rng.choice(vocab, rng.integers(3, 12))) for _ in range(25)]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)] + [(99, None)], "doc_id long, text string"
+    )
+
+    def reference(texts, k):
+        from collections import Counter
+
+        wc = Counter(w for t in texts if t for w in t.lower().split())
+        vocab = {tuple(list(w) + ["</w>"]): c for w, c in wc.items()}
+        merges = []
+        for _ in range(k):
+            stats = Counter()
+            for syms, c in vocab.items():
+                for a, b in zip(syms, syms[1:]):
+                    stats[(a, b)] += c
+            if not stats:
+                break
+            best = max(stats, key=lambda p: (stats[p], [-ord(ch) for ch in p[0]]))
+            # explicit deterministic tie-break: max count, then lexicographic min (l, r)
+            m = max(stats.values())
+            best = min(p for p, c in stats.items() if c == m)
+            merges.append((best[0], best[1], m))
+            new_vocab = {}
+            for syms, c in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == best[0] and syms[i + 1] == best[1]:
+                        out.append(syms[i] + syms[i + 1])
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+            vocab = new_vocab
+        return merges
+
+    got = bpe_train_merges(df, "text", k=8)
+    exp = reference(texts, 8)
+    assert got == exp
+
+
+def test_bpe_encode_matches_reference(spark):
+    """E52b: engine encode (nested plan-literal folds) vs a dict-based
+    reference encode using the same merges — n_tokens and the md5 over
+    the '-'-joined stream must match exactly (hashlib == Spark md5 over
+    UTF-8), including empty/NULL docs."""
+    import hashlib
+
+    from seizury_hrv_featuresextraction_spark.operators.curation import (
+        bpe_encode,
+        bpe_train_merges,
+    )
+
+    texts = {
+        1: "low low low lower lower newest newest newest newest widest widest",
+        2: "banana bandana aaaa",
+        3: "",
+        4: None,
+        5: "low newest banana",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    merges = bpe_train_merges(df, "text", k=5)
+
+    def ref_word(w):
+        syms = list(w) + ["</w>"]
+        for left, right, _ in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    got = {r["doc_id"]: (r["n_tokens"], r["tok_md5"]) for r in bpe_encode(df, merges).collect()}
+    for d, t in texts.items():
+        toks = [s for w in (t or "").lower().split() for s in ref_word(w)]
+        md5 = hashlib.md5("-".join(toks).encode()).hexdigest()
+        assert got[d] == (len(toks), md5), d
