@@ -646,6 +646,8 @@ def quality_budget_select(
     source_col: str = "source",
     text_col: str = "text",
     id_col: str = "doc_id",
+    salted: bool = False,
+    n_salts: int = 16,
 ) -> DataFrame:
     """E51: quality-ordered token-budget selection — the curation pass
     that turns "we want B tokens per source" into a concrete keep set
@@ -663,30 +665,87 @@ def quality_budget_select(
     the same ordering reproduces the keep set bit-for-bit.
 
     Scale shape: ONE shuffle on the source key; scoring stays in the
-    scan stage (E40 is shuffle-free), and the window is a single sorted
-    run per source. A hot source serializes into one task the same way
-    E36's hot-shingle window does — linear, not quadratic; if one
-    source dominates the corpus, pre-aggregate per-salt partial sums
-    and broadcast exclusive offsets (the E39 two-level device — order
-    keys here are data-dependent probs, so the salt must come from a
-    quantile pass rather than a hash prefix)."""
+    scan stage (E40 is shuffle-free). With ``salted=False`` the window
+    is a single sorted run per source — a hot source serializes into
+    one task the same way E36's hot-shingle window does (linear, not
+    quadratic). ``salted=True`` is the E51b scale path: the E39
+    two-level device adapted to a PREFIX SUM over a data-dependent
+    order key — the salt cannot be a hash prefix (order is by prob,
+    not by hash), so it comes from a per-source QUANTILE pass:
+
+    1. per-source approximate prob quantiles (``n_salts - 1`` cuts —
+       a tiny broadcast grid; approximation is harmless because ANY
+       monotone-in-prob bucketing yields the identical final sum);
+    2. bucket = number of cuts strictly above the row's prob — bucket
+       0 holds the highest probs, and equal probs share a bucket, so
+       bucketing is order-monotone and the (prob desc, id) sort
+       concatenated across buckets equals the single-window order;
+    3. local running sum WITHIN ``(source, bucket)`` — a hot source
+       spreads over ``n_salts`` tasks;
+    4. broadcast exclusive offsets = running token totals over the
+       tiny per-``(source, bucket)`` grid; ``cum_tokens`` = local sum
+       + offset, bit-identical to the unsalted window (pytest pins it
+       on a 90%-one-source skew)."""
     from pyspark.sql import Window
 
     scored = hashed_linear_classifier(
         df, weights, score_round=6, text_col=text_col, id_col=id_col,
         extra_cols=(source_col,),
     )
-    w = Window.partitionBy(source_col).orderBy(F.desc("prob"), F.asc(id_col))
-    return (
-        scored.withColumn("cum_tokens", F.sum("n_words").over(w))
-        .filter(F.col("cum_tokens") <= budget)
-        .select(
-            id_col,
-            source_col,
-            "n_words",
-            "prob",
-            F.col("cum_tokens").cast("long").alias("cum_tokens"),
+    out_cols = [
+        id_col,
+        source_col,
+        "n_words",
+        "prob",
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+    ]
+    if not salted:
+        w = Window.partitionBy(source_col).orderBy(F.desc("prob"), F.asc(id_col))
+        return (
+            scored.withColumn("cum_tokens", F.sum("n_words").over(w))
+            .filter(F.col("cum_tokens") <= budget)
+            .select(*out_cols)
         )
+
+    qs = [i / n_salts for i in range(1, n_salts)]
+    cuts = scored.groupBy(source_col).agg(
+        F.percentile_approx("prob", qs).alias("__cuts")
+    )
+    j = scored.join(F.broadcast(cuts), source_col)
+    # bucket is a function of prob alone: monotone non-increasing, ties
+    # land together — concatenating buckets in order reproduces the
+    # global (prob desc, id) sort exactly
+    j = j.withColumn(
+        "__b", F.size(F.filter("__cuts", lambda c: c > F.col("prob"))).cast("int")
+    ).drop("__cuts")
+    # one corpus exchange on (source, bucket) serves the local running
+    # sum, the per-bucket total (window max over the same clustering —
+    # no new exchange) AND the grid distinct (subset-key clustering);
+    # the offsets branch re-derives the same exchange subtree, which
+    # exchange reuse dedupes at runtime
+    wloc = Window.partitionBy(source_col, "__b").orderBy(F.desc("prob"), F.asc(id_col))
+    j = j.withColumn("__lc", F.sum("n_words").over(wloc)).withColumn(
+        "__t", F.max("__lc").over(Window.partitionBy(source_col, "__b"))
+    )
+    woff = (
+        Window.partitionBy(source_col)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        j.select(source_col, "__b", "__t")
+        .distinct()
+        .select(
+            source_col,
+            "__b",
+            F.coalesce(F.sum("__t").over(woff), F.lit(0)).alias("__off"),
+        )
+    )
+    return (
+        j.join(F.broadcast(offsets), [source_col, "__b"])
+        .withColumn("cum_tokens", F.col("__lc") + F.col("__off"))
+        .filter(F.col("cum_tokens") <= budget)
+        .select(*out_cols)
     )
 
 

@@ -4039,15 +4039,20 @@ def quality_budget_select_docs(spark, sf_dir):
     source" made concrete (the FineWeb/LLaMA curation move): rank each
     source by the E40 classifier prob (round-6, the established
     cross-engine-stable device), keep greedily while the running token
-    total stays <= 800. ONE shuffle on the source key; scoring is
-    shuffle-free scan-stage; the budget compare is exact integer
-    arithmetic over a fully deterministic (prob desc, doc_id) order, so
-    the twin reproduces the keep set bit-for-bit."""
+    total stays <= 800. Runs the E51b SALTED scale path (quantile-salted
+    two-level prefix sum — a hot source spreads over n_salts tasks;
+    output bit-identical to the single-window form, which this twin
+    replays); scoring is shuffle-free scan-stage; the budget compare is
+    exact integer arithmetic over a fully deterministic
+    (prob desc, doc_id) order, so the twin reproduces the keep set
+    bit-for-bit."""
     from ..operators.curation import md5_feature_weights, quality_budget_select
     from ..operators.dedup import spread
 
     docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text", "source"))
-    return quality_budget_select(docs, md5_feature_weights(1024), budget=800)
+    return quality_budget_select(
+        docs, md5_feature_weights(1024), budget=800, salted=True, n_salts=8
+    )
 
 
 def _bpe_twin_sql(k: int) -> str:

@@ -442,6 +442,50 @@ def test_quality_budget_select_semantics(spark):
             assert prefix["n_words"].sum() > budget
 
 
+def test_quality_budget_select_salted_identity(spark):
+    """E51b: the quantile-salted two-level prefix sum is BIT-IDENTICAL
+    to the single-window formulation — on a 90%-one-source skew (the
+    case the salt exists for), across several salt widths, including
+    n_salts larger than the hot source's row count."""
+    import numpy as np
+    import pandas as pd
+
+    from seizury_hrv_featuresextraction_spark.operators.curation import (
+        md5_feature_weights,
+        quality_budget_select,
+    )
+
+    rng = np.random.default_rng(11)
+    vocab = [f"tok{i}" for i in range(80)]
+    n = 300
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(n),
+            # 90% of docs in one hot source, the rest split over two
+            "source": ["hot" if i % 10 else f"cold{i % 2}" for i in range(n)],
+            "text": [" ".join(rng.choice(vocab, rng.integers(3, 30))) for _ in range(n)],
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(8)
+    wts = md5_feature_weights(64)
+
+    base = (
+        quality_budget_select(df, wts, budget=900)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (base["source"] == "hot").mean() > 0.5  # the skew actually bites
+    for n_salts in (2, 8, 512):
+        got = (
+            quality_budget_select(df, wts, budget=900, salted=True, n_salts=n_salts)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, base, check_exact=True)
+
+
 def test_bpe_train_merges_matches_reference(spark):
     """E52 vs a direct dict-based replay of Sennrich get_stats/
     merge_vocab (greedy left-to-right merge, skip-consumed-index scan,

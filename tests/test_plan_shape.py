@@ -622,6 +622,18 @@ def test_winnowing_and_budget_select_plan_shapes(spark):
     assert "BroadcastExchange" not in plan, plan
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
 
+    # E51b salted path: every corpus-sized exchange keys on (source, __b)
+    # — a hot source spreads over n_salts tasks — and the quantile cuts +
+    # exclusive offsets ride broadcasts, never shuffled joins; no window
+    # partitioned by source alone orders by prob (that would be the
+    # single-task straggler the salt exists to kill)
+    plan = _plan(
+        quality_budget_select(df, md5_feature_weights(32), budget=100, salted=True, n_salts=8)
+    )
+    assert re.search(r"Exchange hashpartitioning\(source#\d+, __b#\d+", plan), plan
+    assert "BroadcastExchange" in plan, plan
+    assert not re.search(r"windowspecdefinition\(source#\d+, prob", plan), plan
+
 
 def test_semantic_dedup_salted_pair_join(spark):
     """E49 scale contract: the pair self-join keys on (cluster, salt) —
