@@ -1118,3 +1118,84 @@ def fingerprint_overlap_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
+
+
+def fingerprint_overlap_against(
+    new_df: DataFrame,
+    ref_fps: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    ref_df_cap: int | None = None,
+) -> DataFrame:
+    """E50c: CROSS-corpus MOSS evidence — (new_id, ref_id, shared_fps)
+    pairs between a new crawl and a MAINTAINED winnowing-sketch table
+    (``ref_fps`` = persisted ``winnowing_fingerprints`` output — the
+    same fp-table-reuse move as E47b's (kind, key) table, but carrying
+    per-doc evidence so a hit names WHICH corpus document was copied,
+    exactly what E47's band anti-join cannot say). Complements E47:
+    band collisions follow whole-doc Jaccard, while the winnowing
+    guarantee is LOCAL — any shared >= w+k-1-word run contributes a
+    fingerprint — so a paragraph lifted into an otherwise-novel page is
+    found here and invisible there.
+
+    ``ref_df_cap`` drops corpus-boilerplate fingerprints (selected in
+    more than that many REFERENCE docs) before the join — the E50b
+    hot-key device, applied to the accumulated side where the
+    boilerplate lives; the join is then bounded at cap rows per new-side
+    fingerprint.
+
+    Scale shape: the new-crawl sketch is scan-stage (E50); the corpus
+    side is READ, never re-hashed (the sketch is ~2/(w+1) per shingle —
+    the 100 TB corpus compresses to a short int64-keyed table,
+    fp-bucketable for co-located joins); one fp-key join + one pair-key
+    agg, both on 8-byte keys, text never shuffles."""
+    new = (
+        winnowing_fingerprints(new_df, text_col, id_col, k=k, w=w)
+        .select(F.col("doc_id").alias("new_id"), "fp")
+        .distinct()
+    )
+    ref = ref_fps.select(F.col("doc_id").alias("ref_id"), "fp").distinct()
+    if ref_df_cap is not None:
+        from pyspark.sql import Window
+
+        ref = (
+            ref.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+            .filter(F.col("__df") <= ref_df_cap)
+            .drop("__df")
+        )
+    return (
+        new.join(ref, "fp")
+        .groupBy("new_id", "ref_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+
+
+def fingerprint_dedup_against_corpus(
+    new_df: DataFrame,
+    ref_fps: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    ref_df_cap: int | None = None,
+) -> DataFrame:
+    """E50c consumer: drop new-crawl docs with MOSS-grade copy evidence
+    against the maintained corpus sketch (any reference doc sharing >=
+    ``min_shared`` capped winnowing fingerprints). Survivors' sketches
+    append to ``ref_fps`` for the next crawl (the E47b maintenance
+    pattern — append-only; duplicate (doc, fp) rows are join-then-
+    distinct-neutral). Returns surviving rows unchanged."""
+    hits = (
+        fingerprint_overlap_against(
+            new_df, ref_fps, text_col, id_col, k=k, w=w,
+            min_shared=min_shared, ref_df_cap=ref_df_cap,
+        )
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    return new_df.join(hits, id_col, "left_anti")

@@ -3493,6 +3493,43 @@ def fingerprint_overlap_pairs_docs(spark, sf_dir):
 
 
 @q(
+    "fingerprint_overlap_against_corpus",
+    f"""
+    WITH {_WINNOW_CTES},
+    d AS (SELECT DISTINCT doc_id, (mk // 4294967296) AS fp FROM wfp),
+    ref AS (SELECT doc_id, fp
+            FROM (SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS c
+                  FROM d WHERE doc_id % 4 = 1)
+            WHERE c <= 10),
+    nw AS (SELECT doc_id, fp FROM d WHERE doc_id % 4 != 1)
+    SELECT n.doc_id AS new_id, r.doc_id AS ref_id, count(*)::bigint AS shared_fps
+    FROM nw n JOIN ref r ON n.fp = r.fp
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+)
+def fingerprint_overlap_against_corpus_docs(spark, sf_dir):
+    """E50c: cross-corpus MOSS evidence against a maintained winnowing
+    sketch — new-crawl docs (doc_id % 4 != 1) vs the accumulated-corpus
+    sketch table (% 4 == 1; derived inline here, persisted in prod —
+    the E47b fp-table-reuse pattern with per-doc evidence: a hit names
+    WHICH corpus doc was copied). Corpus-boilerplate fingerprints
+    (ref-side doc-frequency > 10) are capped before the join (E50b hot-
+    key device). New-side sketch is scan-stage; the corpus side is READ
+    (never re-hashed); one 8-byte fp-key join + one pair-key agg."""
+    from ..operators.dedup import fingerprint_overlap_against, winnowing_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref_fps = winnowing_fingerprints(
+        docs.filter(F.col("doc_id") % 4 == 1), "text", "doc_id", k=5, w=4
+    )
+    return fingerprint_overlap_against(
+        docs.filter(F.col("doc_id") % 4 != 1), ref_fps,
+        min_shared=2, ref_df_cap=10,
+    )
+
+
+@q(
     "wav_decode_stats",
     """
     WITH p AS (SELECT doc_id,

@@ -1113,3 +1113,65 @@ def test_fingerprint_overlap_pairs_brute_and_cap(spark):
     # uncapped: the planted run pairs 1-2; capped at 3: boiler-only pairs vanish
     assert (1, 2) in brute_pairs(3) and brute_pairs(3)[(1, 2)] >= 1
     assert (3, 4) in brute_pairs(100) and (3, 4) not in brute_pairs(3)
+
+
+def test_fingerprint_dedup_against_corpus_paragraph_lift(spark):
+    """E50c: a paragraph LIFTED from a corpus doc into an otherwise-
+    novel long page is caught by the maintained winnowing sketch (the
+    MOSS local guarantee) while E47's whole-doc band path — whose
+    collision probability follows whole-doc Jaccard — structurally
+    misses it; the evidence pair names WHICH corpus doc was copied, and
+    the two-crawl maintained-sketch chain drops a crawl-2 lift from a
+    crawl-1 survivor without re-hashing the accumulated side."""
+    from seizury_hrv_featuresextraction_spark.operators.dedup import (
+        dedup_against_corpus,
+        fingerprint_dedup_against_corpus,
+        fingerprint_overlap_against,
+        winnowing_fingerprints,
+    )
+
+    rng = np.random.default_rng(7)
+    mk = lambda p, n: " ".join(f"{p}{i}x{rng.integers(1e6)}" for i in range(n))  # noqa: E731
+    para = mk("lift", 30)  # the distinctive paragraph (>= w+k-1 words)
+    corpus = spark.createDataFrame(
+        [(1, mk("c1a", 100) + " " + para + " " + mk("c1b", 100)), (2, mk("c2", 80))],
+        "doc_id long, text string",
+    )
+    crawl1 = spark.createDataFrame(
+        [
+            (10, mk("n10a", 150) + " " + para + " " + mk("n10b", 150)),  # lifts para
+            (11, mk("n11", 120)),  # novel -> survives
+        ],
+        "doc_id long, text string",
+    )
+    ref_fps = winnowing_fingerprints(corpus, "text", "doc_id", k=5, w=4)
+
+    pairs = fingerprint_overlap_against(crawl1, ref_fps, min_shared=2).collect()
+    assert {(r["new_id"], r["ref_id"]) for r in pairs} == {(10, 1)}
+    assert all(r["shared_fps"] >= 2 for r in pairs)
+
+    s1 = fingerprint_dedup_against_corpus(crawl1, ref_fps, min_shared=2)
+    assert sorted(r["doc_id"] for r in s1.collect()) == [11]
+
+    # the whole-doc band path keeps BOTH: J(10, 1) ~ 30/530 — never a
+    # band collision at the default scheme (the complementary-guarantee
+    # contrast this operator exists for)
+    band = dedup_against_corpus(crawl1, corpus, "text", "doc_id", near=True)
+    assert sorted(r["doc_id"] for r in band.collect()) == [10, 11]
+
+    # maintain: append crawl-1 survivors' sketches; a crawl-2 doc
+    # lifting from survivor 11 drops against the MAINTAINED table
+    text11 = crawl1.filter("doc_id = 11").collect()[0]["text"]
+    para11 = " ".join(text11.split()[40:75])
+    crawl2 = spark.createDataFrame(
+        [
+            (20, mk("n20a", 100) + " " + para11 + " " + mk("n20b", 100)),
+            (21, mk("n21", 90)),  # novel
+        ],
+        "doc_id long, text string",
+    )
+    keys2 = ref_fps.unionByName(winnowing_fingerprints(s1, "text", "doc_id", k=5, w=4))
+    s2 = fingerprint_dedup_against_corpus(crawl2, keys2, min_shared=2)
+    assert sorted(r["doc_id"] for r in s2.collect()) == [21]
+    evid = fingerprint_overlap_against(crawl2, keys2, min_shared=2).collect()
+    assert {(r["new_id"], r["ref_id"]) for r in evid} == {(20, 11)}
