@@ -1,0 +1,124 @@
+"""Sparse lexical retrieval (BM25) over the documents corpus — the
+inverted-index workhorse of a training-data pipeline (RAG corpus search,
+query-driven curation, eval-set mining).
+
+Spark-first plan shape (E53):
+
+1. ``dl`` (document length) is a scan-stage expression — no shuffle.
+2. The explode is PRE-FILTERED to the union of query terms while still
+   an array (``F.filter`` before ``explode``), so the only rows that
+   ever leave the scan stage are (doc, query-term) hits.  At 100 TB the
+   exploded stream is bounded by |query vocab| x corpus hit-rate, never
+   by corpus token count.
+3. Term frequencies aggregate with a map-side combine on
+   (doc_id, term); document frequency folds out of the SAME tf table
+   (one extra bounded agg) — the corpus is scanned once for the index.
+4. Global N / avgdl come from a 1-row aggregate broadcast via a
+   nested-loop cross join (a scalar, not a shuffle).
+5. Scoring joins the tf table to the BROADCAST literal query table and
+   the BROADCAST per-term df table; the final per-(query, doc) sum and
+   top-k window shuffle only scored hits.
+
+Scoring is Lucene-flavoured BM25:
+
+    idf(t)       = ln(1 + (N - df + 0.5) / (df + 0.5))
+    score(q, d)  = sum_t idf(t) * tf * (k1 + 1)
+                   / (tf + k1 * (1 - b + b * dl / avgdl))
+
+All arithmetic is double-precision with a final round(6) so the DuckDB
+twin value-hashes bit-identically; ranking ties break on doc_id.
+
+Reference parity: the reference engine has no text retrieval — this is
+part of the §2.12 LLM-pipeline extension surface (SURVEY.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import words
+from .dedup import spread
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: list[tuple[int, list[str]]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-k documents per query.
+
+    ``queries`` is a small driver-side list of (query_id, [terms]) — it
+    becomes a broadcast literal table (the E40 plan-literal device), so
+    the corpus side never waits on a second scan.
+    Returns (query_id, rank, doc_id, score) with rank 1..k per query.
+    """
+    spark = docs.sparkSession
+    qrows = [
+        (int(qid), t.lower())
+        for qid, terms in queries
+        for t in dict.fromkeys(terms)  # de-dup, keep order
+    ]
+    qdf = spark.createDataFrame(qrows, "query_id long, term string")
+    all_terms = sorted({t for _, t in qrows})
+
+    # NULL text scores as an empty doc (it still counts toward N/avgdl,
+    # matching the twin) — size(split(NULL)) would otherwise yield -1
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    base = spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.size(words(txt)).cast("double").alias("dl"),
+        F.filter(words(txt), lambda w: w.isin(all_terms)).alias("hits"),
+    )
+
+    tf = (
+        base.select("doc_id", "dl", F.explode("hits").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"), F.first("dl").alias("dl"))
+    )
+    # df folds out of the tf table — (doc_id, term) is already distinct,
+    # so count(*) over a term window IS the document frequency. A window
+    # (one bounded exchange over the hits stream) instead of a groupBy
+    # branch: a branch would recompute tf from the raw corpus (Catalyst
+    # does not share subplans without an explicit materialization), i.e.
+    # a second 100 TB scan for a table of a few thousand rows.
+    tf = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term")).cast("double")
+    )
+    # the only other corpus touch: one columnar scan for the two scalars
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+
+    scored = (
+        tf.crossJoin(F.broadcast(stats))
+        .join(F.broadcast(qdf), "term")
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("s"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("s"), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )

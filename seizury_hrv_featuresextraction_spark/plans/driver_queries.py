@@ -4207,6 +4207,65 @@ def bpe_encode_docs(spark, sf_dir):
     return bpe_encode(docs, merges)
 
 
+_BM25_QUERIES = [
+    (0, ["spark", "join", "fast"]),
+    (1, ["window", "agg", "scan"]),
+    (2, ["customer", "vector"]),
+]
+_BM25_VALUES = ", ".join(
+    f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES for t in terms
+)
+_BM25_TERMS_IN = ", ".join(
+    f"'{t}'" for t in sorted({t for _, ts in _BM25_QUERIES for t in ts})
+)
+
+
+@q(
+    "bm25_topk_docs",
+    f"""
+    WITH q(query_id, term) AS (VALUES {_BM25_VALUES}),
+    base AS (SELECT doc_id,
+                    list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'),
+                                w -> w <> '') AS ws
+             FROM documents),
+    dl AS (SELECT doc_id, len(ws)::double AS dl FROM base),
+    tf AS (SELECT b.doc_id, t.w AS term, count(*)::double AS tf
+           FROM base b, unnest(b.ws) AS t(w)
+           WHERE t.w IN ({_BM25_TERMS_IN})
+           GROUP BY b.doc_id, t.w),
+    dfq AS (SELECT term, count(*)::double AS df FROM tf GROUP BY term),
+    stats AS (SELECT count(*)::double AS n_docs, avg(dl) AS avgdl FROM dl),
+    scored AS (SELECT q.query_id::bigint AS query_id, tf.doc_id,
+                      round(sum(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                                * (tf.tf * (1.2 + 1))
+                                / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))), 6)
+                        AS score
+               FROM tf JOIN dfq d USING (term)
+                       JOIN q ON q.term = tf.term
+                       JOIN dl ON dl.doc_id = tf.doc_id
+                       CROSS JOIN stats s
+               GROUP BY q.query_id, tf.doc_id)
+    SELECT query_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id)::bigint
+             AS rank,
+           doc_id, score
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+)
+def bm25_topk_docs(spark, sf_dir):
+    """E53: BM25 sparse lexical retrieval — Lucene-flavoured idf/tf
+    saturation over an inverted index built in ONE corpus scan (the
+    explode is pre-filtered to the query vocab while still an array, so
+    only (doc, query-term) hits leave the scan stage; df folds out of
+    the tf table; N/avgdl broadcast as a 1-row scalar). See
+    operators/retrieval.py for the 100 TB shape argument."""
+    from ..operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_topk(docs, _BM25_QUERIES, k=5)
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot rotation (VERDICT r4 item 1). The driver's CORRECTNESS
 # artifact records only the FIRST 50 entries of queries() in insertion

@@ -1,0 +1,85 @@
+"""E53 BM25 retrieval: Spark plan vs a dict-based pure-Python replay of
+the Lucene BM25 formula, plus plan-shape checks (pre-filtered explode,
+broadcast query/df sides)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from seizury_hrv_featuresextraction_spark.operators.retrieval import bm25_topk
+
+DOCS = [
+    (0, "spark join fast spark spark window"),
+    (1, "window agg scan window table"),
+    (2, "customer vector scan join"),
+    (3, "the quick brown fox"),
+    (4, ""),  # empty doc still counts toward N / avgdl
+    (5, None),  # NULL text treated as empty
+    (6, "spark window spark window agg agg scan join"),
+]
+QUERIES = [(0, ["spark", "join"]), (1, ["window", "agg", "scan"])]
+K1, B = 1.2, 0.75
+
+
+def _reference_bm25(docs, queries, k):
+    toks = {d: (t or "").lower().split() for d, t in docs}
+    n = float(len(toks))
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df = {}
+    for ws in toks.values():
+        for t in set(ws):
+            df[t] = df.get(t, 0) + 1
+    out = []
+    for qid, terms in queries:
+        scored = []
+        for d, ws in toks.items():
+            s = 0.0
+            for t in dict.fromkeys(terms):
+                tf = float(ws.count(t))
+                if tf == 0:
+                    continue
+                idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+                s += idf * tf * (K1 + 1) / (tf + K1 * (1 - B + B * len(ws) / avgdl))
+            if s > 0:
+                scored.append((round(s, 6), d))
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        out.extend(
+            (qid, r + 1, d, s) for r, (s, d) in enumerate(scored[:k])
+        )
+    return sorted(out)
+
+
+def test_bm25_matches_reference_replay(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = sorted(
+        (r.query_id, r.rank, r.doc_id, r.score)
+        for r in bm25_topk(docs, QUERIES, k=3).collect()
+    )
+    want = _reference_bm25(DOCS, QUERIES, k=3)
+    assert [g[:3] for g in got] == [w[:3] for w in want]
+    for g, w in zip(got, want):
+        assert g[3] == pytest.approx(w[3], abs=1e-6)
+
+
+def test_bm25_duplicate_query_terms_count_once(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    once = bm25_topk(docs, [(0, ["spark"])], k=3).collect()
+    twice = bm25_topk(docs, [(0, ["spark", "spark"])], k=3).collect()
+    assert sorted(map(tuple, once)) == sorted(map(tuple, twice))
+
+
+def test_bm25_plan_shape(spark):
+    """Pins the 100 TB shape: exactly TWO corpus scans (tf stream +
+    scalar stats — df comes from a window over the tf stream, not a
+    groupBy branch that would rescan the corpus), query table and
+    scalars broadcast, and every hash exchange over the BOUNDED
+    (doc, query-term) hit stream, never the raw corpus."""
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    plan = bm25_topk(docs, QUERIES, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastExchange") == 2  # scalar stats + query table
+    # tf agg, df window, per-(query,doc) agg, top-k window — all bounded
+    assert plan.count("Exchange hashpartitioning") == 4
+    # two corpus scans, one query-literal scan
+    assert plan.count("Scan ExistingRDD[doc_id") == 2
