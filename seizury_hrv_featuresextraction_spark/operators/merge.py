@@ -1,0 +1,64 @@
+"""MERGE INTO semantics for crawl-snapshot maintenance (E54) — the
+table-management half of the incremental-ingestion story (E47/E50c are
+the dedup half): fold a new crawl batch into the current corpus with
+latest-wins conflict resolution and per-row action accounting, the
+Iceberg ``MERGE INTO ... WHEN MATCHED UPDATE / WHEN NOT MATCHED
+INSERT`` contract expressed as ONE key-shuffle aggregate.
+
+Spark-first shape: union the two sides with a provenance tag, then
+``max_by(payload, (version, is_new))`` per key — a single hash exchange
+with a map-side combine (each task reduces its local rows to one
+candidate per key before the shuffle), no join, no window sort. At
+100 TB the update batch is typically ~1% of the corpus: the shuffle
+carries one combined row per touched key per map task, and AQE
+coalesces the mostly-empty reducers.
+
+Action accounting rides the same aggregate (max/min flags folded in the
+combine), so inserted/updated/carried counts cost zero extra passes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    current: DataFrame,
+    updates: DataFrame,
+    key_col: str = "doc_id",
+    version_col: str = "version",
+) -> DataFrame:
+    """Latest-wins merge of ``updates`` into ``current``.
+
+    Both inputs share a schema (key, version, payload...). The winner
+    per key is the row with the greatest (version, is_new) — an update
+    beats a current row at the same version, so replaying the same
+    batch is idempotent. Adds ``action``:
+
+    - ``insert``  — key exists only in the update batch
+    - ``update``  — key exists in both and an update row won
+    - ``carry``   — key exists in both but the current row is newer
+                    (late-arriving stale batch) or only in current
+    """
+    payload = [c for c in current.columns if c not in (key_col, version_col)]
+    tagged = current.withColumn("is_new", F.lit(0)).unionByName(
+        updates.withColumn("is_new", F.lit(1))
+    )
+    row = F.struct(version_col, "is_new", *payload)
+    merged = tagged.groupBy(key_col).agg(
+        F.max_by(row, F.struct(version_col, "is_new")).alias("w"),
+        F.max("is_new").alias("any_new"),
+        F.min("is_new").alias("all_new"),
+    )
+    action = (
+        F.when(F.col("all_new") == 1, F.lit("insert"))
+        .when((F.col("any_new") == 1) & (F.col("w.is_new") == 1), F.lit("update"))
+        .otherwise(F.lit("carry"))
+    )
+    return merged.select(
+        key_col,
+        F.col(f"w.{version_col}").alias(version_col),
+        *[F.col(f"w.{c}").alias(c) for c in payload],
+        action.alias("action"),
+    )

@@ -4266,6 +4266,76 @@ def bm25_topk_docs(spark, sf_dir):
     return bm25_topk(docs, _BM25_QUERIES, k=5)
 
 
+@q(
+    "merge_upsert_crawl",
+    """
+    WITH cur AS (SELECT doc_id,
+                        (CASE WHEN doc_id % 5 = 1 THEN 3 ELSE 0 END)::bigint AS version,
+                        text, source, 0 AS is_new
+                 FROM documents),
+    upd AS (SELECT doc_id, 2::bigint AS version, text || ' rev2' AS text,
+                   source, 1 AS is_new
+            FROM documents WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT doc_id, 2::bigint AS version, text || ' stale' AS text,
+                   source, 1 AS is_new
+            FROM documents WHERE doc_id % 5 = 1 AND doc_id % 3 <> 0
+            UNION ALL
+            SELECT doc_id + 100000 AS doc_id, 2::bigint AS version,
+                   'new ' || text AS text, source, 1 AS is_new
+            FROM documents WHERE doc_id % 7 = 0),
+    t AS (SELECT * FROM cur UNION ALL SELECT * FROM upd),
+    g AS (SELECT doc_id, version, text, source, is_new,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY version DESC, is_new DESC) AS rn,
+                 max(is_new) OVER (PARTITION BY doc_id) AS any_new,
+                 min(is_new) OVER (PARTITION BY doc_id) AS all_new
+          FROM t)
+    SELECT doc_id, version, source, md5(text) AS text_md5,
+           CASE WHEN all_new = 1 THEN 'insert'
+                WHEN any_new = 1 AND is_new = 1 THEN 'update'
+                ELSE 'carry' END AS action
+    FROM g WHERE rn = 1
+    """,
+)
+def merge_upsert_crawl(spark, sf_dir):
+    """E54: Iceberg MERGE INTO semantics (latest-wins crawl-snapshot
+    upsert) as ONE max_by key-aggregate — no join, no window sort, the
+    action accounting folded into the same map-side combine. The
+    derived batch plants all three actions: rev-2 updates (doc_id%3),
+    a STALE replay that must lose to a newer current row (doc_id%5=1 ->
+    carry), and brand-new keys (doc_id%7 shifted +100000 -> insert).
+    The twin resolves winners independently via a row_number window."""
+    from ..operators.merge import merge_upsert
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    cur = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 1, F.lit(3)).otherwise(F.lit(0)).cast("long").alias("version"),
+        "text",
+        "source",
+    )
+    upd = (
+        d.filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id", F.lit(2).cast("long").alias("version"),
+                F.concat(F.col("text"), F.lit(" rev2")).alias("text"), "source")
+        .unionByName(
+            d.filter((F.col("doc_id") % 5 == 1) & (F.col("doc_id") % 3 != 0))
+            .select("doc_id", F.lit(2).cast("long").alias("version"),
+                    F.concat(F.col("text"), F.lit(" stale")).alias("text"), "source")
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 7 == 0)
+            .select((F.col("doc_id") + 100000).alias("doc_id"),
+                    F.lit(2).cast("long").alias("version"),
+                    F.concat(F.lit("new "), F.col("text")).alias("text"), "source")
+        )
+    )
+    return merge_upsert(cur, upd).select(
+        "doc_id", "version", "source", F.md5("text").alias("text_md5"), "action"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot rotation (VERDICT r4 item 1). The driver's CORRECTNESS
 # artifact records only the FIRST 50 entries of queries() in insertion

@@ -1,0 +1,46 @@
+"""E54 MERGE upsert: action semantics, latest-wins conflict resolution,
+replay idempotency, and the one-exchange/no-join plan shape."""
+
+from __future__ import annotations
+
+from seizury_hrv_featuresextraction_spark.operators.merge import merge_upsert
+
+SCHEMA = "doc_id long, version long, text string"
+
+
+def _rows(df):
+    return {r.doc_id: (r.version, r.text, r.action) for r in df.collect()}
+
+
+def test_merge_actions(spark):
+    cur = spark.createDataFrame(
+        [(1, 0, "a"), (2, 3, "b-newer"), (3, 0, "c")], SCHEMA
+    )
+    upd = spark.createDataFrame(
+        [(1, 2, "a-rev2"), (2, 2, "b-stale"), (9, 2, "fresh")], SCHEMA
+    )
+    got = _rows(merge_upsert(cur, upd))
+    assert got == {
+        1: (2, "a-rev2", "update"),   # update wins on version
+        2: (3, "b-newer", "carry"),   # stale replay loses
+        3: (0, "c", "carry"),         # untouched key carries
+        9: (2, "fresh", "insert"),    # new key inserts
+    }
+
+
+def test_merge_same_version_update_wins_and_replay_is_idempotent(spark):
+    cur = spark.createDataFrame([(1, 2, "old-at-2")], SCHEMA)
+    upd = spark.createDataFrame([(1, 2, "new-at-2")], SCHEMA)
+    once = merge_upsert(cur, upd)
+    assert _rows(once)[1] == (2, "new-at-2", "update")  # is_new breaks the tie
+    # replaying the same batch against the merged table changes nothing
+    again = merge_upsert(once.drop("action"), upd)
+    assert _rows(again)[1][:2] == (2, "new-at-2")
+
+
+def test_merge_plan_is_one_exchange_no_join(spark):
+    cur = spark.createDataFrame([(1, 0, "a")], SCHEMA)
+    upd = spark.createDataFrame([(1, 1, "b")], SCHEMA)
+    plan = merge_upsert(cur, upd)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan and "Window" not in plan
