@@ -1199,3 +1199,77 @@ def fingerprint_dedup_against_corpus(
         .distinct()
     )
     return new_df.join(hits, id_col, "left_anti")
+
+
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 8,
+) -> DataFrame:
+    """E55: C4-style GLOBAL line-level dedup (Raffel et al. 2020 §2.2
+    dedup "three-sentence spans" corpus-wide) — every consecutive run of
+    ``span_words`` words is a line; only the globally-first occurrence
+    (min (doc_id, line_no)) of each distinct line survives, including
+    repeats WITHIN a doc; surviving lines reassemble in original order.
+
+    Distinct from the repo's other dedup axes: E1 drops whole docs, E36
+    rewrites spans found by pairwise candidate joins — this is the
+    corpus-wide set-semantics pass C4 runs FIRST, no pairing at all.
+
+    Plan (100 TB): one corpus scan; line splitting is a scan-stage
+    higher-order transform (no row amplification until the explode,
+    whose output is ~n_words/span rows); ONE exchange on the line hash
+    (window min — at scale swap md5 for xxhash64, functions/text.py
+    note) and ONE on doc_id for reassembly. Boilerplate lines (the C4
+    target) concentrate on single hash keys; the window-min form spills
+    rather than OOMs on a hot key since min needs no buffering.
+
+    Returns (doc_id, total_lines, kept_lines, text_md5) for docs with
+    >= 1 surviving line; a doc whose every line was seen earlier
+    disappears (C4 drops it as pure boilerplate).
+    """
+    from pyspark.sql import Window
+
+    ws = words(F.coalesce(F.col(text_col), F.lit("")))
+    n_lines = F.ceil(F.size(ws) / F.lit(float(span_words))).cast("int")
+    lines = F.when(
+        n_lines >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_lines),
+            lambda i: F.concat_ws(
+                " ", F.slice(ws, (i - 1) * span_words + 1, span_words)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        n_lines.cast("long").alias("total_lines"),
+        F.posexplode(lines).alias("ln0", "line"),
+    )
+    exploded = base.select(
+        "doc_id",
+        "total_lines",
+        (F.col("ln0") + 1).cast("long").alias("line_no"),
+        "line",
+    )
+    keeper = F.min(F.struct("doc_id", "line_no")).over(
+        Window.partitionBy(F.md5("line"))
+    )
+    kept = exploded.withColumn("k", keeper).filter(
+        (F.col("k.doc_id") == F.col("doc_id"))
+        & (F.col("k.line_no") == F.col("line_no"))
+    )
+    return kept.groupBy("doc_id").agg(
+        F.first("total_lines").alias("total_lines"),
+        F.count(F.lit(1)).alias("kept_lines"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                    lambda x: x["line"],
+                ),
+                " ",
+            )
+        ).alias("text_md5"),
+    )

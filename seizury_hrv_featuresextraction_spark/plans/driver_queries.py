@@ -4336,6 +4336,58 @@ def merge_upsert_crawl(spark, sf_dir):
     )
 
 
+@q(
+    "line_dedup_docs",
+    f"""
+    WITH d AS (SELECT doc_id, text FROM documents),
+    corpus AS (
+      SELECT doc_id, text FROM d
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id,
+             array_to_string(({WORDS_DD})[1:24], ' ')
+               || ' copyblock copyblock block' || (doc_id % 5) AS text
+      FROM d),
+    base AS (SELECT doc_id,
+                    list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'),
+                                w -> w <> '') AS ws
+             FROM corpus),
+    lines AS (SELECT doc_id,
+                     cast(ceil(len(ws) / 8.0) AS bigint) AS total_lines,
+                     i AS line_no,
+                     array_to_string(ws[((i - 1) * 8 + 1):(i * 8)], ' ') AS line
+              FROM base, unnest(generate_series(1, cast(ceil(len(ws) / 8.0) AS bigint))) AS t(i)),
+    k AS (SELECT *, row_number() OVER (PARTITION BY md5(line)
+                                       ORDER BY doc_id, line_no) AS rn
+          FROM lines)
+    SELECT doc_id, total_lines, count(*)::bigint AS kept_lines,
+           md5(string_agg(line, ' ' ORDER BY line_no)) AS text_md5
+    FROM k WHERE rn = 1
+    GROUP BY doc_id, total_lines
+    """,
+)
+def line_dedup_docs(spark, sf_dir):
+    """E55: C4-style global line dedup — the corpus-wide
+    first-occurrence set-semantics pass (no pairwise candidates at
+    all; contrast E36's join-based span rewrite). The derived corpus
+    plants +100000-shifted copies whose first 24 words duplicate the
+    original's lines verbatim and whose 3-word tail is shared across
+    each doc_id%5 residue class, so the planted copies exercise both
+    whole-line drops and the one-global-keeper rule. Reassembled
+    surviving text compares by md5."""
+    from ..operators.dedup import line_dedup
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(
+            F.array_join(F.slice(words(F.col("text")), 1, 24), " "),
+            F.lit(" copyblock copyblock block"),
+            (F.col("doc_id") % 5).cast("string"),
+        ).alias("text"),
+    )
+    return line_dedup(d.unionByName(copies), span_words=8)
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot rotation (VERDICT r4 item 1). The driver's CORRECTNESS
 # artifact records only the FIRST 50 entries of queries() in insertion
