@@ -856,6 +856,7 @@ def bpe_encode(
     text_col: str = "text",
     id_col: str = "doc_id",
     end_mark: str = "</w>",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """E52b: apply learned BPE merges — encode every document with the
     merge list from ``bpe_train_merges``, in rank order (the apply side
@@ -902,6 +903,48 @@ def bpe_encode(
     toks = F.flatten(F.transform(ws, enc))
     return df.select(
         id_col,
+        *carry,
         F.size(toks).cast("long").alias("n_tokens"),
         F.md5(F.array_join(toks, "-")).alias("tok_md5"),
+    )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    merges: "list[tuple[str, str, int]]",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """E56: per-source tokenizer efficiency report — the numbers that
+    decide whether a learned tokenizer fits a corpus slice (fertility =
+    subword tokens per word; chars/token = compression): encode with
+    the E52b plan-literal fold chain, aggregate per group. The encode
+    stays zero-shuffle scan-stage; the only exchange is the per-group
+    agg (map-side combined, cardinality = |sources|).
+
+    Returns (group, n_docs, total_words, total_tokens, fertility,
+    chars_per_token), doubles rounded to 6 for the cross-engine gate.
+    """
+    ws = words(F.coalesce(F.col(text_col), F.lit("")))
+    enc = bpe_encode(
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.col(text_col),
+            F.size(ws).cast("long").alias("n_words"),
+            F.length(F.coalesce(F.col(text_col), F.lit(""))).cast("long").alias("n_chars"),
+        ),
+        merges,
+        text_col=text_col,
+        id_col="grp",
+        carry=("n_words", "n_chars"),
+    )
+    return (
+        enc.groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.sum("n_tokens") / F.sum("n_words"), 6).alias("fertility"),
+            F.round(F.sum("n_chars") / F.sum("n_tokens"), 6).alias("chars_per_token"),
+        )
     )

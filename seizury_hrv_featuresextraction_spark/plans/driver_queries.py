@@ -4388,6 +4388,47 @@ def line_dedup_docs(spark, sf_dir):
     return line_dedup(d.unionByName(copies), span_words=8)
 
 
+@q(
+    "tokenizer_fertility",
+    f"""
+    WITH {{BPE_CTES}},
+    wdocs AS (SELECT source, {WORDS_DD} AS ws,
+                     length(coalesce(text, '')) AS n_chars
+              FROM documents),
+    dw AS (SELECT d.source, t.w AS word
+           FROM wdocs d, unnest(d.ws) AS t(w)),
+    tok AS (SELECT dw.source, len(v.syms)::bigint AS wn
+            FROM dw JOIN v6 v ON v.word = dw.word),
+    pt AS (SELECT source, sum(wn)::bigint AS total_tokens FROM tok GROUP BY source),
+    pd AS (SELECT source, count(*)::bigint AS n_docs,
+                  sum(len(ws))::bigint AS total_words,
+                  sum(n_chars)::bigint AS total_chars
+           FROM wdocs GROUP BY source)
+    SELECT pd.source, pd.n_docs, pd.total_words, pt.total_tokens,
+           round(pt.total_tokens / pd.total_words::double, 6) AS fertility,
+           round(pd.total_chars / pt.total_tokens::double, 6) AS chars_per_token
+    FROM pd JOIN pt USING (source)
+    """,
+)
+def tokenizer_fertility_docs(spark, sf_dir):
+    """E56: per-source tokenizer efficiency (fertility = subword
+    tokens/word; chars/token = compression) — train the E52 merges
+    once, encode with the E52b plan-literal fold chain (zero shuffle
+    scan-stage), aggregate per source (the ONLY exchange, |sources|
+    keys, map-side combined). The twin re-trains through v6 and counts
+    tokens INDEPENDENTLY by positional vocab join."""
+    from ..operators.curation import bpe_train_merges, tokenizer_fertility
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    merges = bpe_train_merges(docs, "text", k=6)
+    return tokenizer_fertility(docs, merges)
+
+
+ORACLE["tokenizer_fertility"] = ORACLE["tokenizer_fertility"].replace(
+    "{BPE_CTES}", _bpe_twin_ctes(6)
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot rotation (VERDICT r4 item 1). The driver's CORRECTNESS
 # artifact records only the FIRST 50 entries of queries() in insertion
