@@ -235,3 +235,45 @@ def semantic_dedup(
         keep = a.select(F.col("id").alias(id_col), F.col("cluster").cast("long").alias("cluster"))
         return keep.join(dropped, id_col, "left_anti")
     return corpus.join(dropped, id_col, "left_anti")
+
+
+def cluster_profile(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """E57: per-cluster per-dimension profile of an ANN index — the
+    drift/balance diagnostics a maintained IVF index needs (list sizes,
+    per-dimension mean and population variance vs the trained
+    centroids): broadcast-argmax assignment (zero corpus-side shuffle,
+    the E7 device), then posexplode + aggregate.
+
+    Scale shape: the posexplode's dim-fold row amplification is
+    MAP-LOCAL — partial aggregation reduces each task to at most
+    |clusters| x dim rows before the exchange, so the shuffle is bounded
+    by clusters x dim x tasks no matter the corpus size; the per-value
+    CPU is irreducible (every component must be touched to profile it).
+
+    Returns (cluster_id, dim, n, mean, var) — dim 0-based, doubles
+    rounded to 6 for the cross-engine gate, var = E[x^2] - E[x]^2
+    population form.
+    """
+    asg = _assign_nearest(
+        spread(corpus).select(
+            F.col(id_col).alias("id"), to_double(F.col(vec_col)).alias("v")
+        ),
+        centroids,
+        "v",
+        "cluster_id",
+    )
+    ex = asg.select("cluster_id", F.posexplode("v").alias("dim", "val"))
+    return ex.groupBy("cluster_id", F.col("dim").cast("long").alias("dim")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("val"), 6).alias("mean"),
+        F.round(
+            F.sum(F.col("val") * F.col("val")) / F.count(F.lit(1))
+            - F.avg("val") * F.avg("val"),
+            6,
+        ).alias("var"),
+    )

@@ -149,3 +149,65 @@ def test_tokenizer_fertility_plan_one_exchange(spark):
     )
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_cluster_profile_numpy_replay(spark):
+    """E57: per-cluster per-dim mean/var against a NumPy replay with
+    the same argmax-cosine assignment."""
+    import numpy as np
+
+    from seizury_hrv_featuresextraction_spark.operators.similarity import (
+        cluster_profile,
+    )
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 6).astype("float32")
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    cent = spark.createDataFrame(
+        [(i + 1, [float(x) for x in vecs[i].astype("float64")]) for i in range(3)],
+        "cid int, cvec array<double>",
+    )
+    got = {
+        (r.cluster_id, r.dim): (r.n, r.mean, r.var)
+        for r in cluster_profile(corpus, cent).collect()
+    }
+
+    v = vecs.astype("float64")
+    c = v[:3]
+    cos = (v @ c.T) / (
+        np.linalg.norm(v, axis=1)[:, None] * np.linalg.norm(c, axis=1)[None, :]
+    )
+    asg = np.argmax(cos, axis=1) + 1  # ties impossible with random data
+    for cid in (1, 2, 3):
+        sel = v[asg == cid]
+        for d in range(6):
+            n, mean, var = got[(cid, d)]
+            assert n == len(sel)
+            assert mean == round(float(sel[:, d].mean()), 6)
+            assert var == round(float(sel[:, d].var()), 6)
+
+
+def test_cluster_profile_plan_zero_corpus_shuffle_before_agg(spark):
+    """Assignment is broadcast-argmax: the only hash exchange is the
+    bounded (cluster, dim) aggregate."""
+    from seizury_hrv_featuresextraction_spark.operators.similarity import (
+        cluster_profile,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    cent = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "cid int, cvec array<double>"
+    )
+    plan = (
+        cluster_profile(corpus, cent)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row centroid pack
