@@ -1,0 +1,125 @@
+"""Sketch-based corpus statistics: count-min heavy-hitter n-grams.
+
+Reference parity: the reference's histogram/statistics passes
+(hrv_pipeline.py:193-254 label histogram, triangular-index bin counts)
+count EXACTLY, which is fine at single-recording scale.  At 100 TB an
+exact global n-gram count must shuffle every distinct n-gram — billions
+of keys, the classic web-corpus wall.  The classic answer (Cormode &
+Muthukrishnan 2005) is a count-min sketch: a depth x width counter grid
+whose per-key estimate NEVER underestimates, so "estimate >= threshold"
+admits every true heavy hitter and only hash-collision false positives,
+which an exact pass over the (tiny) surviving occurrence stream then
+kills.  Output is therefore EXACTLY the true heavy-hitter set with
+exact counts — the sketch only bounds what shuffles.
+
+Plan shape (pinned by tests/test_sketches.py):
+  pass 1 (sketch build): scan -> scan-stage n-gram explode -> depth
+    bucket ids per occurrence -> groupBy (row, bucket).  Partial
+    aggregation bounds the exchange at depth*width cells per map task
+    REGARDLESS of corpus size (the E57 bounded-amplification device).
+  driver: collect depth*width cells (the documented bounded-collect
+    family — class weights, IVF centroids) and fold them into ONE
+    plan-literal long array (depth*width elements; 128 KiB at 4x4096).
+    At production widths (2^20+ buckets) switch to a broadcast join on
+    bucket id instead of a literal — the estimate expression is the
+    only thing that changes.
+  pass 2 (verify): re-scan -> same scan-stage buckets -> estimate =
+    least(element_at(sketch, r*width+b_r)) -> filter est >= min_count
+    (keeps ONLY heavy-hitter occurrences + collision noise) -> exact
+    groupBy(ngram).count -> filter exact >= min_count.  The final
+    exchange carries heavy occurrences only; no distinct-ngram shuffle
+    exists anywhere in the plan, and there are ZERO joins.
+
+Estimates are per-ngram constants (same gram -> same buckets), so an
+n-gram's occurrences survive the filter all-or-none — survivors' exact
+counts are true GLOBAL counts, which is what makes the independent
+exact-count DuckDB twin (no sketch replication) a valid gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import _safe_range, words
+
+
+def ngram_stream(text: Column, n: int) -> Column:
+    """All n-word grams of ``text`` in order, duplicates KEPT (frequency
+    semantics — contrast word_shingles' distinct set semantics)."""
+    ws = words(text)
+    return F.transform(
+        _safe_range(F.size(ws) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
+    )
+
+
+def _bucket(gram: Column, row: int, width: int) -> Column:
+    """Row ``row``'s bucket for ``gram``: 32-bit md5-prefix of the
+    seeded gram, mod width (the repo-wide cross-engine hash device)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"cms{row}:"), gram)), 1, 8), 16, 10
+    ).cast("long")
+    return h % F.lit(width)
+
+
+def cms_build(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    depth: int = 4,
+    width: int = 4096,
+) -> list[int]:
+    """Pass 1: build the sketch and return it as one flattened
+    row-major list of depth*width counts (driver-side, bounded)."""
+    occ = df.select(F.explode(ngram_stream(F.col(text_col), n)).alias("g"))
+    cells = (
+        occ.select(
+            F.posexplode(
+                F.array(*[_bucket(F.col("g"), r, width) for r in range(depth)])
+            ).alias("r", "b")
+        )
+        .groupBy("r", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    sketch = [0] * (depth * width)
+    for row in cells:
+        sketch[row["r"] * width + row["b"]] = row["c"]
+    return sketch
+
+
+def cms_estimate(gram: Column, sketch: list[int], depth: int, width: int) -> Column:
+    """Point estimate for ``gram``: min over depth rows of the sketch
+    cell its bucket hashes to.  Never below the true count."""
+    lit = F.lit(sketch)
+    cells = [
+        F.element_at(lit, (F.lit(r * width) + _bucket(gram, r, width) + 1).cast("int"))
+        for r in range(depth)
+    ]
+    return cells[0] if depth == 1 else F.least(*cells)
+
+
+def cms_heavy_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    min_count: int = 50,
+    depth: int = 4,
+    width: int = 4096,
+) -> DataFrame:
+    """Exact global heavy-hitter n-grams (count >= min_count) via a
+    count-min candidate filter + exact verification of survivors.
+
+    Returns (ngram string, cnt bigint) — exactly the rows an exact
+    global count would return, with none of its shuffle."""
+    sketch = cms_build(df, text_col=text_col, n=n, depth=depth, width=width)
+    occ = df.select(F.explode(ngram_stream(F.col(text_col), n)).alias("ngram"))
+    surv = occ.where(
+        cms_estimate(F.col("ngram"), sketch, depth, width) >= F.lit(min_count)
+    )
+    return (
+        surv.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= F.lit(min_count))
+    )

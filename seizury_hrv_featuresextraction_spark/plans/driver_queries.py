@@ -4466,6 +4466,33 @@ def cluster_profile_embeddings(spark, sf_dir):
     return cluster_profile(emb, cent)
 
 
+@q(
+    "cms_heavy_ngrams",
+    f"""
+    WITH w AS (SELECT {WORDS_DD} AS ws FROM documents),
+    g AS (SELECT array_to_string(ws[i:i+2], ' ') AS ngram
+          FROM w, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+          WHERE len(ws) >= 3)
+    SELECT ngram, count(*)::bigint AS cnt
+    FROM g GROUP BY ngram HAVING count(*) >= 5
+    """,
+)
+def cms_heavy_ngrams_q(spark, sf_dir):
+    """E58: heavy-hitter 3-grams (global count >= 5) via a count-min
+    sketch candidate filter + exact verification of the surviving
+    occurrence stream. CMS never underestimates, so the output is
+    EXACTLY the true heavy-hitter set — which is why the twin is the
+    INDEPENDENT exact group-count (no sketch replication): agreement
+    proves the sketch path loses nothing. Sketch exchange is bounded
+    at depth*width cells per map task; no distinct-ngram shuffle
+    exists in the plan (the thing that kills exact counting at
+    100 TB)."""
+    from ..operators.sketches import cms_heavy_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cms_heavy_ngrams(docs, "text", n=3, min_count=5, depth=4, width=4096)
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot rotation (VERDICT r4 item 1). The driver's CORRECTNESS
 # artifact records only the FIRST 50 entries of queries() in insertion

@@ -1,0 +1,139 @@
+"""E58 count-min heavy hitters: dict-replay of the sketch math
+(estimate >= exact, everywhere), exactness of the final output under
+forced hash collisions, edge docs, and plan shape (zero joins, two
+bounded exchanges)."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from seizury_hrv_featuresextraction_spark.operators.sketches import (
+    cms_build,
+    cms_estimate,
+    cms_heavy_ngrams,
+    ngram_stream,
+)
+
+DOCS = [
+    (0, "the cat sat on the mat the cat sat on the mat"),
+    (1, "the cat sat on a hat and the cat ran"),
+    (2, "a dog ran fast a dog ran fast a dog ran"),
+    (3, ""),  # empty
+    (4, None),  # NULL text
+    (5, "two words"),  # shorter than n=3
+    (6, "the cat sat quietly"),
+]
+
+
+def _ref_ngrams(text: str | None, n: int = 3) -> list[str]:
+    ws = [w for w in (text or "").lower().split() if w]
+    return [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+
+
+def _ref_bucket(gram: str, row: int, width: int) -> int:
+    return int(hashlib.md5(f"cms{row}:{gram}".encode()).hexdigest()[:8], 16) % width
+
+
+def _ref_counts(docs, n=3) -> Counter:
+    c: Counter = Counter()
+    for _, text in docs:
+        c.update(_ref_ngrams(text, n))
+    return c
+
+
+def _ref_sketch(counts: Counter, depth: int, width: int) -> list[int]:
+    sk = [0] * (depth * width)
+    for g, cnt in counts.items():
+        for r in range(depth):
+            sk[r * width + _ref_bucket(g, r, width)] += cnt
+    return sk
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_sketch_matches_dict_replay(spark, docs_df):
+    depth, width = 3, 64
+    counts = _ref_counts(DOCS)
+    assert cms_build(docs_df, "text", n=3, depth=depth, width=width) == _ref_sketch(
+        counts, depth, width
+    )
+
+
+def test_estimate_never_underestimates(spark, docs_df):
+    depth, width = 2, 8  # tiny width -> guaranteed collisions
+    counts = _ref_counts(DOCS)
+    sk = cms_build(docs_df, "text", n=3, depth=depth, width=width)
+    est = {
+        r["g"]: r["est"]
+        for r in docs_df.select(
+            F.explode(ngram_stream(F.col("text"), 3)).alias("g")
+        )
+        .select("g", cms_estimate(F.col("g"), sk, depth, width).alias("est"))
+        .distinct()
+        .collect()
+    }
+    assert set(est) == set(counts)
+    for g, cnt in counts.items():
+        assert est[g] >= cnt, g
+    # the tiny sketch must actually overestimate somewhere, or the
+    # collision-handling assertions below prove nothing
+    assert any(est[g] > cnt for g, cnt in counts.items())
+
+
+def test_output_exact_despite_collisions(spark, docs_df):
+    # depth=1, width=2: nearly every gram collides; the estimate filter
+    # admits light grams, the exact verify pass must still kill them
+    counts = _ref_counts(DOCS)
+    want = {(g, c) for g, c in counts.items() if c >= 3}
+    got = {
+        (r.ngram, r.cnt)
+        for r in cms_heavy_ngrams(
+            docs_df, "text", n=3, min_count=3, depth=1, width=2
+        ).collect()
+    }
+    assert got == want
+    # sanity: the filter really did admit non-heavy grams (collisions)
+    sk = cms_build(docs_df, "text", n=3, depth=1, width=2)
+    light_admitted = [
+        g
+        for g, c in counts.items()
+        if c < 3 and sk[_ref_bucket(g, 0, 2)] >= 3
+    ]
+    assert light_admitted
+
+
+def test_output_exact_normal_sizing(spark, docs_df):
+    counts = _ref_counts(DOCS)
+    for mc in (2, 3, 4):
+        want = {(g, c) for g, c in counts.items() if c >= mc}
+        got = {
+            (r.ngram, r.cnt)
+            for r in cms_heavy_ngrams(
+                docs_df, "text", n=3, min_count=mc, depth=4, width=256
+            ).collect()
+        }
+        assert got == want, mc
+
+
+def test_plan_zero_joins_two_exchanges(spark, docs_df):
+    sk = cms_build(docs_df, "text", n=3, depth=4, width=256)
+    occ = docs_df.select(F.explode(ngram_stream(F.col("text"), 3)).alias("ngram"))
+    out = (
+        occ.where(cms_estimate(F.col("ngram"), sk, 4, 256) >= F.lit(3))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= F.lit(3))
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    # verify pass: one exchange (the survivor group-count); the sketch
+    # build's exchange happened in cms_build and is bounded at
+    # depth*width cells per map task
+    assert plan.count("Exchange") == 1
