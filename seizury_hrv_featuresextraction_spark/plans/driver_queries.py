@@ -4467,6 +4467,51 @@ def cluster_profile_embeddings(spark, sf_dir):
 
 
 @q(
+    "quantized_topk_embeddings",
+    """
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v
+               FROM embeddings WHERE vec_id < 300),
+    mx AS (SELECT i AS d, max(abs(v[i])) AS m
+           FROM e, unnest(generate_series(1, 64)) AS t(i) GROUP BY i),
+    sc AS (SELECT list(CASE WHEN m > 0 THEN m / 127.0 ELSE 1.0 END ORDER BY d) AS sl
+           FROM mx),
+    qz AS (SELECT vec_id,
+                  list_transform(generate_series(1, 64),
+                      i -> greatest(-127, least(127, floor(v[i] / sl[i] + 0.5)))::bigint) AS c
+           FROM e, sc),
+    scored AS (
+      SELECT qs.vec_id AS query_id, a.vec_id AS corpus_id,
+             list_sum(list_transform(generate_series(1, 64), i -> qs.c[i] * a.c[i]))
+             / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> qs.c[i] * qs.c[i])))
+              * sqrt(list_sum(list_transform(generate_series(1, 64), i -> a.c[i] * a.c[i])))) AS qcos
+      FROM (SELECT * FROM qz WHERE vec_id < 10) qs
+      JOIN qz a ON a.vec_id <> qs.vec_id)
+    SELECT query_id, corpus_id, round(qcos, 6) AS qcos,
+           row_number() OVER (PARTITION BY query_id ORDER BY qcos DESC, corpus_id) AS rank
+    FROM scored QUALIFY rank <= 3
+    """,
+)
+def quantized_topk_embeddings(spark, sf_dir):
+    """E59: cosine top-k over symmetric int8-quantized embeddings (the
+    FAISS-SQ8 memory path: 4x smaller at rest than float32). Integer
+    dot products into correctly-rounded IEEE sqrt/divide make an ANN
+    score bit-reproducible cross-engine — the twin replays scales,
+    codes, and ranking in full. Rank ties (likely with integer codes)
+    break on corpus_id in both engines."""
+    from ..operators.similarity import quantized_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    qs = emb.filter(F.col("vec_id") < 10)
+    out = quantized_topk(emb, qs, "embedding", "vec_id", k=3)
+    return out.select(
+        "query_id",
+        "corpus_id",
+        F.round("qcos", 6).alias("qcos"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+@q(
     "cms_heavy_ngrams",
     f"""
     WITH w AS (SELECT {WORDS_DD} AS ws FROM documents),

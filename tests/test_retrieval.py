@@ -211,3 +211,81 @@ def test_cluster_profile_plan_zero_corpus_shuffle_before_agg(spark):
     )
     assert plan.count("Exchange hashpartitioning") == 1
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row centroid pack
+
+
+def test_quantized_topk_numpy_replay_and_recall(spark):
+    """E59: int8 codes match a NumPy replay of the exact same formula
+    (floor(x/s + 0.5) clamp 127, s = maxabs/127), and quantized top-10
+    recall vs the float brute-force path clears 0.9 on random data."""
+    import numpy as np
+
+    from seizury_hrv_featuresextraction_spark.operators.similarity import (
+        brute_force_topk,
+        quantization_scales,
+        quantized_topk,
+    )
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(120, 8).astype("float32")
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(120)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = corpus.filter("vec_id < 6")
+
+    scales = quantization_scales(corpus, "embedding", dim=8)
+    v = vecs.astype("float64")
+    s_ref = np.abs(v).max(axis=0) / 127.0
+    s_ref[s_ref == 0.0] = 1.0
+    assert np.array_equal(np.array(scales), s_ref)
+
+    q_ref = np.clip(np.floor(v / s_ref + 0.5), -127, 127).astype("int64")
+    got = quantized_topk(corpus, queries, "embedding", "vec_id", k=10, dim=8).collect()
+    # replay ranking: integer dots, IEEE norms, corpus_id tiebreak
+    norms = np.sqrt((q_ref * q_ref).sum(axis=1).astype("float64"))
+    for qid in range(6):
+        qcos = (q_ref @ q_ref[qid]).astype("float64") / (norms * norms[qid])
+        order = sorted(
+            (i for i in range(120) if i != qid), key=lambda i: (-qcos[i], i)
+        )[:10]
+        rows = sorted((r for r in got if r.query_id == qid), key=lambda r: r.rank)
+        assert [r.corpus_id for r in rows] == order
+        for r in rows:
+            assert r.qcos == qcos[r.corpus_id]
+
+    # recall@10 vs the float path — on data with neighbor STRUCTURE
+    # (20 clusters of 6): random gaussian points are all equidistant,
+    # so "recall" there measures tie-order noise, not the quantizer
+    centers = rng.randn(20, 16) * 4.0
+    cvecs = (centers.repeat(6, axis=0) + rng.randn(120, 16)).astype("float32")
+    ccorpus = spark.createDataFrame(
+        [(i, [float(x) for x in cvecs[i]]) for i in range(120)],
+        "vec_id long, embedding array<float>",
+    )
+    cqueries = ccorpus.filter("vec_id < 6")
+    exact = brute_force_topk(ccorpus, cqueries, "embedding", "vec_id", k=10).collect()
+    approx = quantized_topk(ccorpus, cqueries, "embedding", "vec_id", k=10, dim=16).collect()
+    hits = 0
+    for qid in range(6):
+        e = {r.corpus_id for r in exact if r.query_id == qid}
+        g = {r.corpus_id for r in approx if r.query_id == qid}
+        hits += len(e & g)
+    assert hits / 60.0 >= 0.9
+
+
+def test_quantized_topk_plan_broadcast_no_corpus_shuffle(spark):
+    """Corpus side reaches the scored stream without a hash exchange:
+    broadcast query join, the only hash exchange is the rank window on
+    the k-bounded stream."""
+    from seizury_hrv_featuresextraction_spark.operators.similarity import (
+        quantized_topk,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    out = quantized_topk(corpus, corpus.filter("vec_id < 2"), "embedding", "vec_id", k=3, dim=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
