@@ -948,3 +948,64 @@ def tokenizer_fertility(
             F.round(F.sum("n_chars") / F.sum("n_tokens"), 6).alias("chars_per_token"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# E60: deterministic train/val/test split + cross-split leakage audit
+# ---------------------------------------------------------------------------
+
+
+def assign_split(doc_id: Column, val_pct: int = 1, test_pct: int = 1) -> Column:
+    """Deterministic 3-way split label for ``doc_id``: 32-bit
+    md5-prefix of 'split:<id>' mod 100 — test below test_pct, val below
+    test_pct + val_pct, train otherwise.  Pure scan-stage expression
+    (the repo-wide cross-engine hash device): membership is a function
+    of the id ALONE, so any table carrying doc ids can be labeled
+    without a join — including a PAIRS table, where both endpoints'
+    splits are computed in-row."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("split:"), doc_id.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long") % 100
+    return (
+        F.when(h < test_pct, F.lit("test"))
+        .when(h < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+
+
+def split_leakage_audit(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    val_pct: int = 1,
+    test_pct: int = 1,
+) -> DataFrame:
+    """E60: the eval-leakage audit every pretraining split needs — how
+    many NEAR-DUP pairs cross split boundaries (a test doc whose
+    near-duplicate sits in train is memorization leakage the exact
+    decontamination pass (E28) cannot see).
+
+    Takes any candidate-pair table (``minhash_lsh_pairs`` is the scale
+    path — banded, never all-pairs) and labels BOTH endpoints in-row
+    via ``assign_split`` — ZERO joins; the only exchange is the final
+    tiny (split, split) aggregate.  Pairs are normalized so split_a <=
+    split_b lexicographically (endpoint ids carried along), giving per
+    split-pair: pair count and distinct docs on each side.
+    """
+    sa, sb = assign_split(F.col(id_a), val_pct, test_pct), assign_split(
+        F.col(id_b), val_pct, test_pct
+    )
+    keep_order = sa <= sb
+    norm = pairs.select(
+        F.when(keep_order, sa).otherwise(sb).alias("split_a"),
+        F.when(keep_order, sb).otherwise(sa).alias("split_b"),
+        F.when(keep_order, F.col(id_a)).otherwise(F.col(id_b)).alias("da"),
+        F.when(keep_order, F.col(id_b)).otherwise(F.col(id_a)).alias("db"),
+    )
+    return norm.groupBy("split_a", "split_b").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("da").alias("n_docs_a"),
+        F.countDistinct("db").alias("n_docs_b"),
+    )

@@ -4466,6 +4466,64 @@ def cluster_profile_embeddings(spark, sf_dir):
     return cluster_profile(emb, cent)
 
 
+_SPLIT_DD = (
+    "CASE WHEN ('0x' || substr(md5('split:' || {id}::varchar), 1, 8))::bigint % 100 < 20 THEN 'test' "
+    "WHEN ('0x' || substr(md5('split:' || {id}::varchar), 1, 8))::bigint % 100 < 40 THEN 'val' "
+    "ELSE 'train' END"
+)
+
+
+@q(
+    "split_leakage_audit",
+    f"""
+    WITH w AS (SELECT doc_id, {WORDS_DD} AS ws FROM documents),
+         sh AS (SELECT doc_id,
+                       list_distinct(list_transform(generate_series(1, greatest(0, len(ws) - 2)),
+                                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sg
+                FROM w WHERE len(ws) >= 3),
+         sig AS (SELECT doc_id,
+                        list_min(list_transform(sg, s -> md5('0:' || s))) AS mh0,
+                        list_min(list_transform(sg, s -> md5('1:' || s))) AS mh1,
+                        list_min(list_transform(sg, s -> md5('2:' || s))) AS mh2,
+                        list_min(list_transform(sg, s -> md5('3:' || s))) AS mh3
+                 FROM sh),
+         bands AS (
+           SELECT doc_id, 0 AS band_idx, mh0 || '|' || mh1 AS band_val FROM sig
+           UNION ALL
+           SELECT doc_id, 1 AS band_idx, mh2 || '|' || mh3 AS band_val FROM sig),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bands a JOIN bands b
+             ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+         lab AS (SELECT id_a, id_b,
+                        {_SPLIT_DD.format(id='id_a')} AS sa,
+                        {_SPLIT_DD.format(id='id_b')} AS sb
+                 FROM cand),
+         norm AS (SELECT CASE WHEN sa <= sb THEN sa ELSE sb END AS split_a,
+                         CASE WHEN sa <= sb THEN sb ELSE sa END AS split_b,
+                         CASE WHEN sa <= sb THEN id_a ELSE id_b END AS da,
+                         CASE WHEN sa <= sb THEN id_b ELSE id_a END AS db
+                  FROM lab)
+    SELECT split_a, split_b, count(*)::bigint AS n_pairs,
+           count(DISTINCT da)::bigint AS n_docs_a,
+           count(DISTINCT db)::bigint AS n_docs_b
+    FROM norm GROUP BY split_a, split_b
+    """,
+)
+def split_leakage_audit_q(spark, sf_dir):
+    """E60: cross-split near-dup leakage audit over a deterministic
+    hash split (20/20/60 here so every split pair is populated at
+    sf0.01). Candidates come from the banded LSH path (never
+    all-pairs); both endpoints' splits are pure in-row hash
+    expressions on the PAIRS table — zero joins, one tiny final
+    aggregate."""
+    from ..operators.curation import split_leakage_audit
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", n_hashes=4, band_size=2, shingle_words=3)
+    return split_leakage_audit(pairs, val_pct=20, test_pct=20)
+
+
 @q(
     "quantized_topk_embeddings",
     """

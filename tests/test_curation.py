@@ -580,3 +580,85 @@ def test_bpe_encode_matches_reference(spark):
         toks = [s for w in (t or "").lower().split() for s in ref_word(w)]
         md5 = hashlib.md5("-".join(toks).encode()).hexdigest()
         assert got[d] == (len(toks), md5), d
+
+
+def test_assign_split_deterministic_and_hashlib_replay(spark):
+    """E60: split labels replay the hashlib formula exactly and are
+    stable across runs."""
+    import hashlib
+
+    from seizury_hrv_featuresextraction_spark.operators.curation import assign_split
+
+    df = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+    got = {
+        r.doc_id: r.s
+        for r in df.select(
+            "doc_id", assign_split(F.col("doc_id"), val_pct=20, test_pct=20).alias("s")
+        ).collect()
+    }
+
+    def ref(i):
+        h = int(hashlib.md5(f"split:{i}".encode()).hexdigest()[:8], 16) % 100
+        return "test" if h < 20 else ("val" if h < 40 else "train")
+
+    assert got == {i: ref(i) for i in range(500)}
+    # proportions land near 20/20/60 on 500 uniform hashes
+    from collections import Counter
+
+    c = Counter(got.values())
+    assert 60 <= c["test"] <= 140 and 60 <= c["val"] <= 140
+
+
+def test_split_leakage_audit_finds_planted_leak(spark):
+    """A test doc whose near-duplicate sits in train must surface in
+    the (test, train) group; replay the full audit in Python."""
+    import hashlib
+
+    from seizury_hrv_featuresextraction_spark.operators.curation import (
+        split_leakage_audit,
+    )
+
+    def split(i, val_pct=20, test_pct=20):
+        h = int(hashlib.md5(f"split:{i}".encode()).hexdigest()[:8], 16) % 100
+        return "test" if h < test_pct else ("val" if h < test_pct + val_pct else "train")
+
+    # find one train id and one test id to plant a dup pair across
+    train_id = next(i for i in range(1000) if split(i) == "train")
+    test_id = next(i for i in range(1000) if split(i) == "test")
+    other = [i for i in range(1000) if i not in (train_id, test_id)][:4]
+    pairs = [(min(train_id, test_id), max(train_id, test_id))] + [
+        (min(a, b), max(a, b)) for a, b in zip(other[::2], other[1::2])
+    ]
+    pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {
+        (r.split_a, r.split_b): (r.n_pairs, r.n_docs_a, r.n_docs_b)
+        for r in split_leakage_audit(pdf, val_pct=20, test_pct=20).collect()
+    }
+
+    from collections import defaultdict
+
+    exp_pairs = defaultdict(list)
+    for a, b in pairs:
+        sa, sb = split(a), split(b)
+        (lo, hi, da, db) = (sa, sb, a, b) if sa <= sb else (sb, sa, b, a)
+        exp_pairs[(lo, hi)].append((da, db))
+    want = {
+        k: (len(v), len({d for d, _ in v}), len({d for _, d in v}))
+        for k, v in exp_pairs.items()
+    }
+    assert got == want
+    assert ("test", "train") in got  # the planted leak is visible
+
+
+def test_split_leakage_audit_plan_zero_joins_on_pairs(spark):
+    """Both endpoints' splits are in-row hashes: no join is added on
+    top of the pairs input; one aggregate exchange only."""
+    from seizury_hrv_featuresextraction_spark.operators.curation import (
+        split_leakage_audit,
+    )
+
+    pdf = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+    plan = (
+        split_leakage_audit(pdf)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan
