@@ -1009,3 +1009,96 @@ def split_leakage_audit(
         F.countDistinct("da").alias("n_docs_a"),
         F.countDistinct("db").alias("n_docs_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# E61: per-source corpus data card (the release-notes rollup)
+# ---------------------------------------------------------------------------
+
+
+def hashed_quality_prob(text: Column, weights: list[float], bias: float = 0.0) -> Column:
+    """Per-row sigmoid quality prob of the E40 hashed linear classifier
+    as a bare Column (the classifier's score formula, reusable inside
+    other scan-stage compositions — hashed_linear_classifier is the
+    full-projection operator form)."""
+    dim = len(weights)
+    warr = F.array(*[F.lit(float(x)) for x in weights])
+    ws = words(F.coalesce(text, F.lit("")))
+    bucket = lambda w: F.pmod(  # noqa: E731
+        F.conv(F.substring(F.md5(F.concat(F.lit("f:"), w)), 1, 15), 16, 10).cast("long"),
+        F.lit(dim),
+    )
+    dot = F.aggregate(
+        ws, F.lit(0.0), lambda acc, w: acc + F.element_at(warr, bucket(w).cast("int") + 1)
+    )
+    n = F.size(ws)
+    score = F.when(n > 0, dot / n + F.lit(float(bias))).otherwise(F.lit(float(bias)))
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-score))
+
+
+_DATACARD_LANGS = ("de", "en", "es", "fr", "und")
+
+
+def corpus_datacard(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    weights: list[float] | None = None,
+) -> DataFrame:
+    """E61: the per-source data card a corpus release ships with —
+    volume, exact-duplication excess, dominant language, length median,
+    mean quality — composed from the repo's per-doc primitives in ONE
+    aggregate.
+
+    Plan shape: every per-doc statistic (token count, content
+    fingerprint, langid argmax, E40 classifier prob) is a scan-stage
+    expression — zero joins, zero UDFs. Two exchanges (pinned by
+    pytest): count(DISTINCT fp) rewrites to a (source, fp) pre-agg, so
+    the first exchange carries one combined row per distinct
+    (source, fp) per task — about one tiny row per doc, the floor for
+    an exact-dup statistic — and the second is the |sources|-key
+    final. Cross-engine: counts/token sums are
+    exact integers, the length median interpolates integers (exact
+    halves), shares divide exact integers, and the mean prob averages
+    round-6 per-doc probs (the E40 comparison policy).
+
+    Null safety: fingerprints hash coalesce(text, '') — a NULL-text
+    doc dedups against the empty doc instead of vanishing from the
+    distinct count (the r6 ADVICE NOT-IN/NULL family).
+    """
+    from ..functions.text import langid
+
+    if weights is None:
+        weights = md5_feature_weights(1024)
+    per_doc = df.select(
+        F.col(source_col).alias("source"),
+        F.size(words(F.coalesce(F.col(text_col), F.lit("")))).cast("long").alias("n_tok"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("fp"),
+        langid(F.col(text_col)).alias("lang"),
+        F.round(hashed_quality_prob(F.col(text_col), weights), 6).alias("prob6"),
+    )
+    lang_structs = [
+        F.struct(
+            F.sum(F.when(F.col("lang") == l, 1).otherwise(0)).alias("cnt"),
+            F.lit(l).alias("lang"),
+        )
+        for l in _DATACARD_LANGS
+    ]
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        (F.count(F.lit(1)) - F.countDistinct("fp")).alias("dup_excess"),
+        F.round(F.expr("percentile(n_tok, 0.5)"), 6).alias("median_tokens"),
+        F.round(F.avg("prob6"), 6).alias("mean_quality"),
+        F.greatest(*lang_structs).alias("top"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "dup_excess",
+        "median_tokens",
+        "mean_quality",
+        F.col("top.lang").alias("top_lang"),
+        F.round(F.col("top.cnt").cast("double") / F.col("n_docs"), 6).alias("top_lang_share"),
+    )

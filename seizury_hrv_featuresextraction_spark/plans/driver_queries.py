@@ -4466,6 +4466,65 @@ def cluster_profile_embeddings(spark, sf_dir):
     return cluster_profile(emb, cent)
 
 
+@q(
+    "corpus_datacard",
+    f"""
+    WITH w AS (SELECT doc_id, source, text, {WORDS_DD} AS ws FROM documents),
+    e AS (SELECT doc_id, unnest(ws) AS word FROM w),
+    b AS (SELECT doc_id,
+                 ('0x' || substr(md5('f:' || word), 1, 15))::bigint % 1024 AS j
+          FROM e),
+    s AS (SELECT doc_id,
+                 sum(('0x' || substr(md5('w:' || j::varchar), 1, 8))::bigint
+                     / 4294967296.0 - 0.5) AS dot
+          FROM b GROUP BY doc_id),
+    lg AS (SELECT doc_id, greatest(
+             printf('%08d|%s', len(list_filter(ws, x -> x IN ('the','and','of','is','to'))), 'en'),
+             printf('%08d|%s', len(list_filter(ws, x -> x IN ('der','die','und','ist','das'))), 'de'),
+             printf('%08d|%s', len(list_filter(ws, x -> x IN ('le','la','et','est','les'))), 'fr'),
+             printf('%08d|%s', len(list_filter(ws, x -> x IN ('el','la','y','es','los'))), 'es')) AS bb
+           FROM w),
+    pd AS (SELECT w.source,
+                  coalesce(len(w.ws), 0)::bigint AS n_tok,
+                  md5(coalesce(w.text, '')) AS fp,
+                  CASE WHEN substr(lg.bb, 1, 8) = '00000000' THEN 'und'
+                       ELSE substr(lg.bb, 10, 2) END AS lang,
+                  round(1.0 / (1.0 + exp(-(CASE WHEN len(w.ws) > 0
+                                                THEN coalesce(s.dot, 0.0) / len(w.ws)
+                                                ELSE 0.0 END))), 6) AS prob6
+           FROM w LEFT JOIN s ON s.doc_id = w.doc_id
+                  JOIN lg ON lg.doc_id = w.doc_id),
+    agg AS (SELECT source, count(*)::bigint AS n_docs,
+                   sum(n_tok)::bigint AS n_tokens,
+                   (count(*) - count(DISTINCT fp))::bigint AS dup_excess,
+                   round(quantile_cont(n_tok, 0.5), 6) AS median_tokens,
+                   round(avg(prob6), 6) AS mean_quality,
+                   greatest(
+                     printf('%015d|%s', sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)::bigint, 'de'),
+                     printf('%015d|%s', sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::bigint, 'en'),
+                     printf('%015d|%s', sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END)::bigint, 'es'),
+                     printf('%015d|%s', sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END)::bigint, 'fr'),
+                     printf('%015d|%s', sum(CASE WHEN lang = 'und' THEN 1 ELSE 0 END)::bigint, 'und')) AS top
+            FROM pd GROUP BY source)
+    SELECT source, n_docs, n_tokens, dup_excess, median_tokens, mean_quality,
+           substr(top, 17) AS top_lang,
+           round(substr(top, 1, 15)::bigint::double / n_docs, 6) AS top_lang_share
+    FROM agg
+    """,
+)
+def corpus_datacard_q(spark, sf_dir):
+    """E61: the per-source data card a corpus release ships with —
+    volume, exact-dup excess, dominant language (+share), median
+    length, mean E40 quality — every per-doc statistic scan-stage,
+    ONE |sources|-key aggregate, zero joins. The twin recomposes the
+    langid/classifier/fingerprint devices independently and matches
+    the struct-argmax via the printf fixed-width trick."""
+    from ..operators.curation import corpus_datacard
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_datacard(docs)
+
+
 _SPLIT_DD = (
     "CASE WHEN ('0x' || substr(md5('split:' || {id}::varchar), 1, 8))::bigint % 100 < 20 THEN 'test' "
     "WHEN ('0x' || substr(md5('split:' || {id}::varchar), 1, 8))::bigint % 100 < 40 THEN 'val' "

@@ -662,3 +662,88 @@ def test_split_leakage_audit_plan_zero_joins_on_pairs(spark):
         split_leakage_audit(pdf)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Join" not in plan
+
+
+def test_corpus_datacard_python_replay(spark):
+    """E61: full data-card replay on a planted corpus — dup docs, a
+    NULL-text doc, mixed languages, tie-free medians."""
+    import hashlib
+    import statistics
+
+    from seizury_hrv_featuresextraction_spark.operators.curation import (
+        corpus_datacard,
+        md5_feature_weights,
+    )
+
+    DOCS = [
+        (0, "the cat sat on the mat", "web"),
+        (1, "the cat sat on the mat", "web"),      # exact dup of 0
+        (2, "der hund ist das beste und der", "web"),
+        (3, None, "web"),                           # NULL text
+        (4, "le chat est sur la table et les", "books"),
+        (5, "just some words here", "books"),
+        (6, "just some words here now", "books"),
+    ]
+    df = spark.createDataFrame(DOCS, "doc_id long, text string, source string")
+    weights = md5_feature_weights(1024)
+    got = {r.source: r.asDict() for r in corpus_datacard(df).collect()}
+
+    def words(t):
+        return [w for w in (t or "").lower().split() if w]
+
+    def lang(t):
+        ws = words(t)
+        markers = {
+            "en": {"the", "and", "of", "is", "to"},
+            "de": {"der", "die", "und", "ist", "das"},
+            "fr": {"le", "la", "et", "est", "les"},
+            "es": {"el", "la", "y", "es", "los"},
+        }
+        best = max(
+            (sum(w in m for w in ws), l) for l, m in markers.items()
+        )
+        return best[1] if best[0] > 0 else "und"
+
+    def prob(t):
+        ws = words(t)
+        if not ws:
+            return 0.5
+        dot = sum(
+            weights[int(hashlib.md5(f"f:{w}".encode()).hexdigest()[:15], 16) % 1024]
+            for w in ws
+        )
+        import math
+
+        return 1.0 / (1.0 + math.exp(-(dot / len(ws))))
+
+    for src in ("web", "books"):
+        rows = [d for d in DOCS if d[2] == src]
+        r = got[src]
+        assert r["n_docs"] == len(rows)
+        assert r["n_tokens"] == sum(len(words(t)) for _, t, _ in rows)
+        fps = {hashlib.md5((t or "").encode()).hexdigest() for _, t, _ in rows}
+        assert r["dup_excess"] == len(rows) - len(fps)
+        assert r["median_tokens"] == round(
+            statistics.median(len(words(t)) for _, t, _ in rows), 6
+        )
+        langs = [lang(t) for _, t, _ in rows]
+        top = max((langs.count(l), l) for l in set(langs))
+        assert (r["top_lang"], r["top_lang_share"]) == (
+            top[1],
+            round(top[0] / len(rows), 6),
+        )
+        probs = [round(prob(t), 6) for _, t, _ in rows]
+        assert abs(r["mean_quality"] - round(sum(probs) / len(probs), 6)) <= 1e-6
+
+
+def test_corpus_datacard_plan_shape(spark):
+    """Zero joins, zero Python stages; exactly two exchanges — the
+    (source, fp) distinct pre-agg and the |sources|-key final."""
+    from seizury_hrv_featuresextraction_spark.operators.curation import corpus_datacard
+
+    df = spark.createDataFrame(
+        [(0, "a b", "s")], "doc_id long, text string, source string"
+    )
+    plan = corpus_datacard(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Python" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
