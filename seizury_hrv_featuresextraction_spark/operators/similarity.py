@@ -378,3 +378,63 @@ def quantized_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "corpus_id", "qcos")
     )
+
+
+def cluster_profile_raw(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """E62 building block: the MERGEABLE form of the E57 index profile —
+    per (cluster_id, dim) raw sufficient statistics (n, s = sum x,
+    s2 = sum x^2) instead of finalized mean/var. Same plan as E57
+    (broadcast-argmax assignment, map-local posexplode, exchange
+    bounded at clusters x dim x tasks); keeping raw sums is what makes
+    the profile a MAINTAINED table: merging increments is a sum, not a
+    rescan."""
+    asg = _assign_nearest(
+        spread(corpus).select(
+            F.col(id_col).alias("id"), to_double(F.col(vec_col)).alias("v")
+        ),
+        centroids,
+        "v",
+        "cluster_id",
+    )
+    ex = asg.select("cluster_id", F.posexplode("v").alias("dim", "val"))
+    return ex.groupBy("cluster_id", F.col("dim").cast("long").alias("dim")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("val").alias("s"),
+        F.sum(F.col("val") * F.col("val")).alias("s2"),
+    )
+
+
+def merge_cluster_profiles(*profiles: DataFrame) -> DataFrame:
+    """E62: fold any number of raw profiles (the maintained table +
+    new-batch profiles) into one — union + a (cluster, dim)-key sum,
+    exchange bounded at clusters x dim regardless of how much corpus
+    the inputs summarize. The 100 TB shape: each ingest batch profiles
+    ONLY its own rows; the accumulated corpus is never rescanned (the
+    E47/E50c maintained-table pattern, applied to the ANN index)."""
+    it = iter(profiles)
+    u = next(it)
+    for p in it:
+        u = u.unionByName(p)
+    return u.groupBy("cluster_id", "dim").agg(
+        F.sum("n").alias("n"), F.sum("s").alias("s"), F.sum("s2").alias("s2")
+    )
+
+
+def finalize_cluster_profile(raw: DataFrame) -> DataFrame:
+    """Finalize a raw profile to the E57 report shape: (cluster_id,
+    dim, n, mean, var) with round-6 doubles, var in population form."""
+    return raw.select(
+        "cluster_id",
+        "dim",
+        "n",
+        F.round(F.col("s") / F.col("n"), 6).alias("mean"),
+        F.round(
+            F.col("s2") / F.col("n") - (F.col("s") / F.col("n")) * (F.col("s") / F.col("n")),
+            6,
+        ).alias("var"),
+    )

@@ -4467,6 +4467,50 @@ def cluster_profile_embeddings(spark, sf_dir):
 
 
 @q(
+    "cluster_profile_incremental",
+    f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v
+               FROM embeddings),
+    cent AS (SELECT (vec_id + 1)::int AS cid, v AS cvec FROM e WHERE vec_id < 8),
+    asg0 AS (SELECT e.vec_id, e.v, c.cid,
+                    row_number() OVER (PARTITION BY e.vec_id
+                                       ORDER BY {_COS_DD.format(a='e.v', b='c.cvec')} DESC, c.cid) AS rk
+             FROM e CROSS JOIN cent c),
+    asg AS (SELECT vec_id, v, cid AS cluster_id FROM asg0 WHERE rk = 1),
+    ex AS (SELECT cluster_id, (i - 1)::bigint AS dim, v[i] AS val
+           FROM asg, unnest(generate_series(1, len(v))) AS t(i))
+    SELECT cluster_id, dim, count(*)::bigint AS n,
+           round(avg(val), 6) AS mean,
+           round(sum(val * val) / count(*) - avg(val) * avg(val), 6) AS var
+    FROM ex GROUP BY cluster_id, dim
+    """,
+)
+def cluster_profile_incremental_q(spark, sf_dir):
+    """E62: MAINTAINED ANN-index profile — the corpus arrives as two
+    ingest batches (even / odd vec_ids); each batch is profiled alone
+    (broadcast-argmax, exchange bounded at clusters x dim x tasks) and
+    merged by raw-sufficient-statistic sums, the accumulated corpus
+    never rescanned (the E47/E50c maintained-table pattern for the
+    ANN index). The twin recomputes the profile over the WHOLE corpus
+    one-shot — agreement IS the incremental-equals-batch guarantee."""
+    from ..functions.vectors import to_double
+    from ..operators.similarity import (
+        cluster_profile_raw,
+        finalize_cluster_profile,
+        merge_cluster_profiles,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + 1).cast("int").alias("cid"),
+        to_double(F.col("embedding")).alias("cvec"),
+    )
+    old = cluster_profile_raw(emb.filter(F.col("vec_id") % 2 == 0), cent)
+    new = cluster_profile_raw(emb.filter(F.col("vec_id") % 2 == 1), cent)
+    return finalize_cluster_profile(merge_cluster_profiles(old, new))
+
+
+@q(
     "corpus_datacard",
     f"""
     WITH w AS (SELECT doc_id, source, text, {WORDS_DD} AS ws FROM documents),

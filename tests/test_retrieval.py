@@ -289,3 +289,68 @@ def test_quantized_topk_plan_broadcast_no_corpus_shuffle(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_incremental_profile_equals_one_shot(spark):
+    """E62: three-batch incremental merge == one-shot profile, bit-for-
+    bit on n and at round-6 on mean/var; a second increment chained on
+    the merged table also matches."""
+    import numpy as np
+
+    from seizury_hrv_featuresextraction_spark.operators.similarity import (
+        cluster_profile,
+        cluster_profile_raw,
+        finalize_cluster_profile,
+        merge_cluster_profiles,
+    )
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(60, 5).astype("float32")
+    full = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    cent = spark.createDataFrame(
+        [(i + 1, [float(x) for x in vecs[i].astype("float64")]) for i in range(3)],
+        "cid int, cvec array<double>",
+    )
+    batches = [full.filter(f"vec_id % 3 = {k}") for k in range(3)]
+    # chain: maintained = b0; += b1; += b2 (each merge reads only the
+    # maintained table and the new batch's profile)
+    maintained = cluster_profile_raw(batches[0], cent)
+    for b in batches[1:]:
+        maintained = merge_cluster_profiles(maintained, cluster_profile_raw(b, cent))
+    inc = {
+        (r.cluster_id, r.dim): (r.n, r.mean, r.var)
+        for r in finalize_cluster_profile(maintained).collect()
+    }
+    one = {
+        (r.cluster_id, r.dim): (r.n, r.mean, r.var)
+        for r in cluster_profile(full, cent).collect()
+    }
+    assert set(inc) == set(one)
+    for k in one:
+        assert inc[k][0] == one[k][0], k
+        assert abs(inc[k][1] - one[k][1]) <= 1e-6, k
+        assert abs(inc[k][2] - one[k][2]) <= 1e-6, k
+
+
+def test_merge_cluster_profiles_plan_bounded_exchange(spark):
+    """The merge is union + one (cluster, dim)-key agg — no join, no
+    rescan of the maintained side."""
+    from seizury_hrv_featuresextraction_spark.operators.similarity import (
+        merge_cluster_profiles,
+    )
+
+    a = spark.createDataFrame(
+        [(1, 0, 2, 1.0, 2.0)], "cluster_id int, dim long, n long, s double, s2 double"
+    )
+    b = spark.createDataFrame(
+        [(1, 0, 3, 2.0, 5.0)], "cluster_id int, dim long, n long, s double, s2 double"
+    )
+    out = merge_cluster_profiles(a, b)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    row = out.collect()[0]
+    assert (row.n, row.s, row.s2) == (5, 3.0, 7.0)
