@@ -1,0 +1,47 @@
+"""E63: streaming-maintained count-min sketch.
+
+The batch CMS (operators/sketches.py, E58) needs nothing new to run on
+a stream: the sketch IS a streaming aggregate — explode n-gram
+occurrences, bucket them depth ways, groupBy (row, bucket) count. State
+is bounded at depth x width cells REGARDLESS of stream length or
+cardinality (the whole point of a sketch as streaming state — contrast
+an exact streaming n-gram count, whose state grows with the distinct
+set), and Spark's incremental aggregation maintains it exactly: after
+draining any prefix of the stream, each cell equals the batch
+``cms_build`` of the same rows (pinned by tests/test_streaming_sketch.py
+across multi-file triggers).
+
+Update-mode semantics: every trigger emits the cells it touched; the
+CURRENT sketch is the latest value per (r, b) — counts are monotone, so
+max-per-key over an update-mode sink reconstructs it. A downstream
+heavy-hitter pass is batch work by design (the verify re-scan wants the
+full corpus); at 100 TB the streaming side keeps the sketch CURRENT so
+that pass never rebuilds it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.sketches import _bucket, ngram_stream
+
+
+def streaming_cms_cells(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    depth: int = 4,
+    width: int = 4096,
+) -> DataFrame:
+    """Incrementally maintained CMS cells over a document stream:
+    (r, b, c) with c the running count of occurrences hashing to row
+    r, bucket b. Works identically on a batch frame (same code path,
+    the repo's batch/streaming-parity device)."""
+    occ = stream_df.select(F.explode(ngram_stream(F.col(text_col), n)).alias("g"))
+    cells = occ.select(
+        F.posexplode(
+            F.array(*[_bucket(F.col("g"), r, width) for r in range(depth)])
+        ).alias("r", "b")
+    )
+    return cells.groupBy("r", "b").agg(F.count(F.lit(1)).alias("c"))
