@@ -32,8 +32,19 @@ def _safe_range(k: Column) -> Column:
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct n-word shingles (space-joined)."""
-    ws = words(text)
+    """Distinct n-word shingles (space-joined).
+
+    PERF: in corpus-scan hot paths, materialize the word array as a
+    COLUMN first and call ``word_shingles_of`` — referencing the
+    words() expression from inside the transform lambda re-inlines the
+    regex split into the per-ELEMENT body (CollapseProject keeps a
+    multi-referenced expensive projection, so the two-step select is
+    stable; measured 10x on the sf1.0 n-gram explode)."""
+    return word_shingles_of(words(text), n)
+
+
+def word_shingles_of(ws: Column, n: int = 3) -> Column:
+    """``word_shingles`` over an already-materialized word array."""
     return F.array_distinct(
         F.transform(
             _safe_range(F.size(ws) - (n - 1)),

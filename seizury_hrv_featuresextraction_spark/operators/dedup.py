@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import doc_fingerprint, simhash64, word_shingles, words
+from ..functions.text import doc_fingerprint, simhash64, word_shingles, word_shingles_of, words
 from ..functions.vectors import cosine, lsh_band_buckets, lsh_bucket, to_double
 
 
@@ -77,9 +77,10 @@ def minhash_signature_table(
     (min over shingles of md5(seed ':' shingle)) but whole-stage-codegen
     instead of nested interpreted higher-order expressions. Docs with no
     shingles drop out (explode of an empty array)."""
-    sh = spread(df).select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), shingle_words)).alias("s"),
+    sh = (
+        spread(df)
+        .select(F.col(id_col).alias("id"), words(F.col(text_col)).alias("__ws"))
+        .select("id", F.explode(word_shingles_of(F.col("__ws"), shingle_words)).alias("s"))
     )
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("s")))).alias(f"mh{k}")
@@ -162,9 +163,10 @@ def ngram_jaccard_pairs(
       frequency, kept for oracle parity checks at small SF.
     """
     if candidates is not None:
-        sets = spread(df).select(
-            F.col(id_col).alias("id"),
-            word_shingles(F.col(text_col), shingle_words).alias("sg"),
+        sets = (
+            spread(df)
+            .select(F.col(id_col).alias("id"), words(F.col(text_col)).alias("__ws"))
+            .select("id", word_shingles_of(F.col("__ws"), shingle_words).alias("sg"))
         )
         sa = sets.select(F.col("id").alias("id_a"), F.col("sg").alias("sg_a"))
         sb = sets.select(F.col("id").alias("id_b"), F.col("sg").alias("sg_b"))
@@ -187,9 +189,10 @@ def ngram_jaccard_pairs(
             "id_a", "id_b", "n_inter", "jaccard"
         )
 
-    sh = spread(df).select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), shingle_words)).alias("sh"),
+    sh = (
+        spread(df)
+        .select(F.col(id_col).alias("id"), words(F.col(text_col)).alias("__ws"))
+        .select("id", F.explode(word_shingles_of(F.col("__ws"), shingle_words)).alias("sh"))
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
@@ -255,7 +258,11 @@ def simhash_near_dups(df: DataFrame, text_col: str, id_col: str, max_hamming: in
     """SimHash near-dup pairs: 60-bit simhash, blocked by 4 x 15-bit
     chunks (any pair within hamming distance 3 shares at least one exact
     chunk — pigeonhole), verified with bit_count on the xor."""
-    sig = spread(df).select(F.col(id_col).alias("id"), simhash64(words(F.col(text_col))).alias("sh"))
+    sig = (
+        spread(df)
+        .select(F.col(id_col).alias("id"), words(F.col(text_col)).alias("__ws"))
+        .select("id", simhash64(F.col("__ws")).alias("sh"))
+    )
     chunks = sig.select(
         "id",
         "sh",
@@ -613,9 +620,10 @@ def containment_pairs(
     candidate pair once and both directions come from ONE
     array_intersect. Without candidates, the bounded-input baseline
     self-join."""
-    sets = spread(df).select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), shingle_words).alias("sg"),
+    sets = (
+        spread(df)
+        .select(F.col(id_col).alias("id"), words(F.col(text_col)).alias("__ws"))
+        .select("id", word_shingles_of(F.col("__ws"), shingle_words).alias("sg"))
     )
     if candidates is None:
         sh = sets.select("id", F.explode("sg").alias("sh"))
@@ -825,10 +833,8 @@ def containment_candidate_pairs(
 
     sh = (
         spread(df)
-        .select(
-            F.col(id_col).alias("id"),
-            F.explode(word_shingles(F.col(text_col), shingle_words)).alias("s"),
-        )
+        .select(F.col(id_col).alias("id"), words(F.col(text_col)).alias("__ws"))
+        .select("id", F.explode(word_shingles_of(F.col("__ws"), shingle_words)).alias("s"))
         .select("id", F.xxhash64("s").alias("h"))
     )
     if max_doc_freq is not None:
@@ -1231,7 +1237,14 @@ def line_dedup(
     """
     from pyspark.sql import Window
 
-    ws = words(F.coalesce(F.col(text_col), F.lit("")))
+    # ws materialized as a COLUMN before the lambda references it: an
+    # inline words() expression re-inlines the regex split into the
+    # per-ELEMENT transform body (the r7 10x finding)
+    pre = spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        words(F.coalesce(F.col(text_col), F.lit(""))).alias("__ws"),
+    )
+    ws = F.col("__ws")
     n_lines = F.ceil(F.size(ws) / F.lit(float(span_words))).cast("int")
     lines = F.when(
         n_lines >= 1,
@@ -1242,8 +1255,8 @@ def line_dedup(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    base = spread(docs).select(
-        F.col(id_col).alias("doc_id"),
+    base = pre.select(
+        "doc_id",
         n_lines.cast("long").alias("total_lines"),
         F.posexplode(lines).alias("ln0", "line"),
     )

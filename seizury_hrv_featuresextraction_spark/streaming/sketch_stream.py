@@ -24,7 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.sketches import _bucket, ngram_stream
+from ..functions.text import words
+from ..operators.sketches import _bucket, _digest, ngram_stream_words
 
 
 def streaming_cms_cells(
@@ -38,10 +39,14 @@ def streaming_cms_cells(
     (r, b, c) with c the running count of occurrences hashing to row
     r, bucket b. Works identically on a batch frame (same code path,
     the repo's batch/streaming-parity device)."""
-    occ = stream_df.select(F.explode(ngram_stream(F.col(text_col), n)).alias("g"))
+    occ = (
+        stream_df.select(words(F.col(text_col)).alias("ws"))
+        .select(F.explode(ngram_stream_words(F.col("ws"), n)).alias("g"))
+        .select(_digest(F.col("g")).alias("dg"))
+    )
     cells = occ.select(
         F.posexplode(
-            F.array(*[_bucket(F.col("g"), r, width) for r in range(depth)])
+            F.array(*[_bucket(F.col("dg"), r, width) for r in range(depth)])
         ).alias("r", "b")
     )
     return cells.groupBy("r", "b").agg(F.count(F.lit(1)).alias("c"))

@@ -35,7 +35,8 @@ def _ref_ngrams(text: str | None, n: int = 3) -> list[str]:
 
 
 def _ref_bucket(gram: str, row: int, width: int) -> int:
-    return int(hashlib.md5(f"cms{row}:{gram}".encode()).hexdigest()[:8], 16) % width
+    dg = hashlib.md5(f"cms:{gram}".encode()).hexdigest()
+    return int(dg[7 * row : 7 * row + 7], 16) % width
 
 
 def _ref_counts(docs, n=3) -> Counter:
