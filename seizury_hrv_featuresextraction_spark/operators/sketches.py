@@ -124,6 +124,126 @@ def cms_estimate(gram: Column, sketch: list[int], depth: int, width: int) -> Col
     return cells[0] if depth == 1 else F.least(*cells)
 
 
+# ---------------------------------------------------------------------------
+# E64: HyperLogLog distinct sketch (Flajolet et al. 2007).  The exact
+# "distinct shingles per source" data-card stat shuffles every distinct
+# shingle — billions of keys at 100 TB, same wall the CMS above dodges
+# for counts.  HLL reduces the shuffle to groups x 256 register rows
+# REGARDLESS of corpus size, and the register update is a plain MAX, so
+# Spark's native map-side partial aggregation does the whole reduction
+# tree for free (contrast KMV-style sketches, which need a custom
+# bottom-k combiner).
+#
+# Cross-engine determinism (the repo's value-hash gate needs bit-equal
+# floats, not allclose):
+#   * register  = first 2 hex chars of md5('hll:' || item)  (p=8, m=256)
+#   * rho       = leading-zero count + 1 of the next 15 hex chars (60
+#     bits), computed as 61 - length(minimal binary string); Spark
+#     conv(hex,16,2) and DuckDB bin(int) both emit minimal-length
+#     binary, and the zero tail ("0", length 1 -> 60) is swallowed by
+#     the cap below.
+#   * rho is CAPPED at 40, so every indicator term 2^(40-rho) is an
+#     int64 and the per-group Z sum stays < 2^49 — exactly computed in
+#     ANY order by both engines (dyadic-sum device; the cap costs
+#     P(rho>40) = 2^-39 per item, far below the 6.5% sketch error).
+#   * estimate  = HLL_EST_NUM / Z: one IEEE division of a shared
+#     decimal literal by an exactly-represented integer — bit-identical
+#     across engines.  No alpha bias correction branches, no ln().
+# Raw-HLL contract: below ~2.5*m (= 640) distinct items the classical
+# recipe switches to linear counting (needs ln, engine-libm-dependent);
+# this operator reports the raw estimator plus n_registers_hit so a
+# caller CAN apply it, and the accuracy pytest covers the >= 2.5*m
+# regime the operator is for.
+# ---------------------------------------------------------------------------
+
+HLL_P = 8
+HLL_M = 1 << HLL_P
+HLL_RHO_CAP = 40
+# alpha_256 * m^2 * 2^RHO_CAP with alpha_m = 0.7213/(1 + 1.079/m); the
+# SAME shortest-roundtrip decimal literal is emitted into the Spark plan
+# and the DuckDB twin (both parse correctly-rounded)
+HLL_EST_NUM = 0.7213 / (1.0 + 1.079 / HLL_M) * HLL_M * HLL_M * (1 << HLL_RHO_CAP)
+
+
+def hll_register_table(df: DataFrame, item_col: str, group_col: str) -> DataFrame:
+    """(g, reg, rho): per-group HLL registers over one row per item
+    OCCURRENCE (max is idempotent — pre-distincting buys nothing).
+    Shuffle is bounded at groups * 256 rows per map task."""
+    dg = df.select(
+        F.col(group_col).alias("g"),
+        F.md5(F.concat(F.lit("hll:"), F.col(item_col))).alias("dg"),
+    )
+    binstr = F.conv(F.substring("dg", 3, 15), 16, 2)
+    return (
+        dg.select(
+            "g",
+            F.conv(F.substring("dg", 1, 2), 16, 10).cast("int").alias("reg"),
+            F.least(F.lit(61) - F.length(binstr), F.lit(HLL_RHO_CAP))
+            .cast("int")
+            .alias("rho"),
+        )
+        .groupBy("g", "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(*register_tables: DataFrame) -> DataFrame:
+    """Union HLL sketches: registers merge by max — the property that
+    makes per-shard / per-day sketches composable without re-scanning."""
+    out = register_tables[0]
+    for t in register_tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("g", "reg").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(registers: DataFrame, group_name: str = "g") -> DataFrame:
+    """(group, n_registers_hit, z_scaled, est_distinct) from a register
+    table.  z_scaled = sum over ALL 256 registers of 2^(RHO_CAP - M_j)
+    (absent registers contribute 2^RHO_CAP), an exact int64."""
+    term = F.call_function(
+        "shiftleft",
+        F.lit(1).cast("long"),
+        (F.lit(HLL_RHO_CAP) - F.col("rho")).cast("int"),
+    )
+    return (
+        registers.groupBy(F.col("g").alias(group_name))
+        .agg(
+            F.count(F.lit(1)).alias("n_registers_hit"),
+            F.sum(term).alias("z_hit"),
+        )
+        .select(
+            group_name,
+            "n_registers_hit",
+            (
+                F.col("z_hit")
+                + (F.lit(HLL_M) - F.col("n_registers_hit"))
+                * F.lit(1 << HLL_RHO_CAP)
+            ).alias("z_scaled"),
+        )
+        .withColumn(
+            "est_distinct", F.lit(HLL_EST_NUM) / F.col("z_scaled").cast("double")
+        )
+    )
+
+
+def hll_distinct_shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    shingle_words: int = 3,
+) -> DataFrame:
+    """Approximate distinct n-word shingles per group — the data-card
+    vocabulary-diversity stat, with a shuffle bounded at groups * 256
+    rows however large the corpus.  Standard error 1.04/sqrt(256) =
+    6.5%."""
+    from ..functions.text import word_shingles_of
+
+    occ = df.select(
+        F.col(group_col).alias("g"), words(F.col(text_col)).alias("__ws")
+    ).select("g", F.explode(word_shingles_of(F.col("__ws"), shingle_words)).alias("it"))
+    return hll_estimate(hll_register_table(occ, "it", "g"), group_name=group_col)
+
+
 def cms_heavy_ngrams(
     df: DataFrame,
     text_col: str = "text",

@@ -21,6 +21,7 @@ from ..operators.asof import asof_join
 from ..operators.dedup import dedup_exact, minhash_lsh_pairs, ngram_jaccard_pairs
 from ..operators.filters import iqr_filter, median_mad_filter
 from ..operators.similarity import brute_force_topk, ivf_topk
+from ..operators.sketches import HLL_EST_NUM as _HLL_EST_NUM
 from ..operators.stats import class_weights, zscore_normalize
 from ..operators.windows import session_bounds, sliding_window_grid
 from ..sources.registry import annotations_from_events, load_table, sequences_from_events
@@ -4697,6 +4698,47 @@ def cms_heavy_ngrams_q(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return cms_heavy_ngrams(docs, "text", n=3, min_count=5, depth=4, width=4096)
+
+
+@q(
+    "hll_distinct_shingles",
+    f"""
+    WITH w AS (SELECT source, {WORDS_DD} AS ws FROM documents),
+    sh AS (SELECT source, md5('hll:' || array_to_string(ws[i:i+2], ' ')) AS d
+           FROM w, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+           WHERE len(ws) >= 3),
+    rr AS (SELECT source,
+                  ('0x' || substr(d, 1, 2))::bigint AS reg,
+                  least(61 - length(bin(('0x' || substr(d, 3, 15))::bigint)), 40) AS rho
+           FROM sh),
+    mx AS (SELECT source, reg, max(rho) AS rho FROM rr GROUP BY 1, 2),
+    ag AS (SELECT source,
+                  count(*)::bigint AS n_registers_hit,
+                  (sum(1::bigint << (40 - rho))
+                   + (256 - count(*)) * (1::bigint << 40))::bigint AS z_scaled
+           FROM mx GROUP BY 1)
+    SELECT source, n_registers_hit, z_scaled,
+           {_HLL_EST_NUM!r} / z_scaled::double AS est_distinct
+    FROM ag
+    """,
+)
+def hll_distinct_shingles_q(spark, sf_dir):
+    """E64: HyperLogLog distinct-shingles-per-source (p=8, 256
+    registers) — the data-card vocabulary stat whose EXACT form
+    shuffles every distinct shingle (billions of keys at 100 TB); the
+    sketch's shuffle is sources x 256 register rows via native max
+    map-side combine.  The twin replays the ENTIRE sketch (registers,
+    capped rho, dyadic Z sum, shared estimate literal), so the
+    value-hash gate proves bit-identical registers AND estimates:
+    rho = 61 - len(minimal binary of the 60-bit md5 tail) in both
+    engines (Spark conv(hex,16,2) == DuckDB bin(int)), capped at 40 so
+    Z stays an order-free exact int64 dyadic sum, and the estimate is
+    one IEEE division of a shared decimal literal by that integer.
+    Accuracy vs exact counts is pytest-gated (tests/test_sketches.py)."""
+    from ..operators.sketches import hll_distinct_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hll_distinct_shingles(docs, "text", "source", shingle_words=3)
 
 
 # ---------------------------------------------------------------------------

@@ -1,4 +1,4 @@
-"""E63: streaming-maintained count-min sketch.
+"""E63/E64-S: streaming-maintained sketches (count-min, HyperLogLog).
 
 The batch CMS (operators/sketches.py, E58) needs nothing new to run on
 a stream: the sketch IS a streaming aggregate — explode n-gram
@@ -50,3 +50,27 @@ def streaming_cms_cells(
         ).alias("r", "b")
     )
     return cells.groupBy("r", "b").agg(F.count(F.lit(1)).alias("c"))
+
+
+def streaming_hll_registers(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    shingle_words: int = 3,
+) -> DataFrame:
+    """E64-S: incrementally maintained HyperLogLog registers over a
+    document stream — (g, reg, rho) with rho the running MAX.  State is
+    bounded at groups x 256 registers regardless of stream length or
+    shingle cardinality, and max is the native streaming aggregate, so
+    after draining any prefix each register equals the batch
+    ``hll_register_table`` of the same rows; ``hll_estimate`` over the
+    drained registers is then the batch estimate (parity pinned by
+    tests/test_streaming_sketch.py).  Registers are monotone, so an
+    update-mode sink reconstructs the current sketch as max-per-key."""
+    from ..functions.text import word_shingles_of
+    from ..operators.sketches import hll_register_table
+
+    occ = stream_df.select(
+        F.col(group_col).alias("g"), words(F.col(text_col)).alias("__ws")
+    ).select("g", F.explode(word_shingles_of(F.col("__ws"), shingle_words)).alias("it"))
+    return hll_register_table(occ, "it", "g")

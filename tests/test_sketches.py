@@ -1,7 +1,9 @@
 """E58 count-min heavy hitters: dict-replay of the sketch math
 (estimate >= exact, everywhere), exactness of the final output under
 forced hash collisions, edge docs, and plan shape (zero joins, two
-bounded exchanges)."""
+bounded exchanges).  E64 HyperLogLog: register dict-replay, estimate
+accuracy in the raw-estimator regime, merge property, and plan shape
+(zero joins, two bounded exchanges)."""
 
 from __future__ import annotations
 
@@ -12,9 +14,16 @@ import pytest
 from pyspark.sql import functions as F
 
 from seizury_hrv_featuresextraction_spark.operators.sketches import (
+    HLL_EST_NUM,
+    HLL_M,
+    HLL_RHO_CAP,
     cms_build,
     cms_estimate,
     cms_heavy_ngrams,
+    hll_distinct_shingles,
+    hll_estimate,
+    hll_merge,
+    hll_register_table,
     ngram_stream,
 )
 
@@ -121,6 +130,92 @@ def test_output_exact_normal_sizing(spark, docs_df):
             ).collect()
         }
         assert got == want, mc
+
+
+# ---------------------------------------------------------------------------
+# E64 HyperLogLog
+# ---------------------------------------------------------------------------
+
+
+def _ref_hll_registers(rows) -> dict:
+    """Dict replay of the register math: reg = first 2 hex of the
+    seeded md5, rho = 61 - minimal-binary length of the 60-bit tail,
+    capped."""
+    ref: dict = {}
+    for g, it in rows:
+        d = hashlib.md5(f"hll:{it}".encode()).hexdigest()
+        reg = int(d[:2], 16)
+        tail = int(d[2:17], 16)
+        rho = min(61 - len(bin(tail)[2:]), HLL_RHO_CAP)  # bin(0) -> '0', len 1
+        ref[(g, reg)] = max(ref.get((g, reg), 0), rho)
+    return ref
+
+
+def test_hll_registers_match_dict_replay(spark):
+    rows = [("A", f"x{i % 700}") for i in range(1500)] + [
+        ("B", f"y{i}") for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "g string, it string")
+    got = {(r.g, r.reg): r.rho for r in hll_register_table(df, "it", "g").collect()}
+    assert got == _ref_hll_registers(rows)
+
+
+def test_hll_estimate_formula_and_accuracy(spark):
+    # 5000 and 2000 distinct items: both in the raw-estimator regime
+    # (>= 2.5 * m = 640); standard error is 1.04/sqrt(256) = 6.5%, so
+    # 20% is a > 3-sigma bound
+    rows = [("A", f"a{i % 5000}") for i in range(12000)] + [
+        ("B", f"b{i % 2000}") for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "g string, it string")
+    regs = hll_register_table(df, "it", "g")
+    out = {r.g: r for r in hll_estimate(regs).collect()}
+    for g, true_n in (("A", 5000), ("B", 2000)):
+        row = out[g]
+        # the estimate is EXACTLY the documented closed form over the
+        # integer Z (bit-equal is the cross-engine contract)
+        assert row.est_distinct == HLL_EST_NUM / float(row.z_scaled)
+        assert abs(row.est_distinct / true_n - 1) < 0.20, (g, row.est_distinct)
+        # Z accounting: absent registers contribute exactly 2^cap each
+        assert row.z_scaled >= (HLL_M - row.n_registers_hit) * (1 << HLL_RHO_CAP)
+
+
+def test_hll_merge_equals_full(spark):
+    rows = [("A", f"m{i}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "g string, it string")
+    full = {(r.g, r.reg): r.rho for r in hll_register_table(df, "it", "g").collect()}
+    h1 = hll_register_table(df.filter(F.xxhash64("it") % 2 == 0), "it", "g")
+    h2 = hll_register_table(df.filter(F.xxhash64("it") % 2 != 0), "it", "g")
+    merged = {(r.g, r.reg): r.rho for r in hll_merge(h1, h2).collect()}
+    assert merged == full
+
+
+def test_hll_shingles_edge_docs(spark, docs_df):
+    # NULL / empty / sub-n docs contribute nothing; groups with no
+    # shingles are absent (both engines agree — the twin's WHERE clause)
+    out = hll_distinct_shingles(
+        docs_df.withColumn("source", F.concat(F.lit("s"), F.col("doc_id") % 2)),
+        "text",
+        "source",
+    ).collect()
+    assert {r.source for r in out} == {"s0", "s1"}
+    truth = Counter()
+    for doc_id, text in DOCS:
+        for g in set(_ref_ngrams(text, 3)):
+            truth[(f"s{doc_id % 2}", g)] = 1
+    # tiny-cardinality draw: registers-hit can never exceed distinct items
+    per_g = Counter(g for g, _ in truth)
+    for r in out:
+        assert r.n_registers_hit <= per_g[r.source]
+
+
+def test_hll_plan_zero_joins_two_exchanges(spark, docs_df):
+    out = hll_distinct_shingles(docs_df.withColumn("source", F.lit("s")), "text")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    # register reduction + per-group estimate: two bounded exchanges,
+    # both map-side combined (partial max / partial sum)
+    assert plan.count("Exchange") == 2
 
 
 def test_plan_zero_joins_two_exchanges(spark, docs_df):

@@ -61,3 +61,71 @@ def test_streaming_cms_matches_batch(spark, tmp_path):
     # not a single batch in disguise)
     assert q.lastProgress is not None
     assert q.recentProgress and len(q.recentProgress) >= 2
+
+
+def test_streaming_hll_matches_batch(spark, tmp_path):
+    from seizury_hrv_featuresextraction_spark.operators.sketches import (
+        hll_estimate,
+        hll_register_table,
+    )
+    from seizury_hrv_featuresextraction_spark.functions.text import (
+        word_shingles_of,
+        words,
+    )
+    from seizury_hrv_featuresextraction_spark.streaming.sketch_stream import (
+        streaming_hll_registers,
+    )
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "hll_src")
+    b1 = [(i, f"w{i % 5} common tail words here {i}") for i in range(40)]
+    b2 = [(i + 100, f"w{i % 3} other tail words here {i}") for i in range(30)]
+    spark.createDataFrame(b1, SCHEMA).withColumn(
+        "source", F.concat(F.lit("s"), F.col("doc_id") % 2)
+    ).write.parquet(src + "/f1")
+    spark.createDataFrame(b2, SCHEMA).withColumn(
+        "source", F.concat(F.lit("s"), F.col("doc_id") % 2)
+    ).write.parquet(src + "/f2")
+
+    # NB: StructType.add mutates in place — build a fresh schema
+    sschema = T.StructType([*SCHEMA.fields, T.StructField("source", T.StringType())])
+    stream_in = (
+        spark.readStream.schema(sschema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/f*")
+    )
+    regs = streaming_hll_registers(stream_in, "text", "source", shingle_words=3)
+    q = (
+        regs.writeStream.format("memory")
+        .queryName("hll_regs")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    # registers are monotone: current sketch = max per (g, reg)
+    got = {
+        (r.g, r.reg): r.rho
+        for r in spark.sql(
+            "select g, reg, max(rho) as rho from hll_regs group by g, reg"
+        ).collect()
+    }
+    batch_df = spark.createDataFrame([*b1, *b2], SCHEMA).withColumn(
+        "source", F.concat(F.lit("s"), F.col("doc_id") % 2)
+    )
+    occ = batch_df.select(
+        F.col("source").alias("g"), words(F.col("text")).alias("__ws")
+    ).select("g", F.explode(word_shingles_of(F.col("__ws"), 3)).alias("it"))
+    want_regs = hll_register_table(occ, "it", "g")
+    want = {(r.g, r.reg): r.rho for r in want_regs.collect()}
+    assert got == want
+
+    # estimate over the drained registers == the batch estimate
+    drained = spark.createDataFrame(
+        [(g, reg, rho) for (g, reg), rho in got.items()], "g string, reg int, rho int"
+    )
+    est_s = {r.g: r.est_distinct for r in hll_estimate(drained).collect()}
+    est_b = {r.g: r.est_distinct for r in hll_estimate(want_regs).collect()}
+    assert est_s == est_b
+    assert q.recentProgress and len(q.recentProgress) >= 2
