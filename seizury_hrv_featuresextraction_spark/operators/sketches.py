@@ -244,6 +244,92 @@ def hll_distinct_shingles(
     return hll_estimate(hll_register_table(occ, "it", "g"), group_name=group_col)
 
 
+# ---------------------------------------------------------------------------
+# E65: cross-source overlap matrix via a sketch-calibrated uniform
+# hash-sample (the theta-sketch fixed-threshold view of KMV/MinHash).
+# "Which sources duplicate each other" exactly needs the full distinct
+# (source, shingle) shuffle AND a shingle-level self-join — both corpus-
+# sized.  Instead: hashing the shingle universe uniformly means the set
+# {h < t} is an unbiased sample of EVERY source's distinct-shingle set
+# with the SAME inclusion rule, so Jaccard/containment computed on the
+# sampled sets estimates the true values.  The threshold is calibrated
+# from the E64 HLL estimate (target_k * oversample samples for the
+# LARGEST source), so the filter is a scan-stage predicate and the only
+# exchanges in the plan carry sampled rows — the corpus itself never
+# shuffles and never joins.  All pair statistics are exact integer
+# counts over the samples; the one float column is a single division of
+# two exact integers (bit-identical cross-engine).
+# ---------------------------------------------------------------------------
+
+KMV_SEED = "kmv:"
+
+
+def overlap_sample_threshold(n_max_est: float, target_k: int = 64, oversample: int = 4) -> int:
+    """Integer hash threshold t: keep h < t where h is uniform on
+    [0, 2^60).  p = min(1, target_k*oversample / n_max_est) — the twin
+    mirrors this exact double expression, so t is cross-engine
+    deterministic."""
+    p = min(1.0, float(target_k * oversample) / n_max_est)
+    return int(p * float(1 << 60))  # p*2^60 exact at p=1; floor via int()
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    shingle_words: int = 3,
+    target_k: int = 64,
+    oversample: int = 4,
+) -> DataFrame:
+    """(source_a < source_b, n_a, n_b, n_shared, n_union, jaccard_est)
+    for every source pair sharing at least one sampled shingle.
+
+    Two passes, neither shuffling the corpus: pass 1 is the E64 HLL
+    (exchange bounded at sources x 256), whose max estimate calibrates
+    the sample rate; pass 2 filters shingle hashes at scan stage and
+    distincts/joins ONLY the sampled rows (expected target_k*oversample
+    per source at the largest source, proportionally fewer below)."""
+    from ..functions.text import word_shingles_of
+
+    ests = hll_distinct_shingles(df, text_col, group_col, shingle_words).collect()
+    n_max = max(r["est_distinct"] for r in ests)  # bounded: one row per source
+    t = overlap_sample_threshold(n_max, target_k, oversample)
+
+    occ = df.select(
+        F.col(group_col).alias("g"), words(F.col(text_col)).alias("__ws")
+    ).select("g", F.explode(word_shingles_of(F.col("__ws"), shingle_words)).alias("it"))
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(KMV_SEED), F.col("it"))), 1, 15), 16, 10).cast(
+        "long"
+    )
+    samp = occ.select("g", h.alias("h")).where(F.col("h") < F.lit(t)).distinct()
+    sizes = samp.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    shared = (
+        samp.alias("a")
+        .join(samp.alias("b"), on="h")
+        .where(F.col("a.g") < F.col("b.g"))
+        .groupBy(F.col("a.g").alias("source_a"), F.col("b.g").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    out = (
+        shared.join(
+            F.broadcast(sizes.select(F.col("g").alias("source_a"), F.col("n").alias("n_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("g").alias("source_b"), F.col("n").alias("n_b"))),
+            "source_b",
+        )
+        .withColumn("n_union", F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+        .withColumn(
+            "jaccard_est",
+            F.col("n_shared").cast("double") / F.col("n_union").cast("double"),
+        )
+    )
+    return out.select(
+        "source_a", "source_b", "n_a", "n_b", "n_shared", "n_union", "jaccard_est"
+    )
+
+
 def cms_heavy_ngrams(
     df: DataFrame,
     text_col: str = "text",

@@ -4700,23 +4700,34 @@ def cms_heavy_ngrams_q(spark, sf_dir):
     return cms_heavy_ngrams(docs, "text", n=3, min_count=5, depth=4, width=4096)
 
 
-@q(
-    "hll_distinct_shingles",
-    f"""
-    WITH w AS (SELECT source, {WORDS_DD} AS ws FROM documents),
-    sh AS (SELECT source, md5('hll:' || array_to_string(ws[i:i+2], ' ')) AS d
-           FROM w, unnest(generate_series(1, len(ws) - 2)) AS t(i)
-           WHERE len(ws) >= 3),
+# shared by the E64/E65 sketch twins: distinct-insensitive 3-word
+# shingle stream per source, and the full HLL register/Z replay over it
+_SHINGLE3_CTES = f"""
+    w AS (SELECT source, {WORDS_DD} AS ws FROM documents),
+    shd AS (SELECT source, array_to_string(ws[i:i+2], ' ') AS s
+            FROM w, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+            WHERE len(ws) >= 3)"""
+_HLL_CTES = (
+    _SHINGLE3_CTES
+    + """,
+    hd AS (SELECT source, md5('hll:' || s) AS d FROM shd),
     rr AS (SELECT source,
                   ('0x' || substr(d, 1, 2))::bigint AS reg,
                   least(61 - length(bin(('0x' || substr(d, 3, 15))::bigint)), 40) AS rho
-           FROM sh),
+           FROM hd),
     mx AS (SELECT source, reg, max(rho) AS rho FROM rr GROUP BY 1, 2),
     ag AS (SELECT source,
                   count(*)::bigint AS n_registers_hit,
                   (sum(1::bigint << (40 - rho))
                    + (256 - count(*)) * (1::bigint << 40))::bigint AS z_scaled
-           FROM mx GROUP BY 1)
+           FROM mx GROUP BY 1)"""
+)
+
+
+@q(
+    "hll_distinct_shingles",
+    f"""
+    WITH {_HLL_CTES}
     SELECT source, n_registers_hit, z_scaled,
            {_HLL_EST_NUM!r} / z_scaled::double AS est_distinct
     FROM ag
@@ -4739,6 +4750,51 @@ def hll_distinct_shingles_q(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return hll_distinct_shingles(docs, "text", "source", shingle_words=3)
+
+
+@q(
+    "source_overlap_matrix",
+    f"""
+    WITH {_HLL_CTES},
+    est AS (SELECT max({_HLL_EST_NUM!r} / z_scaled::double) AS n_max FROM ag),
+    thr AS (SELECT floor(least(1.0, 256.0 / n_max) * 1152921504606846976.0)::bigint AS t
+            FROM est),
+    samp AS (SELECT DISTINCT source,
+                    ('0x' || substr(md5('kmv:' || s), 1, 15))::bigint AS h
+             FROM shd
+             WHERE ('0x' || substr(md5('kmv:' || s), 1, 15))::bigint < (SELECT t FROM thr)),
+    sizes AS (SELECT source, count(*)::bigint AS n FROM samp GROUP BY 1),
+    shared AS (SELECT a.source AS source_a, b.source AS source_b,
+                      count(*)::bigint AS n_shared
+               FROM samp a JOIN samp b ON a.h = b.h AND a.source < b.source
+               GROUP BY 1, 2)
+    SELECT source_a, source_b, sa.n AS n_a, sb.n AS n_b, n_shared,
+           (sa.n + sb.n - n_shared)::bigint AS n_union,
+           n_shared::double / (sa.n + sb.n - n_shared)::double AS jaccard_est
+    FROM shared
+    JOIN sizes sa ON sa.source = shared.source_a
+    JOIN sizes sb ON sb.source = shared.source_b
+    """,
+)
+def source_overlap_matrix_q(spark, sf_dir):
+    """E65: cross-source shingle-overlap matrix via a sketch-calibrated
+    uniform hash sample (the theta-sketch fixed-threshold view of KMV).
+    The exact stat needs the full distinct (source, shingle) shuffle
+    plus a shingle self-join — both corpus-sized; here {{h < t}} is an
+    unbiased sample of every source's distinct-shingle set under the
+    SAME inclusion rule, so pair Jaccard over samples estimates the
+    true matrix while the corpus itself never shuffles (scan-stage
+    threshold filter; only sampled rows reach an exchange).  t is
+    calibrated from the E64 HLL max estimate — bit-identical doubles
+    in both engines, so the twin replays the calibration, the sample,
+    and the pair math EXACTLY (integer counts; the one float column is
+    a single division of exact integers)."""
+    from ..operators.sketches import source_overlap_matrix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_overlap_matrix(
+        docs, "text", "source", shingle_words=3, target_k=64, oversample=4
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -218,6 +218,70 @@ def test_hll_plan_zero_joins_two_exchanges(spark, docs_df):
     assert plan.count("Exchange") == 2
 
 
+# ---------------------------------------------------------------------------
+# E65 source-overlap matrix (sketch-calibrated hash sample)
+# ---------------------------------------------------------------------------
+
+
+def _overlap_docs(spark, n_a=1000, n_b=1000, shared=500):
+    # one unique 3-word shingle per doc: source A holds items
+    # [0, n_a), source B holds [n_a - shared, n_a - shared + n_b)
+    rows = [("A", f"x{i} y{i} z{i}") for i in range(n_a)] + [
+        ("B", f"x{i} y{i} z{i}") for i in range(n_a - shared, n_a - shared + n_b)
+    ]
+    return spark.createDataFrame(rows, "source string, text string"), rows
+
+
+def test_overlap_sampled_estimate_accuracy(spark):
+    from seizury_hrv_featuresextraction_spark.operators.sketches import (
+        source_overlap_matrix,
+    )
+
+    df, rows = _overlap_docs(spark)
+    true_j = 500 / 1500
+    out = source_overlap_matrix(df, target_k=64, oversample=4).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.source_a, r.source_b) == ("A", "B")
+    # genuinely sampled (p < 1): far fewer sampled shingles than docs
+    assert r.n_a < 700 and r.n_b < 700
+    assert abs(r.jaccard_est - true_j) < 0.10
+    assert r.jaccard_est == r.n_shared / r.n_union  # exact integer ratio
+    # deterministic: hash sample, not RNG
+    again = source_overlap_matrix(df, target_k=64, oversample=4).collect()[0]
+    assert again == r
+
+
+def test_overlap_full_sample_is_exact(spark):
+    from seizury_hrv_featuresextraction_spark.operators.sketches import (
+        source_overlap_matrix,
+    )
+
+    df, rows = _overlap_docs(spark, n_a=300, n_b=200, shared=100)
+    sets: dict = {}
+    for g, text in rows:
+        sets.setdefault(g, set()).add(text)
+    true_j = len(sets["A"] & sets["B"]) / len(sets["A"] | sets["B"])
+    # target_k large enough that p = 1: the sample is the full universe
+    r = source_overlap_matrix(df, target_k=4096, oversample=4).collect()[0]
+    assert (r.n_a, r.n_b, r.n_shared) == (300, 200, 100)
+    assert r.jaccard_est == true_j
+
+
+def test_overlap_plan_no_cartesian_no_corpus_join(spark):
+    from seizury_hrv_featuresextraction_spark.operators.sketches import (
+        source_overlap_matrix,
+    )
+
+    df, _ = _overlap_docs(spark, n_a=50, n_b=50, shared=10)
+    out = source_overlap_matrix(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the only non-broadcast join is sampled-vs-sampled on h; the size
+    # lookups broadcast
+    assert plan.count("BroadcastHashJoin") == 2
+
+
 def test_plan_zero_joins_two_exchanges(spark, docs_df):
     sk = cms_build(docs_df, "text", n=3, depth=4, width=256)
     occ = docs_df.select(F.explode(ngram_stream(F.col("text"), 3)).alias("ngram"))
