@@ -1,0 +1,117 @@
+"""E66: Z-order (Morton) clustering layout + zone-map skipping evidence.
+
+Reference parity: the reference's per-recording directory layout
+(hrv_pipeline.py output tree) is one-dimensional clustering — a scan
+filtered by recording reads only that recording's files.  A 100 TB
+curation corpus is queried along SEVERAL axes at once (length band AND
+source/quality band for batch-shape-aware sampling); clustering by one
+axis leaves the other unclustered, so every file's min/max zone maps
+span the full range of the second axis and nothing is skipped.
+
+The classic warehouse answer (Delta/Iceberg OPTIMIZE ZORDER BY) is to
+sort by the bit-interleave of bucketized dimension keys: locality in
+EVERY interleaved dimension, so parquet's per-file/row-group min-max
+statistics become tight boxes and a predicate on ANY subset of the
+dimensions prunes most of the data at metadata time — Spark's parquet
+reader does the skipping natively via pushed filters on the RAW
+columns; the z-key never has to appear in queries.
+
+Everything here is exact integer arithmetic (shift/and/or), plan-side
+codegen, zero shuffle for key computation; the write path adds exactly
+one range exchange (the clustering sort), amortized over every future
+scan.  Cross-engine: the twin replays the interleave bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def zorder_key(dims: list[Column], bits: int = 8) -> Column:
+    """Bit-interleave of ``dims`` (each an integer in [0, 2^bits)):
+    bit b of dim d lands at position b*len(dims) + d.  Pure codegen —
+    bits*len(dims) shift/and/shift terms, no UDF, no shuffle."""
+    ndims = len(dims)
+    terms = []
+    for d_idx, dim in enumerate(dims):
+        lng = dim.cast("long")
+        for b in range(bits):
+            bit = F.shiftright(lng, b).bitwiseAND(F.lit(1))
+            terms.append(F.shiftleft(bit, b * ndims + d_idx))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def doc_zorder_dims(n_chars: Column, source: Column, bits: int = 8) -> list[Column]:
+    """The documents-table instance: length band (n_chars // 16,
+    capped) x a stable source hash byte (first 2 md5 hex chars) — the
+    two axes batch-shape-aware sampling filters on together."""
+    cap = (1 << bits) - 1
+    len_bucket = F.least(F.floor(n_chars / F.lit(16)).cast("long"), F.lit(cap))
+    src_bucket = F.conv(F.substring(F.md5(source), 1, 2), 16, 10).cast("long")
+    return [len_bucket, src_bucket]
+
+
+def zorder_keys_docs(df: DataFrame, bits: int = 8) -> DataFrame:
+    """(doc_id, len_bucket, src_bucket, zkey) — the registered-query
+    surface of the layout key (the write path below orders by zkey)."""
+    dims = doc_zorder_dims(F.col("n_chars"), F.col("source"), bits)
+    return df.select(
+        "doc_id",
+        dims[0].alias("len_bucket"),
+        dims[1].alias("src_bucket"),
+        zorder_key(dims, bits).alias("zkey"),
+    )
+
+
+def write_zordered(
+    df: DataFrame, path: str, dims: list[Column], n_files: int, bits: int = 8
+) -> None:
+    """Cluster ``df`` into ``n_files`` files ordered by the z-key of
+    ``dims``: ONE range exchange + local sorts (never a global sort),
+    then drop the key — skipping works off the raw columns' zone maps."""
+    key = zorder_key(dims, bits)
+    (
+        df.withColumn("__zkey", key)
+        .repartitionByRange(n_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def zone_maps(path: str, cols: list[str]) -> list[dict]:
+    """Per-row-group min/max statistics from parquet footers (what a
+    metadata-pruning reader consults before touching data pages)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    for fp in files:
+        md = pq.ParquetFile(fp).metadata
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for rg in range(md.num_row_groups):
+            row = {"file": os.path.basename(fp), "rg": rg}
+            g = md.row_group(rg)
+            for c in cols:
+                st = g.column(names[c]).statistics
+                row[c] = (st.min, st.max)
+            out.append(row)
+    return out
+
+
+def scan_fraction(maps: list[dict], preds: dict[str, tuple]) -> float:
+    """Fraction of row groups a zone-map-pruning reader must read for
+    a conjunction of closed-range predicates {col: (lo, hi)}."""
+    need = 0
+    for row in maps:
+        hit = all(row[c][0] <= hi and row[c][1] >= lo for c, (lo, hi) in preds.items())
+        need += hit
+    return need / max(1, len(maps))

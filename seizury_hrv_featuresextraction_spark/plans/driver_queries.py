@@ -4797,6 +4797,40 @@ def source_overlap_matrix_q(spark, sf_dir):
     )
 
 
+_ZORDER_TERMS = " + ".join(
+    f"(((len_bucket >> {b}) & 1) << {2 * b}) + (((src_bucket >> {b}) & 1) << {2 * b + 1})"
+    for b in range(8)
+)
+
+
+@q(
+    "zorder_keys_docs",
+    f"""
+    WITH d AS (SELECT doc_id,
+                      least(n_chars // 16, 255)::bigint AS len_bucket,
+                      ('0x' || substr(md5(source), 1, 2))::bigint AS src_bucket
+               FROM documents)
+    SELECT doc_id, len_bucket, src_bucket,
+           ({_ZORDER_TERMS})::bigint AS zkey
+    FROM d
+    """,
+)
+def zorder_keys_docs_q(spark, sf_dir):
+    """E66: Z-order (Morton) clustering key over (length band, source
+    hash byte) — the Delta/Iceberg OPTIMIZE ZORDER BY device.  Sorting
+    the corpus by this key makes parquet min/max zone maps tight boxes
+    in BOTH dimensions, so a predicate on either axis (or both) prunes
+    most row groups at metadata time; the write path
+    (operators/layout.py:write_zordered) adds exactly ONE range
+    exchange, amortized over every future scan.  Key computation is
+    pure integer shift/and codegen, zero shuffle, replayed bit-for-bit
+    by the twin; the measured skipping win is pytest- and BENCH-gated
+    (tests/test_layout.py, BENCH/layout.md)."""
+    from ..operators.layout import zorder_keys_docs
+
+    return zorder_keys_docs(load_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot rotation (VERDICT r4 item 1). The driver's CORRECTNESS
 # artifact records only the FIRST 50 entries of queries() in insertion

@@ -1,0 +1,98 @@
+"""E66 z-order layout: interleave replay, write-path plan shape (one
+range exchange, no global sort), and the actual point of the exercise —
+measured zone-map skipping: a two-axis box predicate must need strictly
+fewer row groups under the z-ordered layout than under the natural
+(insertion-order) layout, in BOTH dimensions."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from seizury_hrv_featuresextraction_spark.operators.layout import (
+    doc_zorder_dims,
+    scan_fraction,
+    write_zordered,
+    zone_maps,
+    zorder_key,
+    zorder_keys_docs,
+)
+
+
+def _ref_interleave(a: int, b: int, bits: int = 8) -> int:
+    out = 0
+    for i in range(bits):
+        out |= ((a >> i) & 1) << (2 * i)
+        out |= ((b >> i) & 1) << (2 * i + 1)
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # doc_id walks the grid so insertion order correlates with NEITHER
+    # dimension alone nor their box product
+    rows = [
+        (i, f"src{(i * 7) % 16}", ((i * 37) % 256) * 16 + 3, "t")
+        for i in range(4096)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, source string, n_chars int, text string")
+
+
+def test_zorder_key_matches_python_replay(spark, docs):
+    got = {
+        r.doc_id: (r.len_bucket, r.src_bucket, r.zkey)
+        for r in zorder_keys_docs(docs).collect()
+    }
+    for r in docs.select("doc_id", "source", "n_chars").collect():
+        lb = min(r.n_chars // 16, 255)
+        sb = int(hashlib.md5(r.source.encode()).hexdigest()[:2], 16)
+        assert got[r.doc_id] == (lb, sb, _ref_interleave(lb, sb)), r.doc_id
+    # key computation is scan-stage: zero exchanges, zero joins
+    plan = zorder_keys_docs(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_zorder_locality_beats_natural_layout(spark, docs, tmp_path):
+    nat, zo = str(tmp_path / "nat"), str(tmp_path / "zo")
+    # natural layout: insertion order, same file count
+    docs.repartitionByRange(16, "doc_id").sortWithinPartitions("doc_id").write.parquet(nat)
+    write_zordered(docs, zo, doc_zorder_dims(F.col("n_chars"), F.col("source")), 16)
+
+    zm_nat = zone_maps(nat, ["n_chars", "source"])
+    zm_zo = zone_maps(zo, ["n_chars", "source"])
+    assert len(zm_zo) >= 16
+
+    # box predicate: short docs (len_bucket < 64 -> n_chars < 1024)
+    # from the low source-hash half; plus each axis alone
+    for preds in (
+        {"n_chars": (0, 1023)},
+        {"n_chars": (0, 1023), "source": ("src0", "src9")},
+    ):
+        f_nat = scan_fraction(zm_nat, preds)
+        f_zo = scan_fraction(zm_zo, preds)
+        assert f_zo < f_nat, (preds, f_zo, f_nat)
+    # the box predicate must prune hard, not marginally
+    box = {"n_chars": (0, 1023)}
+    assert scan_fraction(zm_zo, box) <= 0.5
+
+    # both layouts return identical data (layout is a physical choice)
+    a = spark.read.parquet(nat).orderBy("doc_id").collect()
+    b = spark.read.parquet(zo).orderBy("doc_id").collect()
+    assert a == b
+
+
+def test_write_zordered_plan_one_range_exchange(spark, docs, tmp_path):
+    key = zorder_key(doc_zorder_dims(F.col("n_chars"), F.col("source")))
+    shaped = (
+        docs.withColumn("__zkey", key)
+        .repartitionByRange(16, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+    )
+    plan = shaped._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "rangepartitioning" in plan.lower()
+    # local sorts only — a global ORDER BY would show a second exchange
+    assert "Join" not in plan
