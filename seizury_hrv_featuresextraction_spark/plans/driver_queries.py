@@ -4831,6 +4831,69 @@ def zorder_keys_docs_q(spark, sf_dir):
     return zorder_keys_docs(load_table(spark, sf_dir, "documents"))
 
 
+def _pagerank_iter_sql(t: int) -> str:
+    """One unrolled fixed-point PageRank round (the Lloyd-unroll twin
+    family): contribution sum then damped integer update."""
+    return f"""
+    s{t} AS (SELECT e.v AS u, sum(r.rank // r.deg)::bigint AS c
+             FROM e JOIN r{t - 1} r ON e.u = r.u GROUP BY 1),
+    r{t} AS (SELECT d.u, d.deg,
+                    ((15 * (1000000000000 // (SELECT c FROM nn))) // 100
+                     + (85 * coalesce(s.c, 0)) // 100)::bigint AS rank
+             FROM deg d LEFT JOIN s{t} s ON s.u = d.u)"""
+
+
+@q(
+    "pagerank_dup_graph",
+    f"""
+    WITH w AS (SELECT doc_id, {WORDS_DD} AS ws FROM documents),
+         sh AS (SELECT doc_id,
+                       list_distinct(list_transform(generate_series(1, greatest(0, len(ws) - 2)),
+                                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sg
+                FROM w WHERE len(ws) >= 3),
+         sig AS (SELECT doc_id,
+                        list_min(list_transform(sg, s -> md5('0:' || s))) AS mh0,
+                        list_min(list_transform(sg, s -> md5('1:' || s))) AS mh1,
+                        list_min(list_transform(sg, s -> md5('2:' || s))) AS mh2,
+                        list_min(list_transform(sg, s -> md5('3:' || s))) AS mh3
+                 FROM sh),
+         bands AS (
+           SELECT doc_id, 0 AS band_idx, mh0 || '|' || mh1 AS band_val FROM sig
+           UNION ALL
+           SELECT doc_id, 1 AS band_idx, mh2 || '|' || mh3 AS band_val FROM sig),
+         p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM bands a JOIN bands b
+                 ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                AND a.doc_id < b.doc_id),
+         e AS (SELECT id_a AS u, id_b AS v FROM p
+               UNION
+               SELECT id_b AS u, id_a AS v FROM p),
+         deg AS (SELECT u, count(*)::bigint AS deg FROM e GROUP BY 1),
+         nn AS (SELECT count(*)::bigint AS c FROM deg),
+         r0 AS (SELECT u, deg, (1000000000000 // (SELECT c FROM nn))::bigint AS rank
+                FROM deg),
+    {",".join(_pagerank_iter_sql(t) for t in (1, 2, 3))}
+    SELECT u AS doc_id, deg, rank AS rank_fp FROM r3
+    """,
+)
+def pagerank_dup_graph_q(spark, sf_dir):
+    """E67: fixed-point PageRank over the LSH duplicate-pair graph —
+    boilerplate-hub centrality (a template page collides with MANY
+    otherwise-unrelated pages; centrality beats raw degree when dup
+    cliques chain).  Ranks are int64 fixed-point and every step is
+    integer arithmetic (rank div deg contributions, damped update
+    (85*sum) div 100), so iteration is bit-exact in any engine and the
+    twin unrolls the 3 rounds as CTE blocks.  Per round the shuffles
+    carry only the SPARSE edge table — the corpus never re-enters the
+    loop."""
+    from ..operators.graph import pagerank_fixed_point
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", n_hashes=4, band_size=2, shingle_words=3)
+    r = pagerank_fixed_point(pairs, iters=3)
+    return r.select(F.col("u").alias("doc_id"), "deg", "rank_fp")
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot rotation (VERDICT r4 item 1). The driver's CORRECTNESS
 # artifact records only the FIRST 50 entries of queries() in insertion
