@@ -330,6 +330,75 @@ def source_overlap_matrix(
     )
 
 
+# ---------------------------------------------------------------------------
+# E68: HDR-histogram quantile sketch.  Exact per-group quantiles of a
+# positive integer metric (doc length, token count) need a per-group
+# sort — at 100 TB a range exchange over the corpus.  An HDR-style
+# log-bucketed histogram (Tene's HdrHistogram; same family as DDSketch,
+# Charron-Bost 2019) reduces the shuffle to groups x O(4*log2(max))
+# bucket rows with a GUARANTEED relative error: each bucket spans
+# [sub << s, (sub+1) << s) with sub in [4, 8), so any quantile's true
+# value lies within +25% of the reported bucket lower bound.  The whole
+# sketch is integer shift/compare arithmetic — histograms merge by
+# bucket-count addition, rank thresholds are exact ceil-division
+# integers, and the twin replays everything bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def hdr_bucket(v: Column) -> Column:
+    """Bucket id of a non-negative int64: identity below 8, else
+    (bitlen-3)*4 + (v >> (bitlen-3)) + 4 — two mantissa bits per
+    octave.  bitlen via minimal-binary length (the E64 device)."""
+    lng = v.cast("long")
+    bl = F.length(F.conv(lng.cast("string"), 10, 2))
+    sub4 = F.call_function("shiftright", lng, (bl - 3).cast("int"))
+    return F.when(lng < 8, lng).otherwise((bl - F.lit(3)) * 4 + sub4 + 4).cast("int")
+
+
+def hdr_bucket_lower(bucket: Column) -> Column:
+    """Exact lower bound of a bucket id (its reported quantile value):
+    identity below 8, else (4 + (k-8) % 4) << ((k-8) div 4)."""
+    shift = F.floor((bucket - 8) / 4).cast("int")
+    sub4 = (bucket - 8) % 4 + 4
+    return F.when(bucket < 8, bucket.cast("long")).otherwise(
+        F.call_function("shiftleft", sub4.cast("long"), shift)
+    )
+
+
+def hdr_quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    quantiles: tuple = ((1, 2), (9, 10), (99, 100)),
+) -> DataFrame:
+    """(group, n, q<num>_<den>_lb ...) — per-group quantile lower
+    bounds at ranks ceil(q*n), each within +25% of the true order
+    statistic.  One (group, bucket) exchange (map-side combined) + one
+    tiny window over <= 4*log2(max) buckets per group."""
+    from pyspark.sql import Window
+
+    hist = (
+        df.select(F.col(group_col).alias("g"), hdr_bucket(F.col(value_col)).alias("b"))
+        .groupBy("g", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("g").orderBy("b")
+    cum = hist.select(
+        "g",
+        "b",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(Window.partitionBy("g")).alias("n"),
+        hdr_bucket_lower(F.col("b")).alias("lb"),
+    )
+    aggs = [F.max("n").alias("n")]
+    for num, den in quantiles:
+        thr = F.expr(f"({num} * n + {den} - 1) div {den}")
+        aggs.append(
+            F.min(F.when(F.col("cum") >= thr, F.col("lb"))).alias(f"q{num}_{den}_lb")
+        )
+    return cum.groupBy(F.col("g").alias(group_col)).agg(*aggs)
+
+
 def cms_heavy_ngrams(
     df: DataFrame,
     text_col: str = "text",

@@ -4831,6 +4831,44 @@ def zorder_keys_docs_q(spark, sf_dir):
     return zorder_keys_docs(load_table(spark, sf_dir, "documents"))
 
 
+@q(
+    "length_quantile_sketch",
+    """
+    WITH h AS (SELECT source,
+                      CASE WHEN n_chars < 8 THEN n_chars
+                           ELSE (length(bin(n_chars::bigint)) - 3) * 4
+                                + (n_chars // (1::bigint << (length(bin(n_chars::bigint)) - 3))) + 4
+                      END AS b
+               FROM documents),
+    hist AS (SELECT source, b, count(*)::bigint AS c FROM h GROUP BY 1, 2),
+    cum AS (SELECT source, b,
+                   sum(c) OVER (PARTITION BY source ORDER BY b) AS cum,
+                   sum(c) OVER (PARTITION BY source) AS n,
+                   CASE WHEN b < 8 THEN b::bigint
+                        ELSE ((4 + (b - 8) % 4)::bigint << ((b - 8) // 4)) END AS lb
+            FROM hist)
+    SELECT source, max(n)::bigint AS n,
+           min(CASE WHEN cum >= (1 * n + 1) // 2 THEN lb END)::bigint AS q1_2_lb,
+           min(CASE WHEN cum >= (9 * n + 9) // 10 THEN lb END)::bigint AS q9_10_lb,
+           min(CASE WHEN cum >= (99 * n + 99) // 100 THEN lb END)::bigint AS q99_100_lb
+    FROM cum GROUP BY source
+    """,
+)
+def length_quantile_sketch_q(spark, sf_dir):
+    """E68: HDR-histogram quantile sketch over doc length per source —
+    p50/p90/p99 lower bounds each within +25% of the true order
+    statistic, with the shuffle bounded at sources x O(4*log2(max))
+    bucket rows instead of the per-group sort an exact quantile needs
+    (numeric_profile's documented percentile_approx swap, made
+    deterministic).  Two mantissa bits per octave, rank thresholds
+    exact ceil-division integers, histogram merges by addition — the
+    twin replays bucket ids, bounds, and rank selection bit-for-bit."""
+    from ..operators.sketches import hdr_quantile_sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hdr_quantile_sketch(docs, "n_chars", "source")
+
+
 def _pagerank_iter_sql(t: int) -> str:
     """One unrolled fixed-point PageRank round (the Lloyd-unroll twin
     family): contribution sum then damped integer update."""

@@ -219,6 +219,107 @@ def test_hll_plan_zero_joins_two_exchanges(spark, docs_df):
 
 
 # ---------------------------------------------------------------------------
+# E68 HDR quantile sketch
+# ---------------------------------------------------------------------------
+
+
+def _ref_hdr_bucket(v: int) -> int:
+    if v < 8:
+        return v
+    bl = v.bit_length()
+    return (bl - 3) * 4 + (v >> (bl - 3)) + 4
+
+
+def _ref_hdr_lower(k: int) -> int:
+    if k < 8:
+        return k
+    return (4 + (k - 8) % 4) << ((k - 8) // 4)
+
+
+def test_hdr_bucket_replay_and_bounds(spark):
+    import math
+
+    vals = list(range(0, 200)) + [255, 256, 1000, 4095, 4096, 10**6, 10**12]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    from seizury_hrv_featuresextraction_spark.operators.sketches import (
+        hdr_bucket,
+        hdr_bucket_lower,
+    )
+
+    rows = df.select(
+        "v", hdr_bucket(F.col("v")).alias("b"),
+        hdr_bucket_lower(hdr_bucket(F.col("v"))).alias("lb"),
+    ).collect()
+    for r in rows:
+        assert r.b == _ref_hdr_bucket(r.v), r.v
+        assert r.lb == _ref_hdr_lower(r.b), r.v
+        # the defining guarantee: lb <= v < 1.25*lb (+1 below 8)
+        assert r.lb <= r.v
+        if r.v >= 8:
+            assert r.v < r.lb * 1.25, r.v
+    # bucket ids monotone in v
+    bs = [r.b for r in sorted(rows, key=lambda r: r.v)]
+    assert bs == sorted(bs)
+
+
+def test_hdr_quantiles_within_bound(spark):
+    from seizury_hrv_featuresextraction_spark.operators.sketches import (
+        hdr_quantile_sketch,
+    )
+
+    # deterministic skewed draw: lengths 10..~15000, two groups
+    rows = [("A", 10 + (i * i * 7) % 15000) for i in range(3000)] + [
+        ("B", 50 + (i * 13) % 900) for i in range(800)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {r.g: r for r in hdr_quantile_sketch(df, "v", "g").collect()}
+    import math
+
+    for g in ("A", "B"):
+        vals = sorted(v for gg, v in rows if gg == g)
+        n = len(vals)
+        assert out[g].n == n
+        for (num, den), col in (
+            ((1, 2), "q1_2_lb"),
+            ((9, 10), "q9_10_lb"),
+            ((99, 100), "q99_100_lb"),
+        ):
+            exact = vals[math.ceil(num * n / den) - 1]
+            lb = out[g][col]
+            assert lb <= exact < max(lb * 1.25, lb + 1), (g, col, lb, exact)
+
+
+def test_hdr_histogram_merges_by_addition(spark):
+    from seizury_hrv_featuresextraction_spark.operators.sketches import (
+        hdr_quantile_sketch,
+    )
+
+    rows = [("A", 10 + (i * 31) % 5000) for i in range(2000)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    whole = hdr_quantile_sketch(df, "v", "g").collect()
+    # shard, sketch each, union raw rows: same result (the histogram is
+    # a sum, so sketching the union == sketching shards and adding)
+    h1 = df.filter(F.col("v") % 2 == 0)
+    h2 = df.filter(F.col("v") % 2 != 0)
+    merged = hdr_quantile_sketch(h1.unionByName(h2), "v", "g").collect()
+    assert whole == merged
+
+
+def test_hdr_plan_two_exchanges_no_join(spark):
+    from seizury_hrv_featuresextraction_spark.operators.sketches import (
+        hdr_quantile_sketch,
+    )
+
+    df = spark.createDataFrame([("A", 10)], "g string, v long")
+    plan = (
+        hdr_quantile_sketch(df, "v", "g")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan
+    # (g, bucket) partial-agg exchange + the per-group window/final agg
+    assert plan.count("Exchange") == 2
+
+
+# ---------------------------------------------------------------------------
 # E65 source-overlap matrix (sketch-calibrated hash sample)
 # ---------------------------------------------------------------------------
 
