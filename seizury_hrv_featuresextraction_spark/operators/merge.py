@@ -62,3 +62,42 @@ def merge_upsert(
         *[F.col(f"w.{c}").alias(c) for c in payload],
         action.alias("action"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key_col: str = "doc_id", fp_col: str = "fp"
+) -> DataFrame:
+    """E69: row-level diff between two crawl snapshots — (key, kind,
+    fp_old, fp_new) with kind in {added, removed, changed}; unchanged
+    rows are dropped (at 100 TB the diff is the small output, the
+    snapshots are the big inputs).
+
+    Same Spark-first shape as merge_upsert: union with a side tag, ONE
+    key-shuffle aggregate with map-side combine — no join, no window.
+    Content identity is the caller-supplied fingerprint column (the
+    repo device: md5 over coalesce(text,'')), so 'changed' means the
+    payload hash moved, not that bytes were re-read twice.  Keys are
+    unique per snapshot (the snapshot contract merge_upsert maintains).
+    The DuckDB twin is an INDEPENDENT formulation (FULL OUTER JOIN +
+    NULL-side classification), so gate agreement checks the aggregate
+    encoding itself."""
+    tagged = (
+        old.select(key_col, fp_col)
+        .withColumn("side", F.lit(0))
+        .unionByName(new.select(key_col, fp_col).withColumn("side", F.lit(1)))
+    )
+    agg = tagged.groupBy(key_col).agg(
+        F.max("side").alias("has_new"),
+        F.min("side").alias("all_new"),
+        F.max(F.when(F.col("side") == 0, F.col(fp_col))).alias("fp_old"),
+        F.max(F.when(F.col("side") == 1, F.col(fp_col))).alias("fp_new"),
+    )
+    kind = (
+        F.when(F.col("all_new") == 1, F.lit("added"))
+        .when(F.col("has_new") == 0, F.lit("removed"))
+        .when(F.col("fp_old") != F.col("fp_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return agg.select(key_col, kind.alias("kind"), "fp_old", "fp_new").where(
+        F.col("kind") != "unchanged"
+    )

@@ -4832,6 +4832,66 @@ def zorder_keys_docs_q(spark, sf_dir):
 
 
 @q(
+    "snapshot_diff_crawls",
+    """
+    WITH v1 AS (SELECT doc_id, md5(coalesce(text, '')) AS fp FROM documents),
+    v2t AS (SELECT doc_id,
+                   CASE WHEN doc_id % 10 = 3
+                        THEN coalesce(text, '') || ' rev2 marker'
+                        ELSE coalesce(text, '') END AS text
+            FROM documents WHERE doc_id % 20 <> 7
+            UNION ALL
+            SELECT doc_id + 100000000 AS doc_id, coalesce(text, '') AS text
+            FROM documents WHERE doc_id % 25 = 0),
+    v2 AS (SELECT doc_id, md5(text) AS fp FROM v2t),
+    j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                 a.fp AS fp_old, b.fp AS fp_new
+          FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+    SELECT doc_id,
+           CASE WHEN fp_old IS NULL THEN 'added'
+                WHEN fp_new IS NULL THEN 'removed'
+                WHEN fp_old <> fp_new THEN 'changed'
+                ELSE 'unchanged' END AS kind,
+           fp_old, fp_new
+    FROM j
+    WHERE (fp_old IS NULL OR fp_new IS NULL OR fp_old <> fp_new)
+    """,
+)
+def snapshot_diff_crawls_q(spark, sf_dir):
+    """E69: row-level snapshot diff (added/removed/changed) between a
+    crawl and its successor — the audit half of the E54 MERGE story.
+    Spark side is the union + ONE key-aggregate device (no join, no
+    window; map-side combine folds both sides' fingerprints per key);
+    the twin is an INDEPENDENT FULL OUTER JOIN formulation, so the
+    gate cross-checks the aggregate encoding.  v2 is derived
+    deterministically in both engines: drop doc_id%20==7, rewrite
+    doc_id%10==3, add doc_id%25==0 under offset ids (+1e8 — outside any
+    stress-replica id space; the +1e6 form collided with sf1.0
+    replica-1 ids and broke the unique-key snapshot contract)."""
+    from ..operators.merge import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    v1 = docs.select("doc_id", F.md5(txt).alias("fp"))
+    v2 = (
+        docs.where(F.col("doc_id") % 20 != 7)
+        .select(
+            "doc_id",
+            F.md5(
+                F.when(F.col("doc_id") % 10 == 3, F.concat(txt, F.lit(" rev2 marker")))
+                .otherwise(txt)
+            ).alias("fp"),
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 25 == 0).select(
+                (F.col("doc_id") + 100000000).alias("doc_id"), F.md5(txt).alias("fp")
+            )
+        )
+    )
+    return snapshot_diff(v1, v2, "doc_id", "fp")
+
+
+@q(
     "length_quantile_sketch",
     """
     WITH h AS (SELECT source,

@@ -44,3 +44,45 @@ def test_merge_plan_is_one_exchange_no_join(spark):
     plan = merge_upsert(cur, upd)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan and "Window" not in plan
+
+
+# ---------------------------------------------------------------------------
+# E69 snapshot diff
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_diff_kinds(spark):
+    from seizury_hrv_featuresextraction_spark.operators.merge import snapshot_diff
+
+    v1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "doc_id long, fp string"
+    )
+    v2 = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d"), (5, "e")], "doc_id long, fp string"
+    )
+    got = {r.doc_id: (r.kind, r.fp_old, r.fp_new) for r in snapshot_diff(v1, v2).collect()}
+    assert got == {
+        2: ("changed", "b", "B"),
+        3: ("removed", "c", None),
+        5: ("added", None, "e"),
+    }  # key 1 and 4 unchanged -> dropped
+
+
+def test_snapshot_diff_empty_sides(spark):
+    from seizury_hrv_featuresextraction_spark.operators.merge import snapshot_diff
+
+    v = spark.createDataFrame([(1, "a")], "doc_id long, fp string")
+    empty = spark.createDataFrame([], "doc_id long, fp string")
+    assert [r.kind for r in snapshot_diff(v, empty).collect()] == ["removed"]
+    assert [r.kind for r in snapshot_diff(empty, v).collect()] == ["added"]
+    assert snapshot_diff(v, v).collect() == []
+
+
+def test_snapshot_diff_plan_one_exchange_no_join(spark):
+    from seizury_hrv_featuresextraction_spark.operators.merge import snapshot_diff
+
+    v1 = spark.createDataFrame([(1, "a")], "doc_id long, fp string")
+    v2 = spark.createDataFrame([(1, "b")], "doc_id long, fp string")
+    plan = snapshot_diff(v1, v2)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan and "Window" not in plan
