@@ -302,6 +302,11 @@ def source_overlap_matrix(
         "long"
     )
     samp = occ.select("g", h.alias("h")).where(F.col("h") < F.lit(t)).distinct()
+    # the sampled set feeds three consumers (sizes + both join sides);
+    # Catalyst shares no subplans, so without this the CORPUS is
+    # re-scanned per consumer — checkpointing the tiny sample caps the
+    # whole operator at two corpus reads (HLL pass + sample pass)
+    samp = samp.localCheckpoint(eager=True)
     sizes = samp.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
     shared = (
         samp.alias("a")
