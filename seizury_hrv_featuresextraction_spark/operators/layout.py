@@ -68,20 +68,99 @@ def zorder_keys_docs(df: DataFrame, bits: int = 8) -> DataFrame:
 
 
 def write_zordered(
-    df: DataFrame, path: str, dims: list[Column], n_files: int, bits: int = 8
+    df: DataFrame,
+    path: str,
+    dims: list[Column],
+    n_files: int,
+    bits: int = 8,
+    keep_key: bool = False,
 ) -> None:
     """Cluster ``df`` into ``n_files`` files ordered by the z-key of
-    ``dims``: ONE range exchange + local sorts (never a global sort),
-    then drop the key — skipping works off the raw columns' zone maps."""
+    ``dims``: ONE range exchange + local sorts (never a global sort).
+    By default the key is dropped — skipping works off the raw columns'
+    zone maps; ``keep_key=True`` stores it as ``__zkey`` so the table
+    can be INCREMENTALLY compacted (compact_zordered below) — the
+    Iceberg sort-order-metadata trade, one long column at rest."""
     key = zorder_key(dims, bits)
-    (
+    shaped = (
         df.withColumn("__zkey", key)
         .repartitionByRange(n_files, "__zkey")
         .sortWithinPartitions("__zkey")
-        .drop("__zkey")
-        .write.mode("overwrite")
-        .parquet(path)
     )
+    if not keep_key:
+        shaped = shaped.drop("__zkey")
+    shaped.write.mode("overwrite").parquet(path)
+
+
+def compact_zordered(
+    spark,
+    path: str,
+    new_df: DataFrame,
+    dims: list[Column],
+    bits: int = 8,
+) -> dict:
+    """E70: incremental OPTIMIZE for a ``keep_key`` z-ordered table —
+    fold a (small) new batch in WITHOUT rewriting the table.
+
+    Ingest writes land as small unclustered files; a full re-sort is a
+    corpus-sized range shuffle every time.  Instead: read the existing
+    files' __zkey ranges from their parquet FOOTERS (zone_maps — no
+    data pages touched), assign each new row to the file whose range
+    owns its z-key (range-partition boundaries recovered from
+    metadata), and rewrite ONLY the touched files, each merged with its
+    assigned rows and re-sorted locally.  Untouched files are not
+    opened, not rewritten, not even read — compaction cost scales with
+    the BATCH, not the table.  Returns {"touched": [...], "kept": n}.
+    Layout invariants (file-disjoint zkey ranges, zone-map skipping,
+    read-back equality with a full re-sort) are pytest-pinned
+    (tests/test_layout.py)."""
+    import os
+
+    maps = zone_maps(path, ["__zkey"])
+    # per-file zkey range (one row group per file in this layout; take
+    # the span defensively if there are several)
+    ranges: dict[str, tuple] = {}
+    for row in maps:
+        lo, hi = row["__zkey"]
+        cur = ranges.get(row["file"])
+        ranges[row["file"]] = (
+            (lo, hi) if cur is None else (min(cur[0], lo), max(cur[1], hi))
+        )
+    # range-partition ownership: file f owns [lo_f, lo_{f+1})
+    order = sorted(ranges, key=lambda f: ranges[f][0])
+    bounds = [ranges[f][0] for f in order]
+
+    key = zorder_key(dims, bits)
+    batch = new_df.withColumn("__zkey", key)
+    # ownership as a literal CASE chain over the bounded file list —
+    # evaluated scan-stage on the batch, no join
+    owner = F.lit(order[0])
+    for f, lo in zip(order[1:], bounds[1:]):
+        owner = F.when(F.col("__zkey") >= F.lit(lo), F.lit(f)).otherwise(owner)
+    batch = batch.withColumn("__owner", owner)
+
+    touched = [r["__owner"] for r in batch.select("__owner").distinct().collect()]
+    for f in touched:
+        old = spark.read.parquet(os.path.join(path, f))
+        add = batch.where(F.col("__owner") == f).drop("__owner").select(*old.columns)
+        merged = old.unionByName(add).coalesce(1).sortWithinPartitions("__zkey")
+        tmp = os.path.join(path, "_compact_" + f)
+        merged.write.mode("overwrite").parquet(tmp)
+        import glob
+        import shutil
+
+        part = glob.glob(os.path.join(tmp, "*.parquet"))[0]
+        os.replace(part, os.path.join(path, f))
+        # Hadoop's local FS keeps .<name>.crc sidecars; the original
+        # write's checksum is stale for the replaced bytes
+        crc = os.path.join(path, f".{f}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+        shutil.rmtree(tmp)
+    # in-place replacement invalidates Spark's cached file statuses
+    # (size mismatch -> FAILED_READ_FILE on the next scan otherwise)
+    spark.catalog.refreshByPath(path)
+    return {"touched": sorted(touched), "kept": len(order) - len(touched)}
 
 
 def zone_maps(path: str, cols: list[str]) -> list[dict]:

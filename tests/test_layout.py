@@ -96,3 +96,91 @@ def test_write_zordered_plan_one_range_exchange(spark, docs, tmp_path):
     assert "rangepartitioning" in plan.lower()
     # local sorts only — a global ORDER BY would show a second exchange
     assert "Join" not in plan
+
+
+# ---------------------------------------------------------------------------
+# E70 incremental compaction
+# ---------------------------------------------------------------------------
+
+
+def test_compact_zordered_touches_only_owning_files(spark, docs, tmp_path):
+    import glob
+    import os
+
+    from seizury_hrv_featuresextraction_spark.operators.layout import (
+        compact_zordered,
+    )
+
+    path = str(tmp_path / "maintained")
+    dims = doc_zorder_dims(F.col("n_chars"), F.col("source"))
+    write_zordered(docs, path, dims, 16, keep_key=True)
+    before = {
+        os.path.basename(f): open(f, "rb").read()
+        for f in glob.glob(path + "/*.parquet")
+    }
+
+    # a tight batch: one source, narrow length band -> few zkey ranges
+    batch = spark.createDataFrame(
+        [(100000 + i, "src1", 40 + i, "new") for i in range(30)],
+        "doc_id long, source string, n_chars int, text string",
+    )
+    res = compact_zordered(spark, path, batch, dims)
+    assert res["touched"] and len(res["touched"]) <= 4
+    assert res["kept"] >= 12
+
+    after = {
+        os.path.basename(f): open(f, "rb").read()
+        for f in glob.glob(path + "/*.parquet")
+    }
+    assert set(after) == set(before)  # same file names, no extras
+    for name in before:
+        if name in res["touched"]:
+            assert after[name] != before[name]
+        else:
+            assert after[name] == before[name]  # untouched = byte-identical
+
+    # read-back equals base + batch exactly
+    got = {
+        r.doc_id for r in spark.read.parquet(path).select("doc_id").collect()
+    }
+    want = {r.doc_id for r in docs.select("doc_id").collect()} | {
+        100000 + i for i in range(30)
+    }
+    assert got == want
+
+    # layout invariant: files still z-sorted internally and their zkey
+    # ranges still pairwise disjoint (so skipping math is preserved)
+    from seizury_hrv_featuresextraction_spark.operators.layout import zone_maps
+
+    spans = {}
+    for row in zone_maps(path, ["__zkey"]):
+        lo, hi = row["__zkey"]
+        cur = spans.get(row["file"])
+        spans[row["file"]] = (lo, hi) if cur is None else (min(cur[0], lo), max(cur[1], hi))
+    ordered = sorted(spans.values())
+    for (l1, h1), (l2, h2) in zip(ordered, ordered[1:]):
+        assert h1 <= l2, (ordered,)
+
+
+def test_compact_zordered_empty_batch_is_noop(spark, docs, tmp_path):
+    import glob
+    import os
+
+    from seizury_hrv_featuresextraction_spark.operators.layout import (
+        compact_zordered,
+    )
+
+    path = str(tmp_path / "noop")
+    dims = doc_zorder_dims(F.col("n_chars"), F.col("source"))
+    write_zordered(docs, path, dims, 8, keep_key=True)
+    before = sorted(
+        (os.path.basename(f), os.path.getsize(f))
+        for f in glob.glob(path + "/*.parquet")
+    )
+    res = compact_zordered(spark, path, docs.limit(0), dims)
+    assert res == {"touched": [], "kept": 8}
+    after = sorted(
+        (os.path.basename(f), os.path.getsize(f))
+        for f in glob.glob(path + "/*.parquet")
+    )
+    assert after == before
