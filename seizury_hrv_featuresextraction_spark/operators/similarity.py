@@ -438,3 +438,109 @@ def finalize_cluster_profile(raw: DataFrame) -> DataFrame:
             6,
         ).alias("var"),
     )
+
+
+# ---------------------------------------------------------------------------
+# E71: deterministic top principal component over int8-quantized
+# embeddings — the drift/variance-axis diagnostic for a maintained
+# embedding index (complements E57/E62's per-cluster moments with the
+# cross-dimension structure they cannot see).  Float PCA is shuffle-
+# order-dependent (covariance sums) and library-dependent (eigensolver
+# sign/convergence); instead everything is integer:
+#   * int8 codes from the E59 scales (bit-reproducible),
+#   * centered Gram via the sufficient-statistics identity
+#     G[i,j] = n*S_ij - S_i*S_j — exact int64 at tested scales (the
+#     at-rest form for >~1e10 rows is decimal(38), same identity),
+#   * fixed-point power iteration with sign-split magnitude division
+#     (sign(w) * (|w| div d)) so truncation is identical in Python,
+#     Spark and DuckDB (// floors, Spark div truncates — only agree
+#     on non-negatives),
+#   * sign canonicalized: loading at the smallest nonzero index > 0.
+# The corpus-sized work (code + Gram stats) is distributed with
+# map-side combine (exchange bounded at dim^2 rows per task); the
+# dim x dim iteration is driver-side pure-int (bounded-collect family,
+# like the CMS fold).  The twin recomputes stats AND the unrolled
+# iteration entirely in SQL — an independent integer-for-integer replay.
+# ---------------------------------------------------------------------------
+
+PCA_V_SCALE = 1 << 20
+PCA_G_SHIFT = 30
+
+
+def _pca_div(w: int, d: int) -> int:
+    """sign-split magnitude division — floor/trunc-agnostic."""
+    return -((-w) // d) if w < 0 else w // d
+
+
+def quantized_gram(
+    corpus: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id", dim: int = 64
+) -> tuple:
+    """Distributed sufficient statistics: (n, S[dim], G[dim][dim]) with
+    G the centered integer Gram n*S_ij - S_i*S_j.
+
+    Codes use ONE GLOBAL scale (corpus maxabs / 127), not E59's per-dim
+    scales: per-dim scaling variance-normalizes every dimension, which
+    erases exactly the variance structure PCA exists to find (measured:
+    a planted dominant axis drops from cos 0.9999 to cos 0.008 under
+    per-dim scales on modular-noise data)."""
+    m = corpus.select(
+        F.max(F.array_max(F.transform(to_double(F.col(vec_col)), F.abs))).alias("m")
+    ).collect()[0]["m"]
+    gscale = m / 127.0 if m and m > 0.0 else 1.0
+    scales = [gscale] * dim
+    codes = corpus.select(quantize_vec(to_double(F.col(vec_col)), scales).alias("c"))
+    # materialize codes ONCE: the double posexplode below otherwise
+    # re-inlines the 64-element quantize transform into every (i, j)
+    # pair row (the r7 lambda re-inline finding — measured 40x here),
+    # and the si/sij jobs share the materialization; at rest codes are
+    # 16x smaller than the float input
+    codes = codes.localCheckpoint(eager=True)
+    ex = codes.select(F.posexplode("c").alias("i", "ci"), F.col("c"))
+    sij = (
+        ex.select("i", "ci", F.posexplode("c").alias("j", "cj"))
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("ci") * F.col("cj")).alias("s"))
+        .collect()
+    )
+    si_rows = ex.groupBy("i").agg(
+        F.sum("ci").alias("s"), F.count(F.lit(1)).alias("n")
+    ).collect()
+    n = si_rows[0]["n"] if si_rows else 0
+    s = [0] * dim
+    for r in si_rows:
+        s[r["i"]] = r["s"]  # posexplode is 0-based
+    g = [[0] * dim for _ in range(dim)]
+    for r in sij:
+        g[r["i"]][r["j"]] = n * r["s"] - s[r["i"]] * s[r["j"]]
+    return n, s, g
+
+
+def pca_top_component(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    iters: int = 3,
+) -> DataFrame:
+    """(d 1-based, loading_fp) — the dominant variance axis of the
+    quantized corpus as fixed-point integers (scale 2^20), bit-equal
+    in any engine."""
+    spark = corpus.sparkSession
+    n, s, g = quantized_gram(corpus, vec_col, id_col, dim)
+    if n == 0:
+        return spark.createDataFrame([], "d long, loading_fp long")
+    gmax = max((abs(x) for row in g for x in row), default=0)
+    gd = max(1, gmax >> PCA_G_SHIFT)
+    gn = [[_pca_div(x, gd) for x in row] for row in g]
+    v = [PCA_V_SCALE] * dim
+    for _ in range(iters):
+        w = [sum(gn[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        wmax = max(abs(x) for x in w)
+        wd = max(1, wmax >> 20)
+        v = [_pca_div(x, wd) for x in w]
+    flip = next((x for x in v if x != 0), 1)
+    if flip < 0:
+        v = [-x for x in v]
+    return spark.createDataFrame(
+        [(i + 1, v[i]) for i in range(dim)], "d long, loading_fp long"
+    )

@@ -4633,13 +4633,12 @@ def split_leakage_audit_q(spark, sf_dir):
     """
     WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v
                FROM embeddings WHERE vec_id < 300),
-    mx AS (SELECT i AS d, max(abs(v[i])) AS m
-           FROM e, unnest(generate_series(1, 64)) AS t(i) GROUP BY i),
-    sc AS (SELECT list(CASE WHEN m > 0 THEN m / 127.0 ELSE 1.0 END ORDER BY d) AS sl
-           FROM mx),
-    qz AS (SELECT vec_id,
+    sc AS (SELECT CASE WHEN m > 0 THEN m / 127.0 ELSE 1.0 END AS s
+           FROM (SELECT max(abs(v[i])) AS m
+                 FROM e, unnest(generate_series(1, 64)) AS t(i))),
+    qz AS MATERIALIZED (SELECT vec_id,
                   list_transform(generate_series(1, 64),
-                      i -> greatest(-127, least(127, floor(v[i] / sl[i] + 0.5)))::bigint) AS c
+                      i -> greatest(-127, least(127, floor(v[i] / s + 0.5)))::bigint) AS c
            FROM e, sc),
     scored AS (
       SELECT qs.vec_id AS query_id, a.vec_id AS corpus_id,
@@ -4829,6 +4828,69 @@ def zorder_keys_docs_q(spark, sf_dir):
     from ..operators.layout import zorder_keys_docs
 
     return zorder_keys_docs(load_table(spark, sf_dir, "documents"))
+
+
+def _pca_iter_sql(t: int) -> str:
+    """One unrolled fixed-point power-iteration round: matvec, scale
+    recovery, sign-split magnitude division (floor/trunc-agnostic)."""
+    return f"""
+    w{t} AS (SELECT gn.i AS d, sum(gn.g * v.v)::bigint AS w
+             FROM gn JOIN v{t - 1} v ON v.d = gn.j GROUP BY 1),
+    wd{t} AS (SELECT greatest(1, max(abs(w)) >> 20)::bigint AS d FROM w{t}),
+    v{t} AS (SELECT d, (CASE WHEN w >= 0 THEN w // (SELECT d FROM wd{t})
+                             ELSE -((-w) // (SELECT d FROM wd{t})) END)::bigint AS v
+             FROM w{t})"""
+
+
+@q(
+    "pca_top_component_embeddings",
+    f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v
+               FROM embeddings),
+    sc AS (SELECT CASE WHEN m > 0 THEN m / 127.0 ELSE 1.0 END AS s
+           FROM (SELECT max(abs(v[i])) AS m
+                 FROM e, unnest(generate_series(1, 64)) AS t(i))),
+    qz AS MATERIALIZED (SELECT vec_id,
+                  list_transform(generate_series(1, 64),
+                      i -> greatest(-127, least(127, floor(v[i] / s + 0.5)))::bigint) AS c
+           FROM e, sc),
+    nn AS (SELECT count(*)::bigint AS n FROM qz),
+    si AS (SELECT i, sum(c[i])::bigint AS s
+           FROM qz, unnest(generate_series(1, 64)) AS t(i) GROUP BY i),
+    sij AS MATERIALIZED (SELECT i, j, sum(c[i] * c[j])::bigint AS s
+            FROM qz, unnest(generate_series(1, 64)) AS t(i),
+                      unnest(generate_series(1, 64)) AS t2(j)
+            GROUP BY i, j),
+    g AS MATERIALIZED (SELECT sij.i, sij.j,
+                 ((SELECT n FROM nn) * sij.s - a.s * b.s)::bigint AS g
+          FROM sij JOIN si a ON a.i = sij.i JOIN si b ON b.i = sij.j),
+    gm AS (SELECT greatest(1, max(abs(g)) >> 30)::bigint AS d FROM g),
+    gn AS MATERIALIZED (SELECT i, j, (CASE WHEN g >= 0 THEN g // (SELECT d FROM gm)
+                              ELSE -((-g) // (SELECT d FROM gm)) END)::bigint AS g
+           FROM g),
+    v0 AS (SELECT DISTINCT i AS d, 1048576::bigint AS v FROM gn),
+    {",".join(_pca_iter_sql(t) for t in (1, 2, 3))},
+    fl AS (SELECT (CASE WHEN v < 0 THEN -1 ELSE 1 END)::bigint AS f
+           FROM v3 WHERE v <> 0 ORDER BY d LIMIT 1)
+    SELECT d::bigint AS d,
+           (v * coalesce((SELECT f FROM fl), 1))::bigint AS loading_fp
+    FROM v3
+    """,
+)
+def pca_top_component_embeddings_q(spark, sf_dir):
+    """E71: deterministic top principal component of the int8-quantized
+    embedding corpus (scale 2^20 fixed point) — the drift/variance-axis
+    diagnostic.  Gram statistics are exact integers via
+    G = n*S_ij - S_i*S_j over E59 codes (distributed, exchange bounded
+    at dim^2 rows per task); the dim x dim power iteration is integer
+    fixed-point with sign-split magnitude division so Python, Spark and
+    DuckDB truncate identically.  The twin replays quantization, Gram,
+    and all three unrolled iterations ENTIRELY in SQL — an independent
+    integer-for-integer derivation of the same vector."""
+    from ..operators.similarity import pca_top_component
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_top_component(emb, "embedding", "vec_id", dim=64, iters=3)
 
 
 @q(

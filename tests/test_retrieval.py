@@ -354,3 +354,111 @@ def test_merge_cluster_profiles_plan_bounded_exchange(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     row = out.collect()[0]
     assert (row.n, row.s, row.s2) == (5, 3.0, 7.0)
+
+
+# ---------------------------------------------------------------------------
+# E71 deterministic PCA top component
+# ---------------------------------------------------------------------------
+
+
+def _pca_ref(vecs, iters=3):
+    """Pure-python integer replay of the whole E71 pipeline."""
+    import math
+
+    dim = len(vecs[0])
+    m = max(abs(x) for v in vecs for x in v)
+    s = m / 127.0 if m > 0 else 1.0  # GLOBAL scale — per-dim kills PCA
+    codes = [
+        [max(-127, min(127, math.floor(v[i] / s + 0.5))) for i in range(dim)]
+        for v in vecs
+    ]
+    n = len(codes)
+    s = [sum(c[i] for c in codes) for i in range(dim)]
+    sij = [[sum(c[i] * c[j] for c in codes) for j in range(dim)] for i in range(dim)]
+    g = [[n * sij[i][j] - s[i] * s[j] for j in range(dim)] for i in range(dim)]
+
+    def sdiv(w, d):
+        return -((-w) // d) if w < 0 else w // d
+
+    gd = max(1, max(abs(x) for row in g for x in row) >> 30)
+    gn = [[sdiv(x, gd) for x in row] for row in g]
+    v = [1 << 20] * dim
+    for _ in range(iters):
+        w = [sum(gn[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        wd = max(1, max(abs(x) for x in w) >> 20)
+        v = [sdiv(x, wd) for x in w]
+    flip = next((x for x in v if x != 0), 1)
+    return [-x for x in v] if flip < 0 else v
+
+
+def _planted_vecs(n=400, dim=16):
+    # strong planted axis: dominant direction e0+e1, plus small
+    # deterministic noise on every dim
+    out = []
+    for r in range(n):
+        a = ((r * 37) % 19) - 9  # strong signed coefficient
+        v = [0.01 * (((r * 13 + i * 7) % 11) - 5) for i in range(dim)]
+        v[0] += a * 1.0
+        v[1] += a * 0.8
+        out.append(v)
+    return out
+
+
+def test_pca_matches_integer_replay(spark):
+    from seizury_hrv_featuresextraction_spark.operators.similarity import (
+        pca_top_component,
+    )
+
+    vecs = _planted_vecs()
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r.d: r.loading_fp
+        for r in pca_top_component(df, dim=16, iters=3).collect()
+    }
+    # replay must run on the float32-rounded values Spark reads
+    import numpy as np
+
+    vecs32 = [list(map(float, np.array(v, dtype=np.float32))) for v in vecs]
+    want = _pca_ref(vecs32, iters=3)
+    assert got == {i + 1: want[i] for i in range(16)}
+
+
+def test_pca_finds_planted_axis(spark):
+    import numpy as np
+
+    from seizury_hrv_featuresextraction_spark.operators.similarity import (
+        pca_top_component,
+    )
+
+    vecs = _planted_vecs()
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    out = pca_top_component(df, dim=16, iters=8).collect()
+    v = np.array([r.loading_fp for r in sorted(out, key=lambda r: r.d)], float)
+    axis = np.zeros(16)
+    axis[0], axis[1] = 1.0, 0.8
+    cos = abs(v @ axis) / (np.linalg.norm(v) * np.linalg.norm(axis))
+    assert cos > 0.99, cos
+
+
+def test_pca_partitioning_invariance(spark):
+    from seizury_hrv_featuresextraction_spark.operators.similarity import (
+        pca_top_component,
+    )
+
+    vecs = _planted_vecs(n=120)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    a = sorted((r.d, r.loading_fp) for r in pca_top_component(df, dim=16).collect())
+    b = sorted(
+        (r.d, r.loading_fp)
+        for r in pca_top_component(df.repartition(17), dim=16).collect()
+    )
+    assert a == b
