@@ -149,3 +149,35 @@ def asof_join_pandas(
         return merged
 
     return left.groupBy(by).cogroup(right.groupBy(by)).applyInPandas(merge, schema=out_schema)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    left_ts: str,
+    right_ts: str,
+    lower_s: int,
+    upper_s: int,
+) -> DataFrame:
+    """E72: time-interval (range) join — every (l, r) pair sharing
+    ``by`` with r.ts in [l.ts + lower_s, l.ts + upper_s].  The
+    many-to-many companion to the as-of join above (as-of keeps ONE
+    match; this keeps the window of them — alarm-to-context lookups,
+    impression/conversion attribution).
+
+    Native equi-join on the key with the range as a join predicate —
+    one shuffle per side on ``by``, never a cartesian; Spark pushes the
+    range into the sort-merge join's condition.  The SAME expression
+    tree is a genuine STREAM-STREAM join under Structured Streaming:
+    with watermarks on both inputs the range predicate bounds each
+    side's buffered state exactly as the Structured Streaming join
+    paper prescribes (tests/test_streaming_interval_join.py pins
+    drained == batch and state cleanup across triggers)."""
+    lts, rts = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    cond = (
+        (F.col(f"l.{by}") == F.col(f"r.{by}"))
+        & (rts >= lts + F.expr(f"INTERVAL {lower_s} SECONDS"))
+        & (rts <= lts + F.expr(f"INTERVAL {upper_s} SECONDS"))
+    )
+    return left.alias("l").join(right.alias("r"), cond)

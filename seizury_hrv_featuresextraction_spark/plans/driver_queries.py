@@ -4633,12 +4633,13 @@ def split_leakage_audit_q(spark, sf_dir):
     """
     WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v
                FROM embeddings WHERE vec_id < 300),
-    sc AS (SELECT CASE WHEN m > 0 THEN m / 127.0 ELSE 1.0 END AS s
-           FROM (SELECT max(abs(v[i])) AS m
-                 FROM e, unnest(generate_series(1, 64)) AS t(i))),
-    qz AS MATERIALIZED (SELECT vec_id,
+    mx AS (SELECT i AS d, max(abs(v[i])) AS m
+           FROM e, unnest(generate_series(1, 64)) AS t(i) GROUP BY i),
+    sc AS (SELECT list(CASE WHEN m > 0 THEN m / 127.0 ELSE 1.0 END ORDER BY d) AS sl
+           FROM mx),
+    qz AS (SELECT vec_id,
                   list_transform(generate_series(1, 64),
-                      i -> greatest(-127, least(127, floor(v[i] / s + 0.5)))::bigint) AS c
+                      i -> greatest(-127, least(127, floor(v[i] / sl[i] + 0.5)))::bigint) AS c
            FROM e, sc),
     scored AS (
       SELECT qs.vec_id AS query_id, a.vec_id AS corpus_id,
@@ -4891,6 +4892,41 @@ def pca_top_component_embeddings_q(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return pca_top_component(emb, "embedding", "vec_id", dim=64, iters=3)
+
+
+@q(
+    "interval_join_events",
+    """
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id AS user_id,
+           (floor(epoch(c.ts)) - floor(epoch(p.ts)))::bigint AS lag_s
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts + INTERVAL 0 SECOND
+     AND c.ts <= p.ts + INTERVAL 600 SECOND
+    """,
+)
+def interval_join_events_q(spark, sf_dir):
+    """E72: time-interval (range) join — every click within 10 minutes
+    AFTER a purchase by the same user (attribution-window semantics;
+    the many-to-many companion to the as-of join, which keeps only one
+    match).  Native equi-join on user_id with the range predicate
+    folded into the sort-merge condition — one shuffle per side, never
+    a cartesian.  The SAME expression tree runs as a genuine
+    watermarked STREAM-STREAM join (pytest pins drained == batch)."""
+    from ..operators.asof import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase")
+    c = ev.where(F.col("event_type") == "click")
+    out = interval_join(p, c, "user_id", "ts", "ts", 0, 600)
+    return out.select(
+        F.col("l.event_id").alias("purchase_id"),
+        F.col("r.event_id").alias("click_id"),
+        F.col("l.user_id").alias("user_id"),
+        (F.unix_timestamp("r.ts") - F.unix_timestamp("l.ts")).alias("lag_s"),
+    )
 
 
 @q(
