@@ -329,3 +329,40 @@ def wav_features(media: DataFrame, payload_col: str = "payload") -> DataFrame:
                 yield pa.RecordBatch.from_pylist(rows, schema=schema)
 
     return parsed.mapInArrow(gen, schema=WAV_FEATURES_SCHEMA)
+
+
+def _be_int(hex_col, byte_off: int, nbytes: int):
+    """Big-endian unsigned int from a hex string of the payload:
+    bytes ``byte_off..byte_off+nbytes-1`` (1-based) — in big-endian the
+    hex substring is already in digit order."""
+    return F.conv(F.substring(hex_col, 2 * byte_off - 1, 2 * nbytes), 16, 10).cast("long")
+
+
+def png_header(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """E10c: parse the PNG signature + IHDR chunk with native column
+    expressions only — magic (89 50 4E 47 0D 0A 1A 0A), 'IHDR' type,
+    big-endian width/height, bit depth, color type, interlace — the
+    image counterpart of ``wav_header`` (little-endian RIFF).  Adds
+    ``png_valid`` instead of filtering (quarantine-vs-drop stays with
+    the caller).  Whole-stage-codegen string math over the first 33
+    bytes; the compressed image data is never touched — at 100 TB the
+    dimension/color census costs a header read per file.  Pixel DECODE
+    remains the declared stub boundary (image_features above)."""
+    h = F.hex(F.expr(f"substring({payload_col}, 1, 33)"))
+    df = (
+        media.withColumn("__h33", h)
+        .withColumn("width", _be_int(F.col("__h33"), 17, 4))
+        .withColumn("height", _be_int(F.col("__h33"), 21, 4))
+        .withColumn("bit_depth", _be_int(F.col("__h33"), 25, 1))
+        .withColumn("color_type", _be_int(F.col("__h33"), 26, 1))
+        .withColumn("interlace", _be_int(F.col("__h33"), 29, 1))
+    )
+    magics = (
+        (F.substring("__h33", 1, 16) == "89504E470D0A1A0A")
+        & (F.substring("__h33", 17, 8) == "0000000D")   # IHDR length 13
+        & (F.substring("__h33", 25, 8) == "49484452")   # 'IHDR'
+    )
+    return df.withColumn(
+        "png_valid",
+        magics & F.col("bit_depth").isin(1, 2, 4, 8, 16) & (F.col("width") > 0) & (F.col("height") > 0),
+    ).drop("__h33")

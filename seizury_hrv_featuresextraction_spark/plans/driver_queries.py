@@ -4895,6 +4895,79 @@ def pca_top_component_embeddings_q(spark, sf_dir):
 
 
 @q(
+    "png_header_stats",
+    """
+    WITH p AS (SELECT doc_id,
+                      16 + doc_id % 2048 AS w,
+                      16 + (doc_id * 7) % 2048 AS ht,
+                      hex(encode(coalesce(text, ''))) AS body
+               FROM documents),
+    ph AS (SELECT doc_id,
+                  '89504E470D0A1A0A' || '0000000D' || '49484452'
+                  || printf('%08X', w) || printf('%08X', ht)
+                  || '0802000000' || 'DEADBEEF' || body AS hx
+           FROM p),
+    parsed AS (SELECT doc_id,
+                      ('0x' || substr(hx, 33, 8))::bigint AS width,
+                      ('0x' || substr(hx, 41, 8))::bigint AS height,
+                      ('0x' || substr(hx, 49, 2))::bigint AS bit_depth,
+                      ('0x' || substr(hx, 51, 2))::bigint AS color_type,
+                      ('0x' || substr(hx, 57, 2))::bigint AS interlace,
+                      substr(hx, 1, 16) = '89504E470D0A1A0A'
+                      AND substr(hx, 17, 8) = '0000000D'
+                      AND substr(hx, 25, 8) = '49484452' AS magic_ok,
+                      ((length(hx) - 66) // 2)::bigint AS body_bytes
+               FROM ph)
+    SELECT 'm' || doc_id::varchar AS media_id, width, height, bit_depth,
+           color_type, interlace,
+           (magic_ok AND bit_depth IN (1, 2, 4, 8, 16)
+            AND width > 0 AND height > 0) AS png_valid,
+           (width * height)::bigint AS n_pixels, body_bytes
+    FROM parsed
+    """,
+)
+def png_header_stats_q(spark, sf_dir):
+    """E10c: native PNG signature/IHDR parse — the image counterpart
+    of the WAV container parse (big-endian hex arithmetic instead of
+    little-endian).  Each document's bytes are wrapped in a canonical
+    PNG header (deterministic width/height from doc_id) in BOTH
+    engines; the operator then parses REAL binary: dimensions, depth,
+    color type, interlace, validity — the dimension/color census a
+    100 TB image corpus needs at header-read cost, with pixel decode
+    staying the declared stub boundary."""
+    from ..operators.multimodal import png_header
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = (16 + F.col("doc_id") % 2048).cast("long")
+    ht = (16 + (F.col("doc_id") * 7) % 2048).cast("long")
+    hdr_hex = F.concat(
+        F.lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+        F.lpad(F.hex(w), 8, "0"),
+        F.lpad(F.hex(ht), 8, "0"),
+        F.lit("0802000000" + "DEADBEEF"),
+    )
+    media = docs.select(
+        F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.concat(
+            F.unhex(hdr_hex),
+            F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8"),
+        ).alias("payload"),
+    )
+    out = png_header(media, "payload")
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        "bit_depth",
+        "color_type",
+        "interlace",
+        "png_valid",
+        (F.col("width") * F.col("height")).alias("n_pixels"),
+        (F.octet_length("payload") - F.lit(33)).cast("long").alias("body_bytes"),
+    )
+
+
+@q(
     "interval_join_events",
     """
     SELECT p.event_id AS purchase_id, c.event_id AS click_id,

@@ -1175,3 +1175,53 @@ def test_fingerprint_dedup_against_corpus_paragraph_lift(spark):
     assert sorted(r["doc_id"] for r in s2.collect()) == [21]
     evid = fingerprint_overlap_against(crawl2, keys2, min_shared=2).collect()
     assert {(r["new_id"], r["ref_id"]) for r in evid} == {(20, 11)}
+
+
+def test_png_header_parse_real_png(spark):
+    """E10c: the parser must read a GENUINE PNG (stdlib-built, real
+    CRCs, real zlib IDAT), not just the synthetic gate wrapper."""
+    import struct
+    import zlib
+
+    from seizury_hrv_featuresextraction_spark.operators.multimodal import png_header
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    def make_png(w: int, h: int, depth: int = 8, color: int = 2) -> bytes:
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
+        raw = b"".join(b"\x00" + bytes(3 * w) for _ in range(h))
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    rows = [
+        ("ok1", make_png(640, 480)),
+        ("ok2", make_png(1, 1, depth=8, color=0)),
+        ("big", make_png(65535, 3)),
+        ("badmagic", b"\x88PNG\r\n\x1a\n" + make_png(10, 10)[8:]),
+        ("truncated", make_png(10, 10)[:20]),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    got = {r.media_id: r for r in png_header(df).collect()}
+    assert (got["ok1"].width, got["ok1"].height) == (640, 480)
+    assert got["ok1"].png_valid and got["ok1"].bit_depth == 8
+    assert got["ok1"].color_type == 2 and got["ok1"].interlace == 0
+    assert (got["ok2"].width, got["ok2"].height, got["ok2"].color_type) == (1, 1, 0)
+    assert got["ok2"].png_valid
+    assert (got["big"].width, got["big"].height) == (65535, 3)
+    assert not got["badmagic"].png_valid
+    assert not got["truncated"].png_valid
+
+    # scan-stage: no exchange, no join, no Python
+    plan = png_header(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "Python" not in plan and "Arrow" not in plan
