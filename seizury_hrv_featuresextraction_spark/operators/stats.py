@@ -482,3 +482,50 @@ def length_bucketed_batches(
         .withColumn("pad_waste", (F.col("pad_len") - F.col(len_col)).cast("long"))
         .drop("__h", "__salt", "__srk", "__off")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    group_col: str,
+    k: int,
+    seed: str = "wps:",
+) -> DataFrame:
+    """E73: deterministic weighted sampling without replacement —
+    priority sampling (Duffield/Lund/Thorup): per group, keep the k
+    rows with the SMALLEST priority h/w, where h is the engine's
+    60-bit md5 integer and w the row's weight.  Heavier rows draw
+    stochastically smaller priorities, so inclusion probability scales
+    with weight (token-weighted corpus draws: sampling documents
+    proportional to length instead of uniformly), yet the draw is a
+    pure function of (id, weight) — reproducible across runs,
+    partitionings, engines, and resume, unlike rand()-based weighted
+    reservoirs.
+
+    Cross-engine bit-equality: priority = exact-int h (< 2^60) as an
+    IEEE double divided by the exact-int weight — one correctly-rounded
+    division in both engines; ranking ties break on id.  Weights must
+    be positive integers (the caller's contract; zero/negative rows
+    are dropped, matching the twin).
+
+    Scale shape: one shuffle on the group key + a rank window.  A hot
+    group is the E39 situation — two-level salted rank applies
+    unchanged if a single group outgrows a task; at sampling's usual
+    group arity (sources, domains) the plain window is the right
+    default."""
+    w = F.col(weight_col).cast("long")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    pri = h.cast("double") / w.cast("double")
+    win = Window.partitionBy(group_col).orderBy("priority", id_col)
+    return (
+        df.where(w > 0)
+        .withColumn("priority", pri)
+        .withColumn("rk", F.row_number().over(win))
+        .where(F.col("rk") <= k)
+        .drop("rk")
+    )

@@ -4895,6 +4895,41 @@ def pca_top_component_embeddings_q(spark, sf_dir):
 
 
 @q(
+    "weighted_sample_docs",
+    """
+    WITH h AS (SELECT source, doc_id, n_chars,
+                      ('0x' || substr(md5('wps:' || doc_id::varchar), 1, 15))::bigint
+                      AS hv
+               FROM documents WHERE n_chars > 0),
+    pr AS (SELECT source, doc_id, n_chars,
+                  hv::double / n_chars::double AS priority
+           FROM h),
+    rk AS (SELECT *, row_number() OVER (PARTITION BY source
+                                        ORDER BY priority, doc_id) AS rn
+           FROM pr)
+    SELECT source, doc_id, n_chars::bigint AS n_chars, priority
+    FROM rk WHERE rn <= 20
+    """,
+)
+def weighted_sample_docs_q(spark, sf_dir):
+    """E73: deterministic weighted sampling without replacement
+    (priority sampling, Duffield et al.) — 20 docs per source with
+    inclusion probability scaling in n_chars (token-weighted corpus
+    draws), as a pure function of (id, weight): reproducible across
+    runs, partitionings, engines, and resume, unlike rand()-based
+    weighted reservoirs.  priority = exact-int 60-bit md5 hash as a
+    double divided by the exact-int weight — one correctly-rounded
+    IEEE division, so even the float column value-hashes identically.
+    One group-key shuffle + rank window (the E39 salted-rank device
+    applies unchanged if a group outgrows a task)."""
+    from ..operators.stats import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = weighted_sample(docs, "doc_id", "n_chars", "source", k=20)
+    return out.select("source", "doc_id", F.col("n_chars").cast("long").alias("n_chars"), "priority")
+
+
+@q(
     "png_header_stats",
     """
     WITH p AS (SELECT doc_id,

@@ -1225,3 +1225,50 @@ def test_png_header_parse_real_png(spark):
     plan = png_header(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Join" not in plan
     assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_weighted_sample_replay_and_bias(spark):
+    """E73 priority sampling: hashlib replay of the exact draw, weight
+    bias (heavy rows overrepresented vs uniform), determinism across
+    partitionings, non-positive weights dropped."""
+    import hashlib
+
+    from seizury_hrv_featuresextraction_spark.operators.stats import weighted_sample
+
+    rows = []
+    for g in range(8):
+        for i in range(200):
+            did = g * 1000 + i
+            w = 1000 if i < 20 else 10  # 10% heavy rows, 100x weight
+            rows.append((did, f"g{g}", w))
+    rows.append((99999, "g0", 0))    # dropped: zero weight
+    rows.append((99998, "g0", -5))   # dropped: negative weight
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+
+    out = weighted_sample(df, "doc_id", "n_chars", "source", k=25)
+    got = {(r.source, r.doc_id): r.priority for r in out.collect()}
+    assert all(d not in (99999, 99998) for _, d in got)
+
+    # exact replay
+    def pri(did, w):
+        h = int(hashlib.md5(f"wps:{did}".encode()).hexdigest()[:15], 16)
+        return float(h) / float(w)
+
+    by_g: dict = {}
+    for did, g, w in rows:
+        if w > 0:
+            by_g.setdefault(g, []).append((pri(did, w), did, w))
+    want = {}
+    for g, lst in by_g.items():
+        for p, did, w in sorted(lst)[:25]:
+            want[(g, did)] = p
+    assert got == want
+
+    # bias: heavy rows are 10% of the population but must dominate the
+    # sample (inclusion prob scales with weight; 100x weight, k=25/200)
+    heavy = sum(1 for (_, d) in got if d % 1000 < 20)
+    assert heavy / len(got) > 0.5, heavy
+
+    # partitioning invariance
+    out2 = weighted_sample(df.repartition(13), "doc_id", "n_chars", "source", k=25)
+    assert {(r.source, r.doc_id) for r in out2.collect()} == set(want)
