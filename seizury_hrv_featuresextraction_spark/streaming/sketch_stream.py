@@ -74,3 +74,27 @@ def streaming_hll_registers(
         F.col(group_col).alias("g"), words(F.col(text_col)).alias("__ws")
     ).select("g", F.explode(word_shingles_of(F.col("__ws"), shingle_words)).alias("it"))
     return hll_register_table(occ, "it", "g")
+
+
+def streaming_hdr_histogram(
+    stream_df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """E68-S: the HDR quantile histogram maintained incrementally —
+    (g, b, c) running bucket counts; state bounded at groups x
+    O(4*log2(max)) buckets regardless of stream length.  Counts are
+    monotone, so an update-mode sink reconstructs the current histogram
+    as max-per-(g, b); feeding the drained histogram through the batch
+    rank-selection (``hdr_quantile_sketch``'s window over bucket order)
+    yields the exact batch quantiles of the rows seen so far (parity
+    pinned by tests/test_streaming_sketch.py)."""
+    from ..operators.sketches import hdr_bucket
+
+    return (
+        stream_df.select(
+            F.col(group_col).alias("g"), hdr_bucket(F.col(value_col)).alias("b")
+        )
+        .groupBy("g", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )

@@ -129,3 +129,57 @@ def test_streaming_hll_matches_batch(spark, tmp_path):
     est_b = {r.g: r.est_distinct for r in hll_estimate(want_regs).collect()}
     assert est_s == est_b
     assert q.recentProgress and len(q.recentProgress) >= 2
+
+
+def test_streaming_hdr_histogram_matches_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from seizury_hrv_featuresextraction_spark.streaming.sketch_stream import (
+        streaming_hdr_histogram,
+    )
+
+    vschema = T.StructType(
+        [
+            T.StructField("g", T.StringType(), False),
+            T.StructField("v", T.LongType(), False),
+        ]
+    )
+    b1 = [("A", 10 + (i * 17) % 900) for i in range(300)]
+    b2 = [("A", 2000 + (i * 7) % 8000) for i in range(200)] + [
+        ("B", 50 + i) for i in range(100)
+    ]
+    src = str(tmp_path / "hdr_src")
+    spark.createDataFrame(b1, vschema).write.parquet(src + "/f1")
+    spark.createDataFrame(b2, vschema).write.parquet(src + "/f2")
+
+    stream_in = (
+        spark.readStream.schema(vschema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/f*")
+    )
+    hist = streaming_hdr_histogram(stream_in, "v", "g")
+    q = (
+        hist.writeStream.format("memory")
+        .queryName("hdr_hist")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    # counts monotone -> current histogram = max per (g, b), and it
+    # must equal the batch bucketing of the same rows exactly
+    drained = spark.sql("select g, b, max(c) as c from hdr_hist group by g, b")
+    batch_df = spark.createDataFrame([*b1, *b2], vschema)
+    from seizury_hrv_featuresextraction_spark.operators.sketches import hdr_bucket
+
+    want_hist = {
+        (r.g, r.b): r.c
+        for r in batch_df.select("g", hdr_bucket(F.col("v")).alias("b"))
+        .groupBy("g", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    got_hist = {(r.g, r.b): r.c for r in drained.collect()}
+    assert got_hist == want_hist
+    assert q.recentProgress and len(q.recentProgress) >= 2
