@@ -404,6 +404,71 @@ def hdr_quantile_sketch(
     return cum.groupBy(F.col("g").alias(group_col)).agg(*aggs)
 
 
+def source_novelty_vs_reference(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    shingle_words: int = 3,
+    target_k: int = 64,
+    oversample: int = 4,
+) -> DataFrame:
+    """E74: per-source NOVELTY of a new crawl against a reference
+    corpus — (source, n_samp, n_seen, n_novel, novelty_est) where
+    novelty is the fraction of the source's distinct shingles NOT
+    present in the reference.  The per-doc dedup family (E47/E50c)
+    answers "which documents are copies"; this answers the
+    mixture-planning question "how much NEW text is this source
+    actually contributing", which exact computation prices at a full
+    distinct-shingle shuffle of BOTH corpora.
+
+    Same inclusion rule as E65: one hash threshold t (calibrated from
+    the new side's E64 HLL max estimate) samples BOTH corpora's
+    shingle universes uniformly, so |samp \\ ref_samp| / |samp| is an
+    unbiased novelty estimate — both sides filter at scan stage, only
+    sampled rows reach the anti-join, and every output stat is an
+    exact integer (the one float a single division)."""
+    from ..functions.text import word_shingles_of
+
+    ests = hll_distinct_shingles(new_df, text_col, group_col, shingle_words).collect()
+    n_max = max(r["est_distinct"] for r in ests)
+    t = overlap_sample_threshold(n_max, target_k, oversample)
+
+    def _samp(df: DataFrame, keep_group: bool) -> DataFrame:
+        cols = [F.col(group_col).alias("g")] if keep_group else []
+        occ = df.select(*cols, words(F.col(text_col)).alias("__ws")).select(
+            *(["g"] if keep_group else []),
+            F.explode(word_shingles_of(F.col("__ws"), shingle_words)).alias("it"),
+        )
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(KMV_SEED), F.col("it"))), 1, 15), 16, 10
+        ).cast("long")
+        keep = occ.select(*(["g"] if keep_group else []), h.alias("h")).where(
+            F.col("h") < F.lit(t)
+        )
+        return keep.distinct()
+
+    samp = _samp(new_df, True).localCheckpoint(eager=True)
+    ref = _samp(ref_df, False)
+    novel = samp.join(ref, "h", "left_anti")
+    sizes = samp.groupBy("g").agg(F.count(F.lit(1)).alias("n_samp"))
+    novel_n = novel.groupBy("g").agg(F.count(F.lit(1)).alias("n_novel"))
+    return (
+        sizes.join(novel_n, "g", "left")
+        .select(
+            F.col("g").alias(group_col),
+            "n_samp",
+            F.coalesce(F.col("n_novel"), F.lit(0)).alias("n_novel"),
+        )
+        .withColumn("n_seen", F.col("n_samp") - F.col("n_novel"))
+        .withColumn(
+            "novelty_est",
+            F.col("n_novel").cast("double") / F.col("n_samp").cast("double"),
+        )
+        .select(group_col, "n_samp", "n_seen", "n_novel", "novelty_est")
+    )
+
+
 def cms_heavy_ngrams(
     df: DataFrame,
     text_col: str = "text",

@@ -4895,6 +4895,67 @@ def pca_top_component_embeddings_q(spark, sf_dir):
 
 
 @q(
+    "source_novelty_vs_ref",
+    f"""
+    WITH wn AS (SELECT source, {WORDS_DD} AS ws FROM documents WHERE doc_id % 3 <> 0),
+    shn AS MATERIALIZED (SELECT source, array_to_string(ws[i:i+2], ' ') AS s
+           FROM wn, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+           WHERE len(ws) >= 3),
+    hd AS (SELECT source, md5('hll:' || s) AS d FROM shn),
+    rr AS (SELECT source, ('0x' || substr(d, 1, 2))::bigint AS reg,
+                  least(61 - length(bin(('0x' || substr(d, 3, 15))::bigint)), 40) AS rho
+           FROM hd),
+    mx AS (SELECT source, reg, max(rho) AS rho FROM rr GROUP BY 1, 2),
+    ag AS (SELECT source, count(*)::bigint AS nh,
+                  (sum(1::bigint << (40 - rho))
+                   + (256 - count(*)) * (1::bigint << 40))::bigint AS z
+           FROM mx GROUP BY 1),
+    est AS (SELECT max({_HLL_EST_NUM!r} / z::double) AS n_max FROM ag),
+    thr AS (SELECT floor(least(1.0, 256.0 / n_max) * 1152921504606846976.0)::bigint AS t
+            FROM est),
+    sampn AS MATERIALIZED (
+        SELECT DISTINCT source, ('0x' || substr(md5('kmv:' || s), 1, 15))::bigint AS h
+        FROM shn
+        WHERE ('0x' || substr(md5('kmv:' || s), 1, 15))::bigint < (SELECT t FROM thr)),
+    wr AS (SELECT {WORDS_DD} AS ws FROM documents WHERE doc_id % 3 = 0),
+    shr AS (SELECT array_to_string(ws[i:i+2], ' ') AS s
+            FROM wr, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+            WHERE len(ws) >= 3),
+    sampr AS MATERIALIZED (
+        SELECT DISTINCT ('0x' || substr(md5('kmv:' || s), 1, 15))::bigint AS h
+        FROM shr
+        WHERE ('0x' || substr(md5('kmv:' || s), 1, 15))::bigint < (SELECT t FROM thr)),
+    sizes AS (SELECT source, count(*)::bigint AS n_samp FROM sampn GROUP BY 1),
+    nv AS (SELECT s.source, count(*)::bigint AS n_novel
+           FROM sampn s
+           WHERE NOT EXISTS (SELECT 1 FROM sampr r WHERE r.h = s.h)
+           GROUP BY 1)
+    SELECT sizes.source, n_samp,
+           (n_samp - coalesce(n_novel, 0))::bigint AS n_seen,
+           coalesce(n_novel, 0)::bigint AS n_novel,
+           coalesce(n_novel, 0)::double / n_samp::double AS novelty_est
+    FROM sizes LEFT JOIN nv ON nv.source = sizes.source
+    """,
+)
+def source_novelty_vs_ref_q(spark, sf_dir):
+    """E74: per-source novelty of a new crawl vs a reference corpus —
+    the mixture-planning stat ("how much NEW text does this source
+    contribute") whose exact form needs a full distinct-shingle
+    shuffle of BOTH corpora.  One hash threshold (calibrated from the
+    new side's E64 HLL max estimate) samples both shingle universes
+    under the SAME inclusion rule, so sampled novel/sampled total is
+    unbiased; both sides filter at scan stage, only sampled rows reach
+    the anti-join, all stats exact integers.  Deterministic split for
+    the gate: ref = doc_id % 3 == 0, new = the rest."""
+    from ..operators.sketches import source_novelty_vs_reference
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 3 != 0)
+    ref = docs.where(F.col("doc_id") % 3 == 0)
+    return source_novelty_vs_reference(new, ref, "text", "source")
+
+
+@q(
     "weighted_sample_docs",
     """
     WITH h AS (SELECT source, doc_id, n_chars,

@@ -398,3 +398,47 @@ def test_plan_zero_joins_two_exchanges(spark, docs_df):
     # build's exchange happened in cms_build and is bounded at
     # depth*width cells per map task
     assert plan.count("Exchange") == 1
+
+
+# ---------------------------------------------------------------------------
+# E74 source novelty vs reference
+# ---------------------------------------------------------------------------
+
+
+def test_novelty_full_sample_exact_and_bounds(spark):
+    from seizury_hrv_featuresextraction_spark.operators.sketches import (
+        source_novelty_vs_reference,
+    )
+
+    # source A: half its shingle set appears in the reference; source B
+    # entirely novel; source C entirely covered
+    new_rows = (
+        [("A", f"a{i} b{i} c{i}") for i in range(400)]
+        + [("B", f"x{i} y{i} z{i}") for i in range(300)]
+        + [("C", f"r{i} s{i} t{i}") for i in range(200)]
+    )
+    ref_rows = [(f"a{i} b{i} c{i}",) for i in range(200)] + [
+        (f"r{i} s{i} t{i}",) for i in range(200)
+    ]
+    new = spark.createDataFrame(new_rows, "source string, text string")
+    ref = spark.createDataFrame(ref_rows, "text string").withColumn(
+        "source", F.lit("ref")
+    )
+    # target_k large enough for p=1: exact set arithmetic
+    out = {
+        r.source: r
+        for r in source_novelty_vs_reference(new, ref, target_k=4096).collect()
+    }
+    assert (out["A"].n_samp, out["A"].n_novel, out["A"].n_seen) == (400, 200, 200)
+    assert out["A"].novelty_est == 0.5
+    assert out["B"].novelty_est == 1.0 and out["B"].n_seen == 0
+    assert out["C"].novelty_est == 0.0 and out["C"].n_novel == 0
+
+    # sampled regime: unbiasedness within tolerance
+    est = {
+        r.source: r.novelty_est
+        for r in source_novelty_vs_reference(new, ref, target_k=64).collect()
+    }
+    assert abs(est["A"] - 0.5) < 0.15
+    assert est["B"] == 1.0  # novel side can't produce false seen
+    assert est["C"] == 0.0  # covered side can't produce false novel
