@@ -850,6 +850,125 @@ def bpe_train_merges(
     return merges
 
 
+def bpe_train_merges_local(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 6,
+    end_mark: str = "</w>",
+    min_count: int = 1,
+) -> "list[tuple[str, str, int]]":
+    """E52c: BPE training at PRODUCTION k — same merges as
+    ``bpe_train_merges`` (pytest-pinned bit-identical), different
+    execution shape for the merge loop.
+
+    The distributed trainer runs one Spark job per merge round, which
+    is correct and vocab-bounded but becomes a *scheduler* wall at a
+    realistic k = 32,000 merges (~0.5-1 s/round of driver orchestration
+    regardless of corpus size). The canonical implementation (Sennrich
+    et al. 2016, learn_bpe) trains on the word-FREQUENCY dict, which
+    fits in one process by construction. So:
+
+    1. Corpus-scale stage (UNCHANGED, Spark): explode words ->
+       groupBy(word) with map-side combine. The only stage that touches
+       documents; the shuffle carries distinct words, never the corpus.
+    2. ``collect()`` the bounded frequency table (|distinct words|
+       rows; at 100 TB set ``min_count`` >= 2 — Zipf's tail is hapax
+       legomena, so this prunes most rows while leaving every pair
+       count that can win a merge race effectively unchanged only when
+       the caller accepts that approximation; the default 1 is exact).
+    3. Run the k-round merge loop driver-local with incremental
+       pair-count maintenance: a pair->count dict, a pair->word-index
+       inverted index, and a lazy-deletion max-heap for the argmax.
+       Each round touches only the words containing the winning pair —
+       O(occurrences) per round instead of O(vocab), and no per-round
+       Spark job.
+
+    Tie-break is pinned identically to the distributed trainer
+    (count desc, then (left, right) ascending — Python's code-point
+    string order equals Spark's UTF8 binary order), and the greedy
+    left-to-right merge is the same semantics as the F.aggregate fold
+    (a merged token never re-matches ``left`` within the round since
+    ``right`` is non-empty). Returns [(left, right, pair_count)] in
+    rank order, same contract as ``bpe_train_merges``."""
+    import heapq
+    from collections import defaultdict
+
+    from .dedup import spread
+    from ..functions.text import words as words_fn
+
+    wc = (
+        spread(df)
+        .select(F.explode(words_fn(F.coalesce(F.col(text_col), F.lit("")))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    if min_count > 1:
+        wc = wc.filter(F.col("cnt") >= min_count)
+    rows = wc.collect()  # bounded by |distinct words|, the dict BPE trains on
+
+    vocab: list[tuple[list[str], int]] = [
+        (list(r["word"]) + [end_mark], int(r["cnt"])) for r in rows
+    ]
+    stats: "defaultdict[tuple[str, str], int]" = defaultdict(int)
+    where: "defaultdict[tuple[str, str], set[int]]" = defaultdict(set)
+    for i, (syms, cnt) in enumerate(vocab):
+        for a, b in zip(syms, syms[1:]):
+            stats[(a, b)] += cnt
+            where[(a, b)].add(i)
+    heap = [(-t, p[0], p[1]) for p, t in stats.items()]
+    heapq.heapify(heap)
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(k):
+        best = None
+        while heap:
+            negt, hl, hr = heap[0]
+            cur = stats.get((hl, hr), 0)
+            if cur <= 0:
+                heapq.heappop(heap)  # dead entry
+            elif -negt != cur:
+                heapq.heappop(heap)  # stale count: refresh lazily
+                heapq.heappush(heap, (-cur, hl, hr))
+            else:
+                best = (hl, hr, cur)
+                break
+        if best is None:
+            break
+        left, right, total = best
+        merges.append((left, right, total))
+        merged = left + right
+        touched: set[tuple[str, str]] = set()
+        for i in sorted(where.get((left, right), ())):
+            syms, cnt = vocab[i]
+            out: list[str] = []
+            j, n = 0, len(syms)
+            while j < n:
+                if j + 1 < n and syms[j] == left and syms[j + 1] == right:
+                    out.append(merged)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            if len(out) == n:  # stale index entry: pair no longer present
+                where[(left, right)].discard(i)
+                continue
+            for a, b in zip(syms, syms[1:]):
+                stats[(a, b)] -= cnt
+                touched.add((a, b))
+            for a, b in zip(out, out[1:]):
+                stats[(a, b)] += cnt
+                touched.add((a, b))
+                where[(a, b)].add(i)
+            vocab[i] = (out, cnt)
+        stats.pop((left, right), None)  # fully consumed this round
+        where.pop((left, right), None)
+        for p in touched:
+            t = stats.get(p, 0)
+            if t > 0:
+                heapq.heappush(heap, (-t, p[0], p[1]))
+    return merges
+
+
 def bpe_encode(
     df: DataFrame,
     merges: "list[tuple[str, str, int]]",
@@ -944,8 +1063,15 @@ def tokenizer_fertility(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_words").alias("total_words"),
             F.sum("n_tokens").alias("total_tokens"),
-            F.round(F.sum("n_tokens") / F.sum("n_words"), 6).alias("fertility"),
-            F.round(F.sum("n_chars") / F.sum("n_tokens"), 6).alias("chars_per_token"),
+            # zero guards: a group of all-empty docs divides 0/0, which
+            # is NULL in Spark (non-ANSI) but inf/NaN or an error in an
+            # external engine — pin NULL explicitly in BOTH engines
+            F.when(
+                F.sum("n_words") > 0, F.round(F.sum("n_tokens") / F.sum("n_words"), 6)
+            ).alias("fertility"),
+            F.when(
+                F.sum("n_tokens") > 0, F.round(F.sum("n_chars") / F.sum("n_tokens"), 6)
+            ).alias("chars_per_token"),
         )
     )
 

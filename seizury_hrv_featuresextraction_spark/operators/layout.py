@@ -98,6 +98,7 @@ def compact_zordered(
     new_df: DataFrame,
     dims: list[Column],
     bits: int = 8,
+    batch_id: str | None = None,
 ) -> dict:
     """E70: incremental OPTIMIZE for a ``keep_key`` z-ordered table —
     fold a (small) new batch in WITHOUT rewriting the table.
@@ -111,11 +112,22 @@ def compact_zordered(
     assigned rows and re-sorted locally.  Untouched files are not
     opened, not rewritten, not even read — compaction cost scales with
     the BATCH, not the table.  Returns {"touched": [...], "kept": n}.
+    Crash safety + idempotency (r7 advice): all merged files are STAGED
+    first (table untouched while any data work runs), then committed by
+    a short rename pass journaled in ``_compact_manifest.json`` — a
+    crash mid-stage leaves the table bit-identical and the rerun starts
+    clean; a crash mid-commit is finished by the next call (renames are
+    replayed from the manifest, already-moved parts skipped). With a
+    ``batch_id``, fully-applied batches are recorded in
+    ``_compact_applied.json`` and re-submitting one is a no-op instead
+    of a row-duplicating double-apply.
+
     Layout invariants (file-disjoint zkey ranges, zone-map skipping,
     read-back equality with a full re-sort) are pytest-pinned
     (tests/test_layout.py)."""
     import os
 
+    recover_compact(spark, path)
     maps = zone_maps(path, ["__zkey"])
     # per-file zkey range (one row group per file in this layout; take
     # the span defensively if there are several)
@@ -139,28 +151,102 @@ def compact_zordered(
         owner = F.when(F.col("__zkey") >= F.lit(lo), F.lit(f)).otherwise(owner)
     batch = batch.withColumn("__owner", owner)
 
+    import glob
+    import json
+    import shutil
+
+    applied_log = os.path.join(path, "_compact_applied.json")
+    if batch_id is not None and os.path.exists(applied_log):
+        with open(applied_log) as fh:
+            if batch_id in json.load(fh):
+                return {"touched": [], "kept": len(order), "skipped": batch_id}
+
     touched = [r["__owner"] for r in batch.select("__owner").distinct().collect()]
+
+    # phase 1 — STAGE: all merged files land under _compact_stage/;
+    # the live table is not modified while any Spark job can still fail
+    stage = os.path.join(path, "_compact_stage")
+    shutil.rmtree(stage, ignore_errors=True)
+    staged: list[tuple[str, str]] = []
     for f in touched:
         old = spark.read.parquet(os.path.join(path, f))
         add = batch.where(F.col("__owner") == f).drop("__owner").select(*old.columns)
         merged = old.unionByName(add).coalesce(1).sortWithinPartitions("__zkey")
-        tmp = os.path.join(path, "_compact_" + f)
+        tmp = os.path.join(stage, f)
         merged.write.mode("overwrite").parquet(tmp)
-        import glob
-        import shutil
+        staged.append((glob.glob(os.path.join(tmp, "*.parquet"))[0], f))
 
-        part = glob.glob(os.path.join(tmp, "*.parquet"))[0]
-        os.replace(part, os.path.join(path, f))
+    # phase 2 — COMMIT: journal the rename plan, then a short replay-
+    # able rename pass (recover_compact finishes it after a crash)
+    manifest = os.path.join(path, "_compact_manifest.json")
+    with open(manifest + ".tmp", "w") as fh:
+        json.dump({"renames": staged, "batch_id": batch_id}, fh)
+    os.replace(manifest + ".tmp", manifest)
+    _replay_compact_manifest(path, staged)
+    if batch_id is not None:
+        done = []
+        if os.path.exists(applied_log):
+            with open(applied_log) as fh:
+                done = json.load(fh)
+        with open(applied_log + ".tmp", "w") as fh:
+            json.dump(done + [batch_id], fh)
+        os.replace(applied_log + ".tmp", applied_log)
+    os.remove(manifest)
+    shutil.rmtree(stage, ignore_errors=True)
+    # in-place replacement invalidates Spark's cached file statuses
+    # (size mismatch -> FAILED_READ_FILE on the next scan otherwise)
+    spark.catalog.refreshByPath(path)
+    return {"touched": sorted(touched), "kept": len(order) - len(touched)}
+
+
+def _replay_compact_manifest(path: str, renames: list) -> None:
+    """Rename pass of compact_zordered's commit phase: idempotent —
+    a staged part that is already gone was moved by a previous
+    (crashed) attempt and is skipped."""
+    import os
+
+    for part, f in renames:
+        if os.path.exists(part):
+            os.replace(part, os.path.join(path, f))
         # Hadoop's local FS keeps .<name>.crc sidecars; the original
         # write's checksum is stale for the replaced bytes
         crc = os.path.join(path, f".{f}.crc")
         if os.path.exists(crc):
             os.remove(crc)
-        shutil.rmtree(tmp)
-    # in-place replacement invalidates Spark's cached file statuses
-    # (size mismatch -> FAILED_READ_FILE on the next scan otherwise)
+
+
+def recover_compact(spark, path: str) -> bool:
+    """Finish a compaction interrupted mid-commit: if a journal exists,
+    replay its renames (skipping already-moved parts), record its
+    batch_id as applied, and clean up. A journal-less leftover stage
+    dir (crash mid-STAGE) is discarded — the table was never touched.
+    Returns True when a pending commit was completed."""
+    import json
+    import os
+    import shutil
+
+    manifest = os.path.join(path, "_compact_manifest.json")
+    stage = os.path.join(path, "_compact_stage")
+    if not os.path.exists(manifest):
+        shutil.rmtree(stage, ignore_errors=True)
+        return False
+    with open(manifest) as fh:
+        plan = json.load(fh)
+    _replay_compact_manifest(path, plan["renames"])
+    if plan.get("batch_id") is not None:
+        applied_log = os.path.join(path, "_compact_applied.json")
+        done = []
+        if os.path.exists(applied_log):
+            with open(applied_log) as fh:
+                done = json.load(fh)
+        if plan["batch_id"] not in done:
+            with open(applied_log + ".tmp", "w") as fh:
+                json.dump(done + [plan["batch_id"]], fh)
+            os.replace(applied_log + ".tmp", applied_log)
+    os.remove(manifest)
+    shutil.rmtree(stage, ignore_errors=True)
     spark.catalog.refreshByPath(path)
-    return {"touched": sorted(touched), "kept": len(order) - len(touched)}
+    return True
 
 
 def zone_maps(path: str, cols: list[str]) -> list[dict]:
@@ -181,6 +267,15 @@ def zone_maps(path: str, cols: list[str]) -> list[dict]:
             g = md.row_group(rg)
             for c in cols:
                 st = g.column(names[c]).statistics
+                # a file written with statistics disabled has st None;
+                # fail with intent instead of an opaque AttributeError
+                # (compact_zordered's range recovery depends on these)
+                if st is None or not st.has_min_max:
+                    raise ValueError(
+                        f"zone_maps: {fp} row-group {rg} has no min/max "
+                        f"statistics for column {c!r} (written with "
+                        "parquet statistics disabled?)"
+                    )
                 row[c] = (st.min, st.max)
             out.append(row)
     return out

@@ -362,7 +362,15 @@ def png_header(media: DataFrame, payload_col: str = "payload") -> DataFrame:
         & (F.substring("__h33", 17, 8) == "0000000D")   # IHDR length 13
         & (F.substring("__h33", 25, 8) == "49484452")   # 'IHDR'
     )
+    # the octet_length conjunct pins truncated payloads to FALSE: a
+    # 16-33-byte file can pass `magics` while width/height parse NULL,
+    # and `true AND NULL` is NULL — which a `png_valid = false`
+    # quarantine filter would silently miss
     return df.withColumn(
         "png_valid",
-        magics & F.col("bit_depth").isin(1, 2, 4, 8, 16) & (F.col("width") > 0) & (F.col("height") > 0),
+        (F.expr(f"octet_length({payload_col})") >= 33)
+        & magics
+        & F.col("bit_depth").isin(1, 2, 4, 8, 16)
+        & (F.col("width") > 0)
+        & (F.col("height") > 0),
     ).drop("__h33")

@@ -297,6 +297,16 @@ def quantization_scales(
         .agg(F.max(F.abs(F.col("x"))).alias("mx"))
         .collect()
     )
+    # validate the declared dim against what the data actually holds: a
+    # longer vector would otherwise IndexError opaquely, a shorter one
+    # would silently hand the missing dimensions scale 1.0 (r7 advice)
+    if rows:
+        observed = max(r["d"] for r in rows) + 1
+        if observed != dim:
+            raise ValueError(
+                f"quantization_scales: dim={dim} declared but corpus "
+                f"vectors have {observed} dimensions"
+            )
     mx = [0.0] * dim
     for r in rows:
         mx[r["d"]] = r["mx"]
@@ -483,9 +493,20 @@ def quantized_gram(
     erases exactly the variance structure PCA exists to find (measured:
     a planted dominant axis drops from cos 0.9999 to cos 0.008 under
     per-dim scales on modular-noise data)."""
-    m = corpus.select(
-        F.max(F.array_max(F.transform(to_double(F.col(vec_col)), F.abs))).alias("m")
-    ).collect()[0]["m"]
+    stats = corpus.select(
+        F.max(F.array_max(F.transform(to_double(F.col(vec_col)), F.abs))).alias("m"),
+        F.min(F.size(vec_col)).alias("lo"),
+        F.max(F.size(vec_col)).alias("hi"),
+    ).collect()[0]
+    m = stats["m"]
+    # dim validation rides the same bounded collect: a longer vector
+    # would be silently truncated by quantize_vec, a shorter one would
+    # quantize its missing dimensions to NULL codes (r7 advice)
+    if stats["hi"] is not None and (stats["lo"] != dim or stats["hi"] != dim):
+        raise ValueError(
+            f"quantized_gram: dim={dim} declared but corpus vector sizes "
+            f"span [{stats['lo']}, {stats['hi']}]"
+        )
     gscale = m / 127.0 if m and m > 0.0 else 1.0
     scales = [gscale] * dim
     codes = corpus.select(quantize_vec(to_double(F.col(vec_col)), scales).alias("c"))

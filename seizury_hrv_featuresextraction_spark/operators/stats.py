@@ -169,6 +169,7 @@ def pack_sequences_bfd(
     size_col: str,
     budget: int,
     n_shards: int = 16,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """E12b: best-fit-decreasing bin packing — the no-split alternative
     to ``pack_sequences`` (which concat-packs and lets docs straddle bin
@@ -196,6 +197,9 @@ def pack_sequences_bfd(
     base = df.select(
         F.col(id_col).cast("long").alias(id_col),
         F.col(size_col).cast("long").alias(size_col),
+        # carry columns ride the SAME kernel instead of forcing the
+        # caller into a corpus-scale rejoin on id afterwards
+        *[F.col(c) for c in carry],
         shard.alias("shard"),
     )
 
@@ -229,7 +233,9 @@ def pack_sequences_bfd(
         pdf["bin"] = pd.array(bins, dtype="int64")
         return pdf
 
-    out_schema = f"{id_col} long, {size_col} long, shard int, bin long"
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(list(base.schema.fields) + [StructField("bin", LongType())])
     return base.groupBy("shard").applyInPandas(pack, out_schema)
 
 

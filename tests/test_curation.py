@@ -539,6 +539,39 @@ def test_bpe_train_merges_matches_reference(spark):
     assert got == exp
 
 
+def test_bpe_train_merges_local_bit_identical(spark):
+    """E52c: the driver-local trainer (incremental pair counts +
+    lazy-deletion heap over the collected frequency dict) must emit
+    EXACTLY the merge list of the distributed per-round trainer —
+    same pairs, same counts, same rank order — on a corpus engineered
+    for ties, overlapping runs ('aaaa'), hapax words and NULL docs."""
+    import numpy as np
+
+    from seizury_hrv_featuresextraction_spark.operators.curation import (
+        bpe_train_merges,
+        bpe_train_merges_local,
+    )
+
+    rng = np.random.default_rng(23)
+    vocab = ["low", "lower", "newest", "widest", "aaaa", "aa", "b", "banana", "bandana"]
+    texts = [" ".join(rng.choice(vocab, rng.integers(2, 10))) for _ in range(40)]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)] + [(99, None), (100, "")],
+        "doc_id long, text string",
+    )
+    for k in (6, 12, 40):
+        assert bpe_train_merges_local(df, "text", k=k) == bpe_train_merges(
+            df, "text", k=k
+        ), k
+
+    # exhaust the vocab: both trainers must stop at the same (shorter)
+    # merge list when every word is fully merged into one symbol
+    tiny = spark.createDataFrame([(1, "ab ab ba")], "doc_id long, text string")
+    assert bpe_train_merges_local(tiny, "text", k=50) == bpe_train_merges(
+        tiny, "text", k=50
+    )
+
+
 def test_bpe_encode_matches_reference(spark):
     """E52b: engine encode (nested plan-literal folds) vs a dict-based
     reference encode using the same merges — n_tokens and the md5 over
@@ -580,6 +613,33 @@ def test_bpe_encode_matches_reference(spark):
         toks = [s for w in (t or "").lower().split() for s in ref_word(w)]
         md5 = hashlib.md5("-".join(toks).encode()).hexdigest()
         assert got[d] == (len(toks), md5), d
+
+
+def test_tokenizer_fertility_degenerate_group_yields_null(spark):
+    """r7 advice: a source whose docs are all empty divides 0/0 —
+    Spark's non-ANSI division yields NULL while other engines raise or
+    produce inf/NaN. The operator (and its twin) must pin NULL
+    explicitly so degenerate groups agree across engines."""
+    from seizury_hrv_featuresextraction_spark.operators.curation import (
+        bpe_train_merges,
+        tokenizer_fertility,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("good", "low lower low newest"),
+            ("good", "widest newest"),
+            ("husk", ""),
+            ("husk", None),
+        ],
+        "source string, text string",
+    )
+    merges = bpe_train_merges(df, "text", k=3)
+    got = {r["source"]: r for r in tokenizer_fertility(df, merges).collect()}
+    assert got["husk"].total_words == 0 and got["husk"].total_tokens == 0
+    assert got["husk"].fertility is None
+    assert got["husk"].chars_per_token is None
+    assert got["good"].fertility is not None and got["good"].fertility > 1.0
 
 
 def test_assign_split_deterministic_and_hashlib_replay(spark):

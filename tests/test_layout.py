@@ -184,3 +184,119 @@ def test_compact_zordered_empty_batch_is_noop(spark, docs, tmp_path):
         for f in glob.glob(path + "/*.parquet")
     )
     assert after == before
+
+
+def test_compact_zordered_batch_id_idempotent(spark, docs, tmp_path):
+    """r7 advice: re-submitting an already-applied batch (same
+    batch_id) must be a no-op — files byte-identical, no duplicated
+    rows — instead of a row-duplicating double-apply."""
+    import glob
+    import os
+
+    from seizury_hrv_featuresextraction_spark.operators.layout import (
+        compact_zordered,
+    )
+
+    path = str(tmp_path / "idem")
+    dims = doc_zorder_dims(F.col("n_chars"), F.col("source"))
+    write_zordered(docs, path, dims, 8, keep_key=True)
+    batch = spark.createDataFrame(
+        [(200000 + i, "src1", 60 + i, "new") for i in range(10)],
+        "doc_id long, source string, n_chars int, text string",
+    )
+    res1 = compact_zordered(spark, path, batch, dims, batch_id="b-001")
+    assert res1["touched"]
+    after1 = sorted(
+        (os.path.basename(f), open(f, "rb").read())
+        for f in glob.glob(path + "/*.parquet")
+    )
+    n1 = spark.read.parquet(path).count()
+
+    res2 = compact_zordered(spark, path, batch, dims, batch_id="b-001")
+    assert res2 == {"touched": [], "kept": 8, "skipped": "b-001"}
+    after2 = sorted(
+        (os.path.basename(f), open(f, "rb").read())
+        for f in glob.glob(path + "/*.parquet")
+    )
+    assert after2 == after1
+    assert spark.read.parquet(path).count() == n1
+
+
+def test_compact_zordered_crash_recovery(spark, docs, tmp_path):
+    """Crash-safety of the two-phase commit:
+
+    - crash mid-STAGE (stage dir written, no manifest): the live table
+      is bit-identical; the next compaction discards the debris.
+    - crash mid-COMMIT (manifest journaled, only some renames done):
+      the next call completes the remaining renames and records the
+      batch as applied, so the interrupted batch lands EXACTLY once.
+    """
+    import glob
+    import json
+    import os
+    import shutil
+
+    from seizury_hrv_featuresextraction_spark.operators.layout import (
+        compact_zordered,
+        recover_compact,
+    )
+
+    path = str(tmp_path / "crash")
+    dims = doc_zorder_dims(F.col("n_chars"), F.col("source"))
+    write_zordered(docs, path, dims, 8, keep_key=True)
+    batch = spark.createDataFrame(
+        [(300000 + i, "src2", 80 + i, "new") for i in range(10)],
+        "doc_id long, source string, n_chars int, text string",
+    )
+
+    # reference run on a CLONE: what a clean one-shot apply produces
+    ref = str(tmp_path / "ref")
+    shutil.copytree(path, ref)
+    compact_zordered(spark, ref, batch, dims, batch_id="b-x")
+    want = {
+        (r["doc_id"], r["source"]) for r in spark.read.parquet(ref).collect()
+    }
+
+    # crash mid-STAGE: stage debris, no manifest -> table untouched
+    os.makedirs(os.path.join(path, "_compact_stage", "junk"), exist_ok=True)
+    before = sorted(
+        (os.path.basename(f), open(f, "rb").read())
+        for f in glob.glob(path + "/*.parquet")
+    )
+    assert recover_compact(spark, path) is False
+    assert not os.path.exists(os.path.join(path, "_compact_stage"))
+    assert before == sorted(
+        (os.path.basename(f), open(f, "rb").read())
+        for f in glob.glob(path + "/*.parquet")
+    )
+
+    # crash mid-COMMIT: run the real stage phase, then simulate a crash
+    # where only the FIRST rename happened, by doing it manually
+    import seizury_hrv_featuresextraction_spark.operators.layout as layout_mod
+
+    orig_replay = layout_mod._replay_compact_manifest
+
+    def crash_replay(p, renames):
+        orig_replay(p, renames[:1])  # first file lands, then "crash"
+        raise RuntimeError("simulated crash mid-commit")
+
+    layout_mod._replay_compact_manifest = crash_replay
+    try:
+        try:
+            compact_zordered(spark, path, batch, dims, batch_id="b-x")
+        except RuntimeError:
+            pass
+    finally:
+        layout_mod._replay_compact_manifest = orig_replay
+    assert os.path.exists(os.path.join(path, "_compact_manifest.json"))
+
+    # next call (any batch) first finishes the pending commit
+    assert recover_compact(spark, path) is True
+    assert not os.path.exists(os.path.join(path, "_compact_manifest.json"))
+    with open(os.path.join(path, "_compact_applied.json")) as fh:
+        assert "b-x" in json.load(fh)
+    got = {(r["doc_id"], r["source"]) for r in spark.read.parquet(path).collect()}
+    assert got == want
+    # and re-submitting the recovered batch is now a no-op
+    res = compact_zordered(spark, path, batch, dims, batch_id="b-x")
+    assert res["skipped"] == "b-x"

@@ -1218,8 +1218,10 @@ def test_png_header_parse_real_png(spark):
     assert (got["ok2"].width, got["ok2"].height, got["ok2"].color_type) == (1, 1, 0)
     assert got["ok2"].png_valid
     assert (got["big"].width, got["big"].height) == (65535, 3)
-    assert not got["badmagic"].png_valid
-    assert not got["truncated"].png_valid
+    assert got["badmagic"].png_valid is False
+    # truncated must be FALSE, not NULL: `png_valid = false` quarantine
+    # filters drop NULL rows silently (r7 advice item)
+    assert got["truncated"].png_valid is False
 
     # scan-stage: no exchange, no join, no Python
     plan = png_header(df)._jdf.queryExecution().executedPlan().toString()

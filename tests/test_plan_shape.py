@@ -686,3 +686,49 @@ def test_semantic_dedup_salted_pair_join(spark):
         assert len(salted_ex) >= 2, plan  # both pair sides shuffle on (cluster, salt)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+
+
+def test_tokenizer_pipeline_two_corpus_exchanges(spark):
+    """E75 composed-pipeline scale contract: encode (plan-literal
+    folds) -> BFD packing -> delivery-order manifest is exactly TWO
+    corpus hash exchanges (the packing shard shuffle + the (shard, bin)
+    manifest agg) with zero joins of any kind — training the merges
+    driver-local (E52c) keeps the merge list out of the plan entirely.
+    The bounded word-frequency shuffle happens at TRAIN time (separate
+    action), not in this plan."""
+    import re
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from seizury_hrv_featuresextraction_spark.operators.curation import (
+        bpe_encode,
+        bpe_train_merges_local,
+    )
+    from seizury_hrv_featuresextraction_spark.operators.stats import (
+        pack_sequences_bfd,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(120),
+            "text": [" ".join(f"w{j % 9}" for j in range(5 + i % 17)) for i in range(120)],
+        }
+    )
+    docs = spark.createDataFrame(pdf).repartition(8)
+    merges = bpe_train_merges_local(docs, "text", k=6)
+    enc = bpe_encode(docs, merges)
+    packed = pack_sequences_bfd(
+        enc, "doc_id", "n_tokens", budget=64, n_shards=4, carry=("tok_md5",)
+    )
+    out = packed.groupBy("shard", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("bin_tokens")
+    )
+    plan = _plan(out)
+    assert "Join" not in plan, plan
+    assert "BroadcastExchange" not in plan, plan
+    hashex = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+    assert len(hashex) == 2, (hashex, plan)
+    assert "Exchange rangepartitioning" not in plan, plan
+    rows = out.collect()
+    assert rows and sum(r["n_docs"] for r in rows) == 120
