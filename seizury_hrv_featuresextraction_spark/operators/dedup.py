@@ -7,7 +7,7 @@ the rest of the engine. Scale notes per operator.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import doc_fingerprint, simhash64, word_shingles, word_shingles_of, words
@@ -1007,6 +1007,29 @@ def substring_dedup_apply(
     )
 
 
+def winnow_keys(ws: Column, k: int = 5, w: int = 4) -> Column:
+    """Winnowing selection as a pure IN-ROW column expression over a
+    word array: the distinct packed ``h28 * 2^32 + (2^32-1-pos0)``
+    int64 keys selected by robust winnowing (min per w-hash window,
+    rightmost on ties via the position complement). Shared by the
+    batch sketch builder below and the streaming evidence pass
+    (streaming/curation_stream.py) so both select IDENTICAL keys."""
+    n_sh = F.size(ws) - F.lit(k - 1)
+    h28 = lambda i: F.conv(  # noqa: E731
+        F.substring(F.md5(F.array_join(F.slice(ws, i, k), " ")), 1, 7), 16, 10
+    ).cast("long")
+    keys = F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: h28(i) * F.lit(4294967296) + (F.lit(4294967295) - (i - 1)),
+    )
+    # window starts 1..max(1, n_sh-w+1); slice() clamps at the array end,
+    # so a doc with n_sh < w yields exactly one all-shingle window
+    starts = F.sequence(F.lit(1), F.greatest(F.lit(1), n_sh - F.lit(w - 1)))
+    return F.array_distinct(
+        F.transform(starts, lambda s: F.array_min(F.slice(keys, s, w)))
+    )
+
+
 def winnowing_fingerprints(
     df: DataFrame, text_col: str, id_col: str, k: int = 5, w: int = 4
 ) -> DataFrame:
@@ -1046,21 +1069,7 @@ def winnowing_fingerprints(
         )
         .filter(F.size("ws") >= k)
     )
-    n_sh = F.size("ws") - F.lit(k - 1)
-    h28 = lambda i: F.conv(  # noqa: E731
-        F.substring(F.md5(F.array_join(F.slice("ws", i, k), " ")), 1, 7), 16, 10
-    ).cast("long")
-    keys = F.transform(
-        F.sequence(F.lit(1), n_sh),
-        lambda i: h28(i) * F.lit(4294967296) + (F.lit(4294967295) - (i - 1)),
-    )
-    # window starts 1..max(1, n_sh-w+1); slice() clamps at the array end,
-    # so a doc with n_sh < w yields exactly one all-shingle window
-    starts = F.sequence(F.lit(1), F.greatest(F.lit(1), n_sh - F.lit(w - 1)))
-    sel = F.array_distinct(
-        F.transform(starts, lambda s: F.array_min(F.slice(keys, s, w)))
-    )
-    e = d.select("doc_id", F.explode(sel).alias("key"))
+    e = d.select("doc_id", F.explode(winnow_keys(F.col("ws"), k, w)).alias("key"))
     return e.select(
         "doc_id",
         (F.lit(4294967295) - F.col("key").bitwiseAND(F.lit(4294967295)) + 1)

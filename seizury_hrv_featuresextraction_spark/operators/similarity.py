@@ -147,12 +147,45 @@ def ivf_topk(
 
     joined = c.join(F.broadcast(q_lists), "list_id").filter(F.col("corpus_id") != F.col("query_id"))
     scored = joined.select("query_id", "corpus_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+    # map-local top-k BEFORE any exchange (r7 verdict item 6): the old
+    # plan shuffled EVERY candidate row into a per-query row_number
+    # window — the measured wall at sf1.0 (21-89 s vs 6 s brute) was
+    # that window, and at 100 TB the exchange would carry
+    # corpus*n_probe/n_lists rows. Scores stay exact (computed once by
+    # the codegen'd cosine above; the Arrow kernel only SELECTS on
+    # (cos desc, corpus_id asc), the same total order as the final
+    # rank); the exchange then carries <= partitions x queries x k rows
+    # and the window sorts a trivially small set.
+    local = _topk_map_local(scored, k)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("corpus_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "corpus_id", "cos")
     )
+
+
+def _topk_map_local(scored: DataFrame, k: int) -> DataFrame:
+    """Per-PARTITION top-k per query over (query_id, corpus_id, cos):
+    an Arrow kernel that concatenates the partition's batches, keeps
+    the k best rows per query under (cos desc, corpus_id asc) and
+    emits <= n_queries*k rows — the map-side combine a top-k aggregate
+    needs but collect_list-based aggs can't do (their partial state is
+    the untruncated list). No shuffle: a narrow mapInPandas stage."""
+
+    def kernel(it):
+        import pandas as pd
+
+        parts = [b for b in it]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        pdf = pdf.sort_values(
+            ["query_id", "cos", "corpus_id"], ascending=[True, False, True]
+        )
+        yield pdf.groupby("query_id", sort=False).head(k)
+
+    return scored.mapInPandas(kernel, scored.schema)
 
 
 def semantic_dedup(

@@ -187,3 +187,75 @@ def streaming_dedup_against_reference(
         | ~F.arrays_overlap(F.col("__bands"), F.col("__ref_bands"))
     )
     return kept.drop("__bands", "__ref_bands")
+
+
+def streaming_fingerprint_overlap(
+    stream_df: DataFrame,
+    ref_fps: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    time_col: str = "event_time",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    lateness: str = "30 seconds",
+    window: str = "1 minute",
+) -> DataFrame:
+    """E50c streaming leg (r8, closes r7 verdict item 7): MOSS-grade
+    copy EVIDENCE pairs from a watermarked crawl stream against the
+    maintained winnowing-sketch table — (window_start, new_id, ref_id,
+    shared_fps). The E47b streaming anti-join can only say "this doc
+    collides with the corpus"; this query names WHICH corpus document
+    was copied, continuously, as crawl pages arrive.
+
+    Shape: winnowing selection is the SAME in-row expression as the
+    batch sketch (`operators/dedup.py:winnow_keys` — identical keys by
+    construction), fps de-duplicated per doc in-row, then explode ->
+    stream-STATIC inner join on the 8-byte fp key (stateless; the
+    static corpus sketch is read, never collected) -> a genuinely
+    WATERMARKED streaming aggregation on (event window, new_id,
+    ref_id): state is bounded by the watermark and each pair row emits
+    exactly once when its window closes (append mode). Evidence counts
+    within one doc are exact regardless of microbatch split because a
+    doc's fps carry its single event time — a doc never straddles
+    windows."""
+    from ..operators.dedup import winnow_keys
+    from ..functions.text import words
+
+    ws = words(F.coalesce(F.col(text_col), F.lit("")))
+    fps = F.array_distinct(
+        F.transform(
+            F.when(F.size(ws) >= k, winnow_keys(ws, k, w)).otherwise(
+                F.array().cast("array<long>")
+            ),
+            lambda key: F.shiftright(key, 32).cast("long"),
+        )
+    )
+    # watermark FIRST, then explode: the watermark node must sit above
+    # the raw stream so a doc with no fingerprints (short/NULL text)
+    # still advances the event clock — placed after the explode, the
+    # inner fp join's inferred IsNotNull(fp) gets pushed below the
+    # watermark operator and fp-less heartbeat rows never reach it
+    # (observed: eventTime.max = None on heartbeat batches), so windows
+    # never close
+    ex = (
+        stream_df.withWatermark(time_col, lateness)
+        .select(
+            F.col(id_col).alias("new_id"),
+            F.col(time_col).alias("__t"),
+            F.explode(fps).alias("fp"),
+        )
+    )
+    ref = ref_fps.select(F.col("doc_id").alias("ref_id"), "fp").distinct()
+    j = ex.join(ref, "fp")
+    return (
+        j.groupBy(F.window("__t", window).alias("__w"), "new_id", "ref_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+        .select(
+            F.col("__w.start").alias("window_start"),
+            "new_id",
+            "ref_id",
+            "shared_fps",
+        )
+    )
