@@ -1228,3 +1228,136 @@ def corpus_datacard(
         F.col("top.lang").alias("top_lang"),
         F.round(F.col("top.cnt").cast("double") / F.col("n_docs"), 6).alias("top_lang_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# E77: hyperlink extraction + domain link graph
+# ---------------------------------------------------------------------------
+
+_HREF_RE = r'href="(https?://[^"]+)"'
+
+
+def extract_links(df: DataFrame, html_col: str = "html", id_col: str = "doc_id") -> DataFrame:
+    """E77a: anchor URLs from raw HTML-ish text — (id, url) one row per
+    href occurrence (order preserved, duplicates kept: link multiplicity
+    is signal for the graph below). Pure scan-stage regexp — extracting
+    links from 100 TB of crawl HTML costs one read; no DOM parse is
+    attempted (the production trade every crawl pipeline makes for the
+    link graph: regex over href attributes, full parsing only for the
+    much smaller render path)."""
+    from .dedup import spread
+
+    return spread(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.regexp_extract_all(F.coalesce(F.col(html_col), F.lit("")), F.lit(_HREF_RE), 1)).alias("url"),
+    )
+
+
+def url_domain(url: Column) -> Column:
+    """scheme-stripped host of an http(s) URL (ports kept — they
+    distinguish origins), '' when the pattern doesn't match."""
+    return F.regexp_extract(url, r"^https?://([^/]+)", 1)
+
+
+def domain_link_graph(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    src_domain_col: str = "src_domain",
+) -> DataFrame:
+    """E77b: the domain-level link graph — (src_domain, dst_domain,
+    n_links, n_docs) aggregated from extracted anchors; self-loops
+    (intra-domain navigation) dropped, the standard host-graph
+    convention. The graph feeds PageRank-style quality priors (E67
+    runs on exactly this edge shape) and spam-cluster detection.
+
+    Scale shape: extraction + domain parse are scan-stage; the ONLY
+    exchange is the (src, dst) edge aggregation, whose cardinality is
+    the domain graph (millions), not the corpus (billions)."""
+    from .dedup import spread
+
+    links = spread(df).select(
+        F.col(src_domain_col).alias("src_domain"),
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.regexp_extract_all(F.coalesce(F.col(html_col), F.lit("")), F.lit(_HREF_RE), 1)
+        ).alias("url"),
+    )
+    edges = links.select(
+        "src_domain", "doc_id", url_domain(F.col("url")).alias("dst_domain")
+    ).filter((F.col("dst_domain") != "") & (F.col("dst_domain") != F.col("src_domain")))
+    return edges.groupBy("src_domain", "dst_domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_links"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E79: deterministic span-corruption mask planner (T5-style)
+# ---------------------------------------------------------------------------
+
+
+def span_corruption_plan(
+    df: DataFrame,
+    n_tok_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    density: float = 0.15,
+    span_len: int = 3,
+    seed: str = "span:",
+) -> DataFrame:
+    """E79: T5-style span-corruption mask plan — which token spans each
+    document masks for denoising pretraining, as DATA (the objective's
+    sampling decision made once, deterministically, at corpus-prep time
+    so every epoch/restart/engine sees the same masks).
+
+    Deterministic stratified placement instead of T5's RNG permutation:
+    n_spans = max(1, floor(n_tok * density / span_len)) (docs shorter
+    than span_len emit nothing), the token range splits into n_spans
+    equal strata, and span s starts at
+    ``stratum_start + md5(seed || id || ':' || s) mod (stratum_len -
+    span_len + 1)`` — spans can NEVER overlap (each lives in its own
+    stratum, stratum_len >= span_len by construction), coverage is
+    within one span of the target density, and the plan is a pure
+    function of (id, n_tok): resume-stable, replayable in any engine
+    (the repo's md5 device).
+
+    Returns (id, span_idx, start, length) exploded — one row per span,
+    0-based token offsets. Scan-stage in-row arithmetic: planning masks
+    for 10^12 sequences costs one read, zero shuffle, zero UDF."""
+    from .dedup import spread
+
+    n_tok = F.col(n_tok_col).cast("long")
+    n_spans = F.greatest(
+        F.lit(1).cast("long"),
+        F.floor(n_tok * F.lit(density) / F.lit(span_len)).cast("long"),
+    )
+    # integer strata: stratum s covers [floor(s*n/k), floor((s+1)*n/k))
+    lo = lambda s: F.floor(s * n_tok / n_spans)  # noqa: E731
+    h = lambda s: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"), F.lit(":"), s.cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    spans = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_spans - 1),
+        lambda s: F.struct(
+            s.cast("long").alias("span_idx"),
+            (lo(s) + F.pmod(h(s), lo(s + 1) - lo(s) - F.lit(span_len) + 1)).alias("start"),
+            F.lit(span_len).cast("long").alias("length"),
+        ),
+    )
+    return (
+        spread(df)
+        .filter(n_tok >= F.lit(span_len) * n_spans)  # every stratum must fit a span
+        .select(F.col(id_col), F.explode(spans).alias("sp"))
+        .select(
+            id_col,
+            F.col("sp.span_idx").alias("span_idx"),
+            F.col("sp.start").alias("start"),
+            F.col("sp.length").alias("length"),
+        )
+    )

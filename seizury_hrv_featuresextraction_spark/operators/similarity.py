@@ -598,3 +598,102 @@ def pca_top_component(
     return spark.createDataFrame(
         [(i + 1, v[i]) for i in range(dim)], "d long, loading_fp long"
     )
+
+
+def sign_bits(vec: Column, dim: int = 64) -> list[Column]:
+    """E80 codes: 1-bit sign quantization of ``vec`` packed into TWO
+    long columns of 32 bits each (lo = dims 1..32, hi = dims 33..64 —
+    1-based element_at). Two half-words instead of one 64-bit word so
+    the packing is pure non-overflowing integer arithmetic in ANY
+    engine (a signed-long bit 63 wraps in Spark's non-ANSI mode but
+    ERRORS in engines with checked arithmetic — the repo's
+    cross-engine-exactness device)."""
+    half = dim // 2
+
+    def pack(off: int) -> Column:
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(half)),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc * 2
+            + F.when(F.element_at(vec, (i + off).cast("int")) > 0, 1).otherwise(0),
+        )
+
+    return [pack(0).alias("code_lo"), pack(half).alias("code_hi")]
+
+
+def hamming_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    dim: int = 64,
+) -> DataFrame:
+    """E80: binary-quantized Hamming top-k — the 1-bit companion to the
+    E59 int8 path (the modern vector-store ladder: float -> int8 ->
+    sign bits). Sign agreement preserves cosine NEIGHBORHOOD order for
+    mean-centered embeddings (P[sign flip] grows with angle — the
+    SimHash/hyperplane-LSH fact, E4's own device applied as a code
+    instead of a bucket), at 32x smaller than float32: at rest a
+    64-dim vector is two longs, and distance is two XOR+popcount
+    instructions.
+
+    Exactness: codes are integer, distance is integer, ties break on
+    corpus_id — the whole ranking is bit-reproducible in any engine
+    (no float enters after quantization). Scale shape: corpus codes
+    are scan-stage expressions; queries broadcast as one collected
+    array (bounded, the E59 device); per-partition Arrow top-k before
+    the only exchange (the _topk_map_local device), final rank window
+    over <= partitions x queries x k rows."""
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        *sign_bits(to_double(F.col(vec_col)), dim),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        *sign_bits(to_double(F.col(vec_col)), dim),
+    ).agg(
+        F.array_sort(
+            F.collect_list(F.struct("query_id", "code_lo", "code_hi"))
+        ).alias("__qs")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.lit(True))
+        .select(
+            "corpus_id",
+            F.explode("__qs").alias("__q"),
+            F.col("code_lo"),
+            F.col("code_hi"),
+        )
+        .filter(F.col("__q.query_id") != F.col("corpus_id"))
+        .select(
+            F.col("__q.query_id").alias("query_id"),
+            F.col("corpus_id"),
+            (
+                F.bit_count(F.col("code_lo").bitwiseXOR(F.col("__q.code_lo")))
+                + F.bit_count(F.col("code_hi").bitwiseXOR(F.col("__q.code_hi")))
+            )
+            .cast("long")
+            .alias("hamming"),
+        )
+    )
+    # map-local top-k: same kernel as IVF, ascending distance
+    def kernel(it):
+        import pandas as pd
+
+        parts = [b for b in it]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        pdf = pdf.sort_values(
+            ["query_id", "hamming", "corpus_id"], ascending=[True, True, True]
+        )
+        yield pdf.groupby("query_id", sort=False).head(k)
+
+    local = scored.mapInPandas(kernel, scored.schema)
+    w = Window.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("corpus_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "corpus_id", "hamming")
+    )

@@ -5374,6 +5374,154 @@ def pagerank_dup_graph_q(spark, sf_dir):
     return r.select(F.col("u").alias("doc_id"), "deg", "rank_fp")
 
 
+@q(
+    "fuzzy_dup_pairs",
+    f"""
+    WITH t AS (SELECT doc_id,
+                      array_to_string(({WORDS_DD})[1:8], ' ') AS title,
+                      ({WORDS_DD})[1] AS w1
+               FROM documents),
+    b AS (SELECT doc_id, title,
+                 w1 || ':' || (length(title) // 8)::varchar AS blk
+          FROM t WHERE w1 IS NOT NULL)
+    SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+           levenshtein(a.title, c.title)::bigint AS dist
+    FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+    WHERE levenshtein(a.title, c.title) <= 5
+    """,
+)
+def fuzzy_dup_pairs_docs(spark, sf_dir):
+    """E76: blocked edit-distance near-dup pairs — the record-linkage
+    family (typo/OCR variants that set-similarity misses: one edit
+    kills every crossing k-gram). Blocking on (first word, prefix-
+    length band) bounds candidates; verification is NATIVE levenshtein
+    (identical DP distance in both engines). One block-key exchange;
+    the verify touches candidate pairs only."""
+    from ..operators.dedup import fuzzy_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return fuzzy_dup_pairs(docs, "text", "doc_id", prefix_words=8, max_dist=5, len_band=8)
+
+
+@q(
+    "domain_link_graph",
+    """
+    WITH h AS (SELECT doc_id,
+                      'd' || (doc_id % 40)::varchar || '.example.com' AS src_domain,
+                      '<p><a href="http://d' || ((doc_id * 7) % 40)::varchar
+                      || '.example.com/p' || doc_id::varchar || '">x</a> '
+                      || '<a href="https://d' || ((doc_id * 13 + 5) % 40)::varchar
+                      || '.example.com:8080/q">y</a> '
+                      || 'no <a href="ftp://skip.me/z">scheme-filtered</a> tail</p>' AS html
+               FROM documents),
+    l AS (SELECT doc_id, src_domain, unnest(regexp_extract_all(html, 'href="(https?://[^"]+)"', 1)) AS url
+          FROM h),
+    e AS (SELECT src_domain, doc_id, regexp_extract(url, '^https?://([^/]+)', 1) AS dst_domain
+          FROM l)
+    SELECT src_domain, dst_domain,
+           count(*)::bigint AS n_links,
+           count(DISTINCT doc_id)::bigint AS n_docs
+    FROM e
+    WHERE dst_domain <> '' AND dst_domain <> src_domain
+    GROUP BY 1, 2
+    """,
+)
+def domain_link_graph_docs(spark, sf_dir):
+    """E77: hyperlink extraction + domain link graph — each doc is
+    wrapped in a deterministic HTML shell (two parseable anchors
+    derived from doc_id, incl. a ported https host, plus an ftp decoy
+    the scheme filter must drop — the png_header_stats construct-
+    then-parse device); the operator extracts hrefs with scan-stage
+    regexp and aggregates the (src, dst) edge table, whose cardinality
+    is the DOMAIN graph, not the corpus. Feeds E67 PageRank."""
+    from ..operators.curation import domain_link_graph
+
+    docs = load_table(spark, sf_dir, "documents")
+    shell = docs.select(
+        "doc_id",
+        F.concat(F.lit("d"), (F.col("doc_id") % 40).cast("string"), F.lit(".example.com")).alias(
+            "src_domain"
+        ),
+        F.concat(
+            F.lit('<p><a href="http://d'),
+            ((F.col("doc_id") * 7) % 40).cast("string"),
+            F.lit(".example.com/p"),
+            F.col("doc_id").cast("string"),
+            F.lit('">x</a> <a href="https://d'),
+            ((F.col("doc_id") * 13 + 5) % 40).cast("string"),
+            F.lit('.example.com:8080/q">y</a> no <a href="ftp://skip.me/z">scheme-filtered</a> tail</p>'),
+        ).alias("html"),
+    )
+    return domain_link_graph(shell, "html", "doc_id", "src_domain")
+
+
+@q(
+    "span_corruption_plan",
+    f"""
+    WITH d AS (SELECT doc_id, len({WORDS_DD})::bigint AS n FROM documents),
+    p AS (SELECT doc_id, n,
+                 greatest(1::bigint, floor(n * 0.15 / 3)::bigint) AS k
+          FROM d),
+    s AS (SELECT doc_id, n, k, unnest(generate_series(0, k - 1)) AS si
+          FROM p WHERE n >= 3 * k)
+    SELECT doc_id, si::bigint AS span_idx,
+           (floor(si * n / k)::bigint
+            + ('0x' || substr(md5('span:' || doc_id::varchar || ':' || si::varchar), 1, 15))::bigint
+              % (floor((si + 1) * n / k)::bigint - floor(si * n / k)::bigint - 2)
+           )::bigint AS start,
+           3::bigint AS length
+    FROM s
+    """,
+)
+def span_corruption_plan_docs(spark, sf_dir):
+    """E79: T5-style span-corruption mask plan as DATA — deterministic
+    stratified span placement (n_spans from the noise density, one
+    md5-placed span per integer stratum, overlap impossible by
+    construction) so every epoch/restart/engine masks identically.
+    Pure in-row arithmetic: planning masks for 10^12 sequences is one
+    scan, zero shuffle, zero UDF."""
+    from ..functions.text import words as words_fn
+    from ..operators.curation import span_corruption_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.size(words_fn(F.coalesce(F.col("text"), F.lit("")))).cast("long").alias("n_tokens")
+    )
+    return span_corruption_plan(base, "n_tokens", "doc_id", density=0.15, span_len=3)
+
+
+@q(
+    "hamming_topk_embeddings",
+    """
+    WITH codes AS (
+      SELECT vec_id,
+             list_sum(list_transform(generate_series(1, 32),
+               j -> CASE WHEN embedding[j] > 0 THEN 1::bigint << (32 - j) ELSE 0::bigint END))::bigint AS lo,
+             list_sum(list_transform(generate_series(1, 32),
+               j -> CASE WHEN embedding[j + 32] > 0 THEN 1::bigint << (32 - j) ELSE 0::bigint END))::bigint AS hi
+      FROM embeddings),
+    q AS (SELECT vec_id AS query_id, lo AS qlo, hi AS qhi FROM codes WHERE vec_id < 5),
+    scored AS (SELECT q.query_id, c.vec_id AS corpus_id,
+                      (bit_count(xor(c.lo, q.qlo)) + bit_count(xor(c.hi, q.qhi)))::bigint AS hamming
+               FROM codes c, q WHERE c.vec_id <> q.query_id),
+    r AS (SELECT query_id, corpus_id, hamming,
+                 row_number() OVER (PARTITION BY query_id ORDER BY hamming, corpus_id) AS rank
+          FROM scored)
+    SELECT query_id, rank::bigint AS rank, corpus_id, hamming FROM r WHERE rank <= 10
+    """,
+)
+def hamming_topk_embeddings_q(spark, sf_dir):
+    """E80: binary sign-quantized Hamming top-k — the 1-bit rung of the
+    vector-compression ladder (float -> E59 int8 -> sign bits): 32x
+    smaller at rest, distance = two XOR+popcounts, ranking fully
+    integer hence bit-reproducible. Corpus codes are scan-stage; the
+    only exchange carries the map-local top-k survivors."""
+    from ..operators.similarity import hamming_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hamming_topk(emb, emb.filter(F.col("vec_id") < 5), "embedding", "vec_id", k=10, dim=64)
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot rotation (VERDICT r4 item 1). The driver's CORRECTNESS
 # artifact records only the FIRST 50 entries of queries() in insertion

@@ -1,0 +1,127 @@
+"""Round-8 operator semantics: E76 fuzzy pairs, E77 link graph,
+E79 span-corruption plan, E80 Hamming top-k (twin parity is separately
+gated by tools/check_queries.py; these pin planted-case behavior)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_fuzzy_dup_pairs_finds_typo_pair_and_respects_blocking(spark):
+    """A 1-character typo pair must be found (edit distance 1 kills
+    every crossing shingle, so the set-similarity family misses it);
+    a pair whose FIRST word differs must be missed (the documented
+    blocking contract); block_cap drops boilerplate blocks."""
+    from seizury_hrv_featuresextraction_spark.operators.dedup import fuzzy_dup_pairs
+
+    rows = [
+        (1, "quarterly report for the acme corporation fiscal year twenty four"),
+        (2, "quarterly reprot for the acme corporation fiscal year twenty four"),  # typo
+        (3, "annual report for the acme corporation fiscal year twenty four"),  # first word differs
+        (4, "completely different text with no relation to anything else here"),
+        (5, None),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in fuzzy_dup_pairs(df, "text", "doc_id", prefix_words=8, max_dist=5).collect()
+    }
+    assert got.get((1, 2)) == 2  # 'report' -> 'reprot': a transposition = 2 plain edits
+    assert (1, 3) not in got and (2, 3) not in got  # blocked away (first word)
+    assert all(a != 4 and b != 4 for a, b in got)
+
+    # block_cap: a boilerplate block bigger than the cap emits nothing
+    boiler = [(100 + i, f"login page for site number {i} please enter password") for i in range(12)]
+    bdf = spark.createDataFrame(boiler, "doc_id long, text string")
+    capped = fuzzy_dup_pairs(bdf, "text", "doc_id", prefix_words=8, max_dist=8, block_cap=8)
+    uncapped = fuzzy_dup_pairs(bdf, "text", "doc_id", prefix_words=8, max_dist=8)
+    assert uncapped.count() > 0
+    assert capped.count() == 0
+
+
+def test_domain_link_graph_extraction_semantics(spark):
+    """Multiplicity kept in n_links, deduped in n_docs; self-loops and
+    non-http(s) schemes dropped; port kept as part of the origin."""
+    from seizury_hrv_featuresextraction_spark.operators.curation import (
+        domain_link_graph,
+        extract_links,
+    )
+
+    rows = [
+        (1, "a.com", '<a href="http://b.com/x">1</a> <a href="http://b.com/y">2</a> <a href="ftp://c.com/z">no</a>'),
+        (2, "a.com", '<a href="http://b.com/z">3</a> <a href="https://a.com/self">self</a>'),
+        (3, "b.com", '<a href="https://a.com:8080/p">ported</a>'),
+        (4, "c.com", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, src_domain string, html string")
+    links = extract_links(df, "html", "doc_id")
+    assert links.count() == 5  # the ftp anchor never matches the https? pattern
+    g = {
+        (r["src_domain"], r["dst_domain"]): (r["n_links"], r["n_docs"])
+        for r in domain_link_graph(df, "html", "doc_id").collect()
+    }
+    assert g[("a.com", "b.com")] == (3, 2)  # 3 links from 2 docs
+    assert g[("b.com", "a.com:8080")] == (1, 1)  # port distinguishes the origin
+    assert ("a.com", "a.com") not in g  # self-loop dropped
+    assert all(src != "c.com" for src, _ in g)  # NULL html -> nothing
+
+
+def test_span_corruption_plan_invariants(spark):
+    """Spans in-bounds, pairwise non-overlapping, count = the density
+    formula, short docs emit nothing, and the plan is a pure function
+    of (id, n_tokens) — partitioning-invariant."""
+    from seizury_hrv_featuresextraction_spark.operators.curation import (
+        span_corruption_plan,
+    )
+
+    rows = [(i, 2 + 7 * i) for i in range(60)]  # n_tokens 2..415
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = span_corruption_plan(df, "n_tokens", "doc_id", density=0.15, span_len=3)
+    pdf = out.toPandas()
+    n_of = dict(rows)
+    for did, grp in pdf.groupby("doc_id"):
+        n = n_of[did]
+        k = max(1, int(n * 0.15 / 3))
+        assert len(grp) == k, (did, n)
+        spans = sorted(zip(grp["start"], grp["length"]))
+        for (s, ln) in spans:
+            assert 0 <= s and s + ln <= n, (did, s, ln, n)
+        for (s1, l1), (s2, _) in zip(spans, spans[1:]):
+            assert s1 + l1 <= s2, (did, spans)
+    # docs too short for one span emit nothing
+    assert set(pdf["doc_id"]) == {i for i, n in rows if n >= 3}
+
+    # partitioning invariance
+    again = span_corruption_plan(
+        df.repartition(13), "n_tokens", "doc_id", density=0.15, span_len=3
+    ).toPandas()
+    a = pdf.sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
+    b = again.sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_hamming_topk_planted_neighbor_and_integer_ranking(spark):
+    """A sign-identical vector has Hamming 0 and must rank first; a
+    sign-flipped vector ranks last among candidates; ranking is fully
+    integer so repartitioning cannot change it."""
+    import numpy as np
+
+    from seizury_hrv_featuresextraction_spark.operators.similarity import hamming_topk
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal(64)
+    rows = [(0, [float(x) for x in base])]
+    rows.append((1, [float(x * 2.0) for x in base]))          # same signs -> hamming 0
+    rows.append((2, [float(-x) for x in base]))               # all signs flipped -> 64
+    for i in range(3, 40):
+        rows.append((i, [float(x) for x in rng.standard_normal(64)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = hamming_topk(df, df.filter(F.col("vec_id") == 0), "embedding", "vec_id", k=39)
+    got = {r["rank"]: (r["corpus_id"], r["hamming"]) for r in out.collect()}
+    assert got[1] == (1, 0)
+    assert got[39][0] == 2 and got[39][1] == 64
+    again = hamming_topk(
+        df.repartition(11), df.filter(F.col("vec_id") == 0), "embedding", "vec_id", k=39
+    )
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, out.collect()))
