@@ -535,3 +535,43 @@ def weighted_sample(
         .where(F.col("rk") <= k)
         .drop("rk")
     )
+
+
+def epoch_shard_plan(
+    df: DataFrame, id_col: str, n_shards: int, n_epochs: int, seed: int = 0
+) -> DataFrame:
+    """E78: the MULTI-EPOCH training-order plan — every epoch needs a
+    fresh global permutation (shuffle_shards, E38), and the naive way
+    is one corpus scan + one shard shuffle PER EPOCH. Here the corpus
+    is scanned ONCE and amplified in-row: each doc emits its (epoch,
+    shard) assignment for all ``n_epochs`` epochs from per-epoch seeded
+    hashes (seed:epoch:id — epoch e's permutation is exactly
+    ``shuffle_shards(seed=f"{seed}:{e}")``, pytest-pinned), then ONE
+    exchange on the composite (epoch, shard) key orders every epoch's
+    every shard in the same stage. n_epochs x n_shards hash-balanced
+    groups = the same shuffle volume as one epoch times n_epochs, but
+    one job, one scan, one sort stage.
+
+    Returns (id, epoch, shard, pos): reading epoch e's shards in
+    (shard, pos) order IS epoch e's shuffled corpus; resume-stable and
+    engine-replayable (md5 device)."""
+    from pyspark.sql import Window
+
+    epochs = F.explode(F.sequence(F.lit(0), F.lit(n_epochs - 1))).alias("epoch")
+    base = df.select(F.col(id_col), epochs)
+    hhex = F.md5(
+        F.concat(
+            F.lit(f"{seed}:"),
+            F.col("epoch").cast("string"),
+            F.lit(":"),
+            F.col(id_col).cast("string"),
+        )
+    )
+    h = F.conv(F.substring(hhex, 1, 15), 16, 10).cast("long")
+    w = Window.partitionBy("epoch", "shard").orderBy("__h", id_col)
+    return (
+        base.withColumn("__h", h)
+        .withColumn("shard", F.pmod(F.col("__h"), F.lit(n_shards)).cast("int"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("__h")
+    )
