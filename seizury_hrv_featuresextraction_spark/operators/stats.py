@@ -572,6 +572,6 @@ def epoch_shard_plan(
     return (
         base.withColumn("__h", h)
         .withColumn("shard", F.pmod(F.col("__h"), F.lit(n_shards)).cast("int"))
-        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))  # 0-based, as E38
         .drop("__h")
     )

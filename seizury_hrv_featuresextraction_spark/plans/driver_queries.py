@@ -5522,6 +5522,36 @@ def hamming_topk_embeddings_q(spark, sf_dir):
     return hamming_topk(emb, emb.filter(F.col("vec_id") < 5), "embedding", "vec_id", k=10, dim=64)
 
 
+@q(
+    "epoch_shard_plan",
+    """
+    WITH e AS (SELECT doc_id, unnest(generate_series(0, 2)) AS epoch FROM documents),
+    h AS (SELECT doc_id, epoch,
+                 ('0x' || substr(md5('0:' || epoch::varchar || ':' || doc_id::varchar), 1, 15))::bigint AS hh
+          FROM e)
+    SELECT doc_id, epoch::bigint AS epoch, (hh % 8)::bigint AS shard,
+           (row_number() OVER (PARTITION BY epoch, hh % 8 ORDER BY hh, doc_id) - 1)::bigint AS pos
+    FROM h
+    """,
+)
+def epoch_shard_plan_docs(spark, sf_dir):
+    """E78: multi-epoch training-order plan — all epochs' global
+    permutations from ONE corpus scan (in-row epoch amplification +
+    one composite (epoch, shard) exchange) instead of one
+    scan-and-shuffle job per epoch; epoch e's slice is exactly
+    shuffle_shards(seed='0:e') (pytest-pinned)."""
+    from ..operators.stats import epoch_shard_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = epoch_shard_plan(docs.select("doc_id"), "doc_id", n_shards=8, n_epochs=3, seed=0)
+    return out.select(
+        "doc_id",
+        F.col("epoch").cast("long").alias("epoch"),
+        F.col("shard").cast("long").alias("shard"),
+        "pos",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot rotation (VERDICT r4 item 1). The driver's CORRECTNESS
 # artifact records only the FIRST 50 entries of queries() in insertion

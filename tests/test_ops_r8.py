@@ -125,3 +125,29 @@ def test_hamming_topk_planted_neighbor_and_integer_ranking(spark):
         df.repartition(11), df.filter(F.col("vec_id") == 0), "embedding", "vec_id", k=39
     )
     assert sorted(map(tuple, again.collect())) == sorted(map(tuple, out.collect()))
+
+
+def test_epoch_shard_plan_slices_equal_per_epoch_shuffles(spark):
+    """E78: epoch e's slice of the one-scan multi-epoch plan must equal
+    an independent shuffle_shards run with seed '0:e' — same shards,
+    same positions — and epochs must be DIFFERENT permutations."""
+    from seizury_hrv_featuresextraction_spark.operators.stats import (
+        epoch_shard_plan,
+        shuffle_shards,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    plan = epoch_shard_plan(df, "doc_id", n_shards=4, n_epochs=3, seed=0).toPandas()
+    orders = {}
+    for e in range(3):
+        mine = {
+            r.doc_id: (r.shard, r.pos)
+            for r in plan[plan["epoch"] == e].itertuples(index=False)
+        }
+        ref = {
+            r["doc_id"]: (r["shard"], r["pos"])
+            for r in shuffle_shards(df, "doc_id", n_shards=4, seed=f"0:{e}").collect()
+        }
+        assert mine == ref, e
+        orders[e] = tuple(sorted(mine.items()))
+    assert orders[0] != orders[1] and orders[1] != orders[2]
