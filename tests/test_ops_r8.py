@@ -151,3 +151,35 @@ def test_epoch_shard_plan_slices_equal_per_epoch_shuffles(spark):
         assert mine == ref, e
         orders[e] = tuple(sorted(mine.items()))
     assert orders[0] != orders[1] and orders[1] != orders[2]
+
+
+def test_ivf_arrow_kernel_matches_expression_path(spark):
+    """The Arrow/GEMM IVF kernel must produce the same top-k sets as
+    the oracle expression path (identical assignment + probe + rank
+    rules; scores differ only in float summation order, so rank tuples
+    are compared with a >= 0.95 overlap bound and the planted exact
+    neighbor must be rank 1 in both)."""
+    import numpy as np
+
+    from seizury_hrv_featuresextraction_spark.operators.similarity import (
+        ivf_topk,
+        train_centroids,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(400)]
+    rows.append((1000, [float(x * 3.0) for x in rows[0][1]]))  # exact direction of q0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = df.filter(F.col("vec_id") < 4)
+    cent = train_centroids(df, "embedding", "vec_id", n_lists=8).cache()
+    cent.count()
+    e = ivf_topk(df, qs, "embedding", "vec_id", k=5, n_lists=8, n_probe=3, centroids=cent)
+    a = ivf_topk(
+        df, qs, "embedding", "vec_id", k=5, n_lists=8, n_probe=3, centroids=cent, kernel="arrow"
+    )
+    se = {(r["query_id"], r["rank"], r["corpus_id"]) for r in e.collect()}
+    sa = {(r["query_id"], r["rank"], r["corpus_id"]) for r in a.collect()}
+    assert len(se & sa) >= 0.95 * len(se), (len(se & sa), len(se))
+    first_a = {r["query_id"]: r["corpus_id"] for r in a.collect() if r["rank"] == 1}
+    first_e = {r["query_id"]: r["corpus_id"] for r in e.collect() if r["rank"] == 1}
+    assert first_a[0] == 1000 and first_e[0] == 1000
