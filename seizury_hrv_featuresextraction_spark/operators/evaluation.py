@@ -13,9 +13,10 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .asof import asof_join
 from .windows import session_bounds
 
 
@@ -76,6 +77,72 @@ def detection_metrics(
             F.col("tn") + F.col("fp") > 0,
             F.col("fp") / ((F.col("tn") + F.col("fp")) * F.lit(stride_seconds) / 3600.0),
         ).otherwise(F.lit(0.0)).alias("fpr_per_hour"),
+    )
+
+
+def pit_leakage_audit(
+    obs: DataFrame,
+    labels: DataFrame,
+    on: str,
+    by: str,
+    label_col: str,
+) -> DataFrame:
+    """E82: quantify the temporal leakage a point-in-time join prevents
+    — the north rule's "zero temporal leakage" made measurable instead
+    of asserted.
+
+    For every observation the audit computes BOTH label lookups:
+
+    - ``asof``: the latest label at-or-before the observation time (the
+      reference's FixedSPH semantic, data_processing_pipeline.py:708-716
+      — what training must use);
+    - ``naive``: the key's latest label overall (the classic leaky
+      feature-store bug: a backfill job joins "current" labels onto
+      historical rows).
+
+    Output per key: n_obs, n_future_label (naive label timestamp is
+    STRICTLY after the observation — information from the future),
+    n_value_mismatch (naive disagrees with as-of, null-safe — the rows
+    a leaky pipeline would actually train differently on), and the
+    worst leak horizon in seconds. A clean feed (all labels before all
+    observations) scores zeros; the counts are exact integers.
+
+    Scale shape: the as-of side is the engine's single-shuffle native
+    as-of; the naive side is a per-key arg-max (partial-agged to |keys|
+    rows) broadcast back — the corpus is exchanged once, the audit agg
+    reuses the as-of's key partitioning.
+    """
+    j = asof_join(
+        obs,
+        labels.select(F.col(by), F.col(on), F.col(label_col)),
+        on=on,
+        by=by,
+        value_cols=[label_col, on],
+        direction="backward",
+    )
+    on_r = on + "_right" if on in obs.columns else on
+    lab_r = label_col + "_right" if label_col in obs.columns else label_col
+    w = Window.partitionBy(by).orderBy(F.desc(on), F.desc(label_col))
+    naive = (
+        labels.select(by, on, label_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col(by),
+            F.col(on).alias("naive_t"),
+            F.col(label_col).alias("naive_label"),
+        )
+    )
+    audited = j.join(F.broadcast(naive), by, "left")
+    future = F.col("naive_t") > F.col(on)
+    mismatch = ~F.col("naive_label").eqNullSafe(F.col(lab_r))
+    return audited.groupBy(by).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        # when/otherwise, not a bare cast: a key with no labels has a
+        # NULL naive_t, and sum(NULL) must count as 0 leaks, not NULL
+        F.sum(F.when(future, F.lit(1)).otherwise(F.lit(0)).cast("long")).alias("n_future_label"),
+        F.sum(F.when(mismatch, F.lit(1)).otherwise(F.lit(0)).cast("long")).alias("n_value_mismatch"),
+        F.round(F.max(F.when(future, F.col("naive_t") - F.col(on))), 6).alias("max_leak_horizon"),
     )
 
 

@@ -575,3 +575,72 @@ def epoch_shard_plan(
         .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))  # 0-based, as E38
         .drop("__h")
     )
+
+
+def correlation_matrix(
+    df: DataFrame,
+    cols: Sequence[tuple[str, int]],
+    round_to: int = 6,
+) -> DataFrame:
+    """E83: pairwise Pearson correlation over quantized feature columns
+    — the feature-selection / redundancy diagnostic (which HRV features
+    carry independent signal) computed with the E71 exactness device so
+    the matrix is bit-reproducible in any engine.
+
+    Each feature is quantized ``floor(round(x, round_to) * scale)`` to
+    int64 (scale chosen per feature so the quantization grain is below
+    the feature's meaningful resolution); all pairwise sufficient
+    statistics (n, sum_i, sum_ii, sum_ij) accumulate as EXACT int64 —
+    no float summation order anywhere. The correlation itself is then
+    one fixed sequence of double ops from those identical integers
+    ((n*s_ij - s_i*s_j) / (sqrt(n*s_ii - s_i^2) * sqrt(n*s_jj -
+    s_j^2)), int64→double conversion and IEEE sqrt/divide are
+    deterministic), so even the float column value-hashes.
+
+    Rows with ANY null feature are dropped (keeps n identical across
+    pairs — mirrored in the twin). Zero-variance features yield NULL
+    correlation, not a division error.
+
+    Scale shape: one scan → map-side partial agg to ONE row holding
+    the full d^2/2 statistic set (d features is d(d+1) sum expressions
+    — fine for feature-table d, this is not an embedding operator) →
+    in-row explode to pair rows. ZERO joins, zero corpus re-reads; the
+    only exchange carries one row per map task.
+    """
+    names = [c for c, _ in cols]
+    q = df.select(
+        *[
+            F.floor(F.round(F.col(c), round_to) * F.lit(s)).cast("long").alias(c)
+            for c, s in cols
+        ]
+    ).na.drop()
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, ci in enumerate(names):
+        aggs.append(F.sum(ci).alias(f"s_{i}"))
+        aggs.append(F.sum(F.col(ci) * F.col(ci)).alias(f"ss_{i}"))
+        for j in range(i + 1, len(names)):
+            aggs.append(F.sum(F.col(ci) * F.col(names[j])).alias(f"sp_{i}_{j}"))
+    row = q.agg(*aggs)
+    pairs = []
+    for i, ci in enumerate(names):
+        for j in range(i + 1, len(names)):
+            pairs.append(
+                F.struct(
+                    F.lit(ci).alias("feat_i"),
+                    F.lit(names[j]).alias("feat_j"),
+                    F.col("n").alias("n"),
+                    F.col(f"s_{i}").alias("sum_i"),
+                    F.col(f"s_{j}").alias("sum_j"),
+                    F.col(f"ss_{i}").alias("sum_ii"),
+                    F.col(f"ss_{j}").alias("sum_jj"),
+                    F.col(f"sp_{i}_{j}").alias("sum_ij"),
+                )
+            )
+    out = row.select(F.explode(F.array(*pairs)).alias("p")).select("p.*")
+    nd = F.col("n").cast("double")
+    si, sj = F.col("sum_i").cast("double"), F.col("sum_j").cast("double")
+    cov = nd * F.col("sum_ij").cast("double") - si * sj
+    vi = nd * F.col("sum_ii").cast("double") - si * si
+    vj = nd * F.col("sum_jj").cast("double") - sj * sj
+    corr = F.when((vi > 0) & (vj > 0), F.round(cov / (F.sqrt(vi) * F.sqrt(vj)), 6))
+    return out.withColumn("corr", corr)

@@ -108,6 +108,83 @@ def backfill(
     return df.withColumn(out_col, filled)
 
 
+def resample_interpolate(
+    obs: DataFrame,
+    on: str,
+    by: str,
+    value_col: str,
+    step: float,
+) -> DataFrame:
+    """E81: resample an irregular per-key series onto a regular time
+    grid with linear interpolation (tail windows forward-filled) — the
+    standalone form of the uniform-resampling step the reference's
+    spectral path performs before Welch (hrv_features.py's interbeat
+    resample; north-star "resampled interbeat series").
+
+    Grid: t_k = ceil(min(on)/step)*step + k*step for k = 0..floor((max-
+    gs)/step) — entirely inside [min, max], so a PREVIOUS observation
+    always exists and only the exact-right-edge grid point can lack a
+    strictly-later NEXT one (it forward-fills; ``tail_fill`` marks it).
+    Interpolation is v_prev + (v_next - v_prev) * (t - e_prev) /
+    (e_next - e_prev): identical IEEE arithmetic from identical doubles
+    in any engine, so the output is value-twinnable without tolerance.
+
+    Scale shape (the union+window gap-fill device, NOT two as-of
+    joins): duplicate observation times are first collapsed (max value
+    per (key, t) — makes prev/next well-defined), per-key bounds come
+    from ONE tiny partial-agged groupBy, grid rows are amplified
+    map-locally from the bounds rows (sequence+explode), and prev/next
+    both come from two frames over ONE (key, t) sort — so the corpus is
+    exchanged once for the fill, there are ZERO joins, and the grid
+    exchange is the (bounded) grid itself. Two as-of joins would
+    exchange the corpus twice and sort four times.
+    """
+    o = (
+        obs.groupBy(F.col(by).alias("k"), F.col(on).alias("t"))
+        .agg(F.max(value_col).alias("v"))
+        .withColumn("is_obs", F.lit(1))
+    )
+    bounds = o.groupBy("k").agg(F.min("t").alias("mn"), F.max("t").alias("mx"))
+    gs = F.ceil(F.col("mn") / F.lit(step)) * F.lit(step)
+    n = F.floor((F.col("mx") - gs) / F.lit(step)).cast("long")
+    grid = (
+        bounds.select("k", gs.alias("gs"), n.alias("n"))
+        .filter(F.col("n") >= 0)
+        .select("k", "gs", F.explode(F.sequence(F.lit(0).cast("long"), F.col("n"))).alias("i"))
+        .select(
+            "k",
+            (F.col("gs") + F.col("i") * F.lit(step)).alias("t"),
+            F.lit(None).cast("double").alias("v"),
+            F.lit(0).alias("is_obs"),
+        )
+    )
+    u = o.select("k", "t", "v", "is_obs").unionByName(grid)
+    # obs sorts before the grid marker at an equal t, so the backward
+    # frame is inclusive (prev e <= t) and the forward frame strict
+    # (next e > t) — no self-match, no zero denominator.
+    order = [F.col("t").asc(), F.col("is_obs").desc()]
+    wb = Window.partitionBy("k").orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    wf = Window.partitionBy("k").orderBy(*order).rowsBetween(0, Window.unboundedFollowing)
+    obs_t = F.when(F.col("is_obs") == 1, F.col("t"))
+    filled = (
+        u.withColumn("pv", F.last("v", ignorenulls=True).over(wb))
+        .withColumn("pt", F.last(obs_t, ignorenulls=True).over(wb))
+        .withColumn("nv", F.first("v", ignorenulls=True).over(wf))
+        .withColumn("nt", F.first(obs_t, ignorenulls=True).over(wf))
+        .filter(F.col("is_obs") == 0)
+    )
+    interp = F.when(F.col("nt").isNull(), F.col("pv")).otherwise(
+        F.col("pv")
+        + (F.col("nv") - F.col("pv")) * (F.col("t") - F.col("pt")) / (F.col("nt") - F.col("pt"))
+    )
+    return filled.select(
+        F.col("k").alias(by),
+        F.col("t").alias(on),
+        interp.alias(value_col),
+        F.col("nt").isNull().alias("tail_fill"),
+    )
+
+
 def trailing_frames(
     df: DataFrame,
     by: Sequence[str] | str,

@@ -258,6 +258,89 @@ def asof_forward_tte(spark, sf_dir):
     )
 
 
+# E81: regular-grid resample + linear interpolation (union+window device;
+# the twin is the INDEPENDENT two-ASOF-join formulation, so grid
+# generation, prev/next selection and the interpolation arithmetic are
+# all cross-checked between two genuinely different plans).
+_RESAMPLE_STEP = 21600.0  # 6 h grid over the ~30-day event span
+
+
+@q(
+    "resample_interpolate_series",
+    f"""
+    WITH c AS (
+      SELECT user_id, {EPOCH_DD} AS e, max(value) AS v
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, {EPOCH_DD}),
+    b AS (
+      SELECT user_id, ceil(min(e) / {_RESAMPLE_STEP}) * {_RESAMPLE_STEP} AS gs, max(e) AS mx
+      FROM c GROUP BY user_id),
+    g AS (
+      SELECT user_id,
+             gs + unnest(generate_series(0, cast(floor((mx - gs) / {_RESAMPLE_STEP}) as bigint))) * {_RESAMPLE_STEP} AS t
+      FROM b WHERE floor((mx - gs) / {_RESAMPLE_STEP}) >= 0),
+    prv AS (
+      SELECT g.user_id, g.t, c.e AS pe, c.v AS pv
+      FROM g ASOF LEFT JOIN c ON g.user_id = c.user_id AND g.t >= c.e),
+    nxt AS (
+      SELECT g.user_id, g.t, c.e AS ne, c.v AS nv
+      FROM g ASOF LEFT JOIN c ON g.user_id = c.user_id AND g.t < c.e)
+    SELECT p.user_id, round(p.t, 6) AS t,
+           round(CASE WHEN n.ne IS NULL THEN p.pv
+                      ELSE p.pv + (n.nv - p.pv) * (p.t - p.pe) / (n.ne - p.pe) END, 6) AS v,
+           (n.ne IS NULL) AS tail_fill
+    FROM prv p JOIN nxt n ON p.user_id = n.user_id AND p.t = n.t
+    """,
+)
+def resample_interpolate_series(spark, sf_dir):
+    from ..operators.windows import resample_interpolate
+
+    ev = _ev(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "e", "value")
+    r = resample_interpolate(clicks, on="e", by="user_id", value_col="value", step=_RESAMPLE_STEP)
+    return r.select(
+        "user_id",
+        F.round("e", 6).alias("t"),
+        F.round("value", 6).alias("v"),
+        "tail_fill",
+    )
+
+
+@q(
+    "pit_leakage_audit",
+    f"""
+    WITH clicks AS (SELECT event_id, user_id, {EPOCH_DD} AS e FROM events WHERE event_type = 'click'),
+         errors AS (SELECT user_id, {EPOCH_DD} AS e, value AS v FROM events WHERE event_type = 'error'),
+         pit AS (
+           SELECT c.event_id, c.user_id, c.e, er.v AS av
+           FROM clicks c ASOF LEFT JOIN errors er
+             ON c.user_id = er.user_id AND c.e >= er.e),
+         naive AS (
+           SELECT user_id, e AS nt, v AS nv
+           FROM (SELECT user_id, e, v,
+                        row_number() OVER (PARTITION BY user_id ORDER BY e DESC, v DESC) AS rn
+                 FROM errors)
+           WHERE rn = 1)
+    SELECT a.user_id,
+           count(*)::bigint AS n_obs,
+           sum(CASE WHEN n.nt > a.e THEN 1 ELSE 0 END)::bigint AS n_future_label,
+           sum(CASE WHEN n.nv IS DISTINCT FROM a.av THEN 1 ELSE 0 END)::bigint AS n_value_mismatch,
+           round(max(CASE WHEN n.nt > a.e THEN n.nt - a.e END), 6) AS max_leak_horizon
+    FROM pit a LEFT JOIN naive n ON a.user_id = n.user_id
+    GROUP BY a.user_id
+    """,
+)
+def pit_leakage_audit_q(spark, sf_dir):
+    from ..operators.evaluation import pit_leakage_audit
+
+    ev = _ev(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "e")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "e", F.col("value").alias("err_value")
+    )
+    return pit_leakage_audit(clicks, errors, on="e", by="user_id", label_col="err_value")
+
+
 @q(
     "sliding_window_counts",
     f"""
@@ -1090,6 +1173,77 @@ def hrv_time_features_windows(spark, sf_dir):
         F.round("pNN50", 6).alias("pnn50"),
         F.round("TRI_INDEX", 6).alias("tri_index"),
     )
+
+
+# E83: pairwise Pearson over the time-domain feature table with the E71
+# integer-exactness device. Scales pick the quantization grain: 1 ms for
+# the ms-valued features (int64 squares stay far from overflow at any
+# corpus size the agg can see), x100 for the two ratio features.
+_CORR_FEATS: list[tuple[str, int]] = [
+    ("rr_mean", 1),
+    ("sdnn", 1),
+    ("rmssd", 1),
+    ("pnn50", 100),
+    ("nn50", 1),
+    ("tri_index", 100),
+]
+
+
+def _corr_twin_sql() -> str:
+    names = [c for c, _ in _CORR_FEATS]
+    qexprs = ",\n             ".join(
+        f"floor(round({c}, 6) * {s}) AS q_{i}" for i, (c, s) in enumerate(_CORR_FEATS)
+    )
+    notnull = " AND ".join(f"{c} IS NOT NULL" for c in names)
+    sums = ["count(*)::bigint AS n"]
+    for i in range(len(names)):
+        sums.append(f"sum(q_{i})::bigint AS s_{i}")
+        sums.append(f"sum(q_{i} * q_{i})::bigint AS ss_{i}")
+        for j in range(i + 1, len(names)):
+            sums.append(f"sum(q_{i} * q_{j})::bigint AS sp_{i}_{j}")
+    pair_rows = []
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            pair_rows.append(
+                f"SELECT '{names[i]}' AS feat_i, '{names[j]}' AS feat_j, n,"
+                f" s_{i} AS sum_i, s_{j} AS sum_j, ss_{i} AS sum_ii,"
+                f" ss_{j} AS sum_jj, sp_{i}_{j} AS sum_ij FROM sums"
+            )
+    union = "\n      UNION ALL ".join(pair_rows)
+    return f"""
+    WITH {_GRID_MEMBER_CTES},
+    {_TIME_CTES},
+    feat AS (
+      SELECT agg.rr_mean, agg.sdnn, agg.rmssd, agg.pnn50, agg.nn50,
+             round(agg.n_beats::double / mx.mb, 6) AS tri_index
+      FROM agg JOIN mx ON mx.user_id = agg.user_id AND mx.win_id = agg.win_id
+      WHERE agg.n_beats >= 5),
+    quant AS (
+      SELECT {qexprs}
+      FROM feat WHERE {notnull}),
+    sums AS (SELECT {", ".join(sums)} FROM quant),
+    pairs AS ({union})
+    SELECT feat_i, feat_j, n, sum_i, sum_j, sum_ii, sum_jj, sum_ij,
+           CASE WHEN (n::double * sum_ii::double - sum_i::double * sum_i::double) > 0
+                 AND (n::double * sum_jj::double - sum_j::double * sum_j::double) > 0
+                THEN round((n::double * sum_ij::double - sum_i::double * sum_j::double)
+                           / (sqrt(n::double * sum_ii::double - sum_i::double * sum_i::double)
+                              * sqrt(n::double * sum_jj::double - sum_j::double * sum_j::double)), 6)
+           END AS corr
+    FROM pairs
+    """
+
+
+@q("feature_correlation_matrix", _corr_twin_sql())
+def feature_correlation_matrix_q(spark, sf_dir):
+    """E83: which HRV features carry independent signal — exact-integer
+    sufficient statistics (one scan, one single-row exchange, zero
+    joins), correlation as one fixed double-op sequence so the full
+    matrix value-hashes against the twin's independent recomputation."""
+    from ..operators.stats import correlation_matrix
+
+    feats = hrv_time_features_windows(spark, sf_dir)
+    return correlation_matrix(feats, _CORR_FEATS)
 
 
 @q(

@@ -183,3 +183,109 @@ def test_ivf_arrow_kernel_matches_expression_path(spark):
     first_a = {r["query_id"]: r["corpus_id"] for r in a.collect() if r["rank"] == 1}
     first_e = {r["query_id"]: r["corpus_id"] for r in e.collect() if r["rank"] == 1}
     assert first_a[0] == 1000 and first_e[0] == 1000
+
+
+def test_resample_interpolate_hand_computed_grid(spark):
+    """E81: grid placement, linear interpolation, exact-grid-hit,
+    duplicate-time collapse, tail forward-fill and sub-step spans,
+    all against hand arithmetic."""
+    from seizury_hrv_featuresextraction_spark.operators.windows import resample_interpolate
+
+    rows = [
+        ("A", 5.0, 10.0), ("A", 25.0, 30.0), ("A", 34.0, 50.0),
+        ("B", 10.0, 1.0), ("B", 20.0, 2.0),       # obs exactly on grid
+        ("C", 10.0, 1.0), ("C", 10.0, 3.0), ("C", 21.0, 3.0),  # dup time -> max
+        ("D", 5.0, 7.0),                            # span < step: no grid
+    ]
+    df = spark.createDataFrame(rows, "k string, e double, v double")
+    out = {
+        (r["k"], r["e"]): (r["v"], r["tail_fill"])
+        for r in resample_interpolate(df, on="e", by="k", value_col="v", step=10.0).collect()
+    }
+    # A: grid 10, 20, 30
+    assert out[("A", 10.0)][0] == 10.0 + 20.0 * 5.0 / 20.0          # 15
+    assert out[("A", 20.0)][0] == 10.0 + 20.0 * 15.0 / 20.0         # 25
+    assert abs(out[("A", 30.0)][0] - (30.0 + 20.0 * 5.0 / 9.0)) < 1e-12
+    assert not out[("A", 30.0)][1]                                   # next obs at 34 exists
+    # B: obs exactly on both grid points; right edge forward-fills
+    assert out[("B", 10.0)] == (1.0, False)
+    assert out[("B", 20.0)] == (2.0, True)
+    # C: duplicate t=10 collapses to max(v)=3
+    assert out[("C", 10.0)] == (3.0, False)
+    assert out[("C", 20.0)][0] == 3.0                                # flat segment
+    # D: no grid point inside [5, 5]
+    assert not any(k == "D" for k, _ in out)
+    assert len(out) == 7
+
+
+def test_resample_interpolate_partitioning_invariance(spark):
+    """Output is a pure function of the data, not of its layout."""
+    from seizury_hrv_featuresextraction_spark.operators.windows import resample_interpolate
+
+    rows = [(f"k{i % 7}", float(3 * i % 101) + i / 7.0, float(i * i % 53)) for i in range(300)]
+    df = spark.createDataFrame(rows, "k string, e double, v double")
+    a = resample_interpolate(df.repartition(1), "e", "k", "v", 10.0)
+    b = resample_interpolate(df.repartition(17, "v"), "e", "k", "v", 10.0)
+    pa = sorted(map(tuple, a.collect()))
+    pb = sorted(map(tuple, b.collect()))
+    assert pa == pb and len(pa) > 0
+
+
+def test_pit_leakage_audit_counts(spark):
+    """E82: a user whose labels keep arriving after observations shows
+    future-label counts + horizon; a clean user scores zeros; a user
+    with no labels at all scores zeros with a NULL horizon."""
+    from seizury_hrv_featuresextraction_spark.operators.evaluation import pit_leakage_audit
+
+    obs = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (2, 10.0), (2, 20.0), (3, 15.0)],
+        "user_id long, e double",
+    )
+    labels = spark.createDataFrame(
+        [(1, 5.0, 1.0), (1, 15.0, 2.0), (1, 30.0, 9.0), (2, 1.0, 5.0)],
+        "user_id long, e double, lab double",
+    )
+    got = {
+        r["user_id"]: r
+        for r in pit_leakage_audit(obs, labels, on="e", by="user_id", label_col="lab").collect()
+    }
+    r1 = got[1]
+    assert r1["n_obs"] == 2
+    assert r1["n_future_label"] == 2          # naive label (t=30) is future for both obs
+    assert r1["n_value_mismatch"] == 2        # naive 9.0 vs as-of 1.0 / 2.0
+    assert r1["max_leak_horizon"] == 20.0     # 30 - 10
+    r2 = got[2]
+    assert (r2["n_future_label"], r2["n_value_mismatch"]) == (0, 0)
+    assert r2["max_leak_horizon"] is None
+    r3 = got[3]
+    assert (r3["n_obs"], r3["n_future_label"], r3["n_value_mismatch"]) == (1, 0, 0)
+    assert r3["max_leak_horizon"] is None
+
+
+def test_correlation_matrix_planted_relationships(spark):
+    """E83: perfectly correlated, anti-correlated, independent and
+    constant features against hand arithmetic; null rows drop."""
+    from seizury_hrv_featuresextraction_spark.operators.stats import correlation_matrix
+
+    rows = [
+        (0.0, 3.0, 0.0, 7.0, 0.0),
+        (1.0, 5.0, -1.0, 7.0, 1.0),
+        (2.0, 7.0, -2.0, 7.0, 1.0),
+        (3.0, 9.0, -3.0, 7.0, 0.0),
+        (None, 1.0, 1.0, 1.0, 1.0),   # dropped: null x
+    ]
+    df = spark.createDataFrame(rows, "x double, y double, z double, c double, v double")
+    out = {
+        (r["feat_i"], r["feat_j"]): r
+        for r in correlation_matrix(
+            df, [("x", 1), ("y", 1), ("z", 1), ("c", 1), ("v", 1)]
+        ).collect()
+    }
+    assert len(out) == 10
+    assert all(r["n"] == 4 for r in out.values())
+    assert out[("x", "y")]["corr"] == 1.0      # y = 2x + 3
+    assert out[("x", "z")]["corr"] == -1.0     # z = -x
+    assert out[("x", "c")]["corr"] is None     # constant: zero variance
+    assert out[("x", "v")]["corr"] == 0.0      # cov = 4*3 - 6*2 = 0
+    r = out[("x", "y")]
+    assert (r["sum_i"], r["sum_j"], r["sum_ij"]) == (6, 24, 46)  # 0*3+1*5+2*7+3*9
