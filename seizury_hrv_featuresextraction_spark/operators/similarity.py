@@ -804,3 +804,69 @@ def hamming_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "corpus_id", "hamming")
     )
+
+
+def jl_signs(dim: int, out_dim: int, seed: str = "jl") -> list[list[int]]:
+    """E84: the ±1 Johnson-Lindenstrauss projection matrix (Achlioptas
+    2003's database-friendly form) as a PURE FUNCTION of (seed, row,
+    col): sign = parity of the first 8 md5 hex chars of "seed:j:d" —
+    the repo's hex-substring device, so any engine regenerates the
+    identical matrix without shipping it."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"{seed}:{j}:{d}".encode()).hexdigest()[:8], 16) % 2 == 0 else -1
+            for d in range(dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def jl_sign_projection(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    out_dim: int,
+    dim: int = 64,
+    scales: list[float] | None = None,
+    seed: str = "jl",
+) -> DataFrame:
+    """E84: random-projection sketch of the embedding corpus — dim→
+    out_dim with a deterministic ±1 matrix over the E59 int8 codes, so
+    every projected coordinate is an EXACT int64 (|p_j| <= 127*dim) and
+    the whole sketch is bit-reproducible cross-engine. The missing rung
+    of the vector ladder between float (exact), int8 (E59) and sign
+    bits (E80): JL preserves pairwise L2 in expectation
+    (E||Px||^2 = out_dim * ||x||^2), giving a distance-faithful
+    pre-filter at out_dim/dim the scan cost that Hamming's 1-bit codes
+    cannot provide.
+
+    Scale shape: quantize + out_dim fold expressions + posexplode are
+    ALL in-row — zero exchanges, zero joins, zero Python; the projection
+    of a 10^12-vector corpus is one scan-stage pass. The matrix rides
+    the plan as out_dim literal arrays (data-independent), never a
+    broadcast table.
+
+    Returns long-format (vec_id, j, p) so the sketch value-twins
+    row-for-row.
+    """
+    if scales is None:
+        scales = quantization_scales(df, vec_col, dim)
+    signs = jl_signs(dim, out_dim, seed)
+    q = quantize_vec(to_double(F.col(vec_col)), scales)
+    proj = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(F.col("__q"), F.lit(signs[j]), lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            for j in range(out_dim)
+        ]
+    )
+    return (
+        df.select(F.col(id_col).alias("vec_id"), q.alias("__q"))
+        .select("vec_id", F.posexplode(proj).alias("j", "p"))
+        .select("vec_id", F.col("j").cast("long").alias("j"), "p")
+    )

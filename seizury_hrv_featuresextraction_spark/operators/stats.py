@@ -644,3 +644,68 @@ def correlation_matrix(
     vj = nd * F.col("sum_jj").cast("double") - sj * sj
     corr = F.when((vi > 0) & (vj > 0), F.round(cov / (F.sqrt(vi) * F.sqrt(vj)), 6))
     return out.withColumn("corr", corr)
+
+
+def drift_psi(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    bin_width: float,
+    n_bins: int,
+) -> DataFrame:
+    """E85: population stability index between a reference and a
+    current distribution of one feature — the standard production
+    drift monitor (PSI < 0.1 stable / 0.1-0.25 drifting / > 0.25
+    shifted) for corpus refreshes and feature-store health.
+
+    Bin edges are FIXED (width * i, clamped to [0, n_bins-1]) — a
+    data-independent in-row expression, so assignment is scan-stage
+    with no quantile pre-pass and the same row always lands in the
+    same bin across runs/engines. Proportions are Laplace-smoothed
+    with exact integers ((cnt + 1) / (n + n_bins), so empty bins are
+    defined) and psi_term = (p_cur - p_ref) * ln(p_cur / p_ref) is one
+    fixed double-op sequence from exact int64 counts (the repo's ln
+    device, precedented by the SampEn/BM25 twins).
+
+    Scale shape: each side collapses to <= n_bins rows via map-side
+    partial agg (ONE exchange per side, bounded at n_bins rows per
+    task); the bin-frame join is n_bins rows. Missing bins materialize
+    via a driver-built n_bins-row frame — nothing corpus-sized is
+    joined or collected.
+    """
+    spark = ref.sparkSession
+
+    def side(df: DataFrame, name: str) -> DataFrame:
+        b = F.greatest(
+            F.lit(0).cast("long"),
+            F.least(F.lit(n_bins - 1).cast("long"), F.floor(F.col(value_col) / F.lit(bin_width))),
+        )
+        return df.select(b.alias("bin")).groupBy("bin").agg(F.count(F.lit(1)).alias(name))
+
+    bins = spark.range(n_bins).select(F.col("id").alias("bin"))
+    r = side(ref, "cnt_ref")
+    c = side(cur, "cnt_cur")
+    j = (
+        bins.join(r, "bin", "left")
+        .join(c, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("cnt_ref", F.lit(0)).cast("long").alias("cnt_ref"),
+            F.coalesce("cnt_cur", F.lit(0)).cast("long").alias("cnt_cur"),
+        )
+    )
+    tot = j.agg(
+        F.sum("cnt_ref").alias("n_ref"), F.sum("cnt_cur").alias("n_cur")
+    )
+    j = j.crossJoin(F.broadcast(tot))
+    p_ref = (F.col("cnt_ref") + 1).cast("double") / (F.col("n_ref") + n_bins).cast("double")
+    p_cur = (F.col("cnt_cur") + 1).cast("double") / (F.col("n_cur") + n_bins).cast("double")
+    term = (p_cur - p_ref) * F.log(p_cur / p_ref)
+    return j.select(
+        "bin",
+        "cnt_ref",
+        "cnt_cur",
+        F.round(p_ref, 6).alias("p_ref"),
+        F.round(p_cur, 6).alias("p_cur"),
+        F.round(term, 6).alias("psi_term"),
+    )

@@ -4943,6 +4943,83 @@ def quantized_topk_embeddings(spark, sf_dir):
 
 
 @q(
+    "jl_projection_embeddings",
+    """
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v
+               FROM embeddings),
+    mx AS (SELECT i AS d, max(abs(v[i])) AS m
+           FROM e, unnest(generate_series(1, 64)) AS t(i) GROUP BY i),
+    sc AS (SELECT list(CASE WHEN m > 0 THEN m / 127.0 ELSE 1.0 END ORDER BY d) AS sl
+           FROM mx),
+    qz AS (SELECT vec_id,
+                  list_transform(generate_series(1, 64),
+                      i -> greatest(-127, least(127, floor(v[i] / sl[i] + 0.5)))::bigint) AS c
+           FROM e, sc),
+    sg AS (SELECT j, list(CASE WHEN ('0x' || substr(md5('jl:' || j::varchar || ':' || d::varchar), 1, 8))::bigint % 2 = 0
+                               THEN 1 ELSE -1 END ORDER BY d) AS srow
+           FROM unnest(generate_series(0, 15)) AS t(j),
+                unnest(generate_series(0, 63)) AS u(d)
+           GROUP BY j)
+    SELECT qz.vec_id, sg.j::bigint AS j,
+           list_sum(list_transform(generate_series(1, 64), i -> qz.c[i] * sg.srow[i]))::bigint AS p
+    FROM qz, sg
+    """,
+)
+def jl_projection_embeddings(spark, sf_dir):
+    """E84: deterministic ±1 JL projection 64→16 over int8 codes — the
+    distance-faithful sketch rung of the vector ladder; everything
+    in-row (zero exchange), every coordinate an exact int64 the twin
+    regenerates from the same md5 matrix."""
+    from ..operators.similarity import jl_sign_projection
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return jl_sign_projection(emb, "embedding", "vec_id", out_dim=16, dim=64)
+
+
+@q(
+    "feature_drift_psi",
+    """
+    WITH b AS (SELECT i AS bin FROM unnest(generate_series(0, 19)) AS t(i)),
+    r AS (SELECT greatest(0, least(19, floor(value / 25.0)))::bigint AS bin,
+                 count(*) AS cnt_ref
+          FROM events WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT greatest(0, least(19, floor(value / 25.0)))::bigint AS bin,
+                 count(*) AS cnt_cur
+          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    j AS (SELECT b.bin,
+                 coalesce(r.cnt_ref, 0)::bigint AS cnt_ref,
+                 coalesce(c.cnt_cur, 0)::bigint AS cnt_cur
+          FROM b LEFT JOIN r ON b.bin = r.bin LEFT JOIN c ON b.bin = c.bin),
+    t AS (SELECT sum(cnt_ref) AS n_ref, sum(cnt_cur) AS n_cur FROM j)
+    SELECT bin, cnt_ref, cnt_cur,
+           round((cnt_ref + 1)::double / (n_ref + 20), 6) AS p_ref,
+           round((cnt_cur + 1)::double / (n_cur + 20), 6) AS p_cur,
+           round(((cnt_cur + 1)::double / (n_cur + 20)
+                  - (cnt_ref + 1)::double / (n_ref + 20))
+                 * ln(((cnt_cur + 1)::double / (n_cur + 20))
+                      / ((cnt_ref + 1)::double / (n_ref + 20))), 6) AS psi_term
+    FROM j, t
+    """,
+)
+def feature_drift_psi(spark, sf_dir):
+    """E85: PSI drift monitor between the 'view' (reference) and
+    'purchase' (current) value distributions — fixed data-independent
+    bins (width 25 x 20, scan-stage assignment), Laplace-smoothed
+    proportions from exact int64 counts, one bounded exchange per side.
+    Twin replays bins, smoothing and the ln psi term end-to-end."""
+    from ..operators.stats import drift_psi
+
+    ev = load_table(spark, sf_dir, "events")
+    return drift_psi(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+        "value",
+        bin_width=25.0,
+        n_bins=20,
+    )
+
+
+@q(
     "cms_heavy_ngrams",
     f"""
     WITH w AS (SELECT {WORDS_DD} AS ws FROM documents),

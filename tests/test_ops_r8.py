@@ -289,3 +289,98 @@ def test_correlation_matrix_planted_relationships(spark):
     assert out[("x", "v")]["corr"] == 0.0      # cov = 4*3 - 6*2 = 0
     r = out[("x", "y")]
     assert (r["sum_i"], r["sum_j"], r["sum_ij"]) == (6, 24, 46)  # 0*3+1*5+2*7+3*9
+
+
+def test_jl_projection_numpy_replay_and_distance_preservation(spark):
+    """E84: projected coordinates replay BIT-EXACTLY in NumPy from the
+    same md5 matrix + E59 quantization; identical vectors project
+    identically; average pairwise L2 ratio ||P(x-y)||^2 /
+    (out_dim * ||xq-yq||^2) sits in the JL expectation band."""
+    import numpy as np
+
+    from seizury_hrv_featuresextraction_spark.operators.similarity import (
+        jl_sign_projection,
+        jl_signs,
+        quantization_scales,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 64)).astype(np.float32)
+    vecs[1] = vecs[0]  # planted identical pair
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    out_dim = 16
+    got = jl_sign_projection(df, "embedding", "vec_id", out_dim=out_dim, dim=64).collect()
+    P = np.zeros((len(vecs), out_dim), dtype=np.int64)
+    for r in got:
+        P[r["vec_id"], r["j"]] = r["p"]
+
+    # NumPy replay: same scales, same quantization rule, same signs
+    scales = np.array(quantization_scales(df, "embedding", 64))
+    q = np.clip(np.floor(vecs.astype(np.float64) / scales + 0.5), -127, 127).astype(np.int64)
+    S = np.array(jl_signs(64, out_dim), dtype=np.int64)  # (out_dim, 64)
+    assert np.array_equal(P, q @ S.T)
+
+    assert np.array_equal(P[0], P[1])  # identical in -> identical out
+
+    # JL expectation: E||P(x-y)||^2 = out_dim * ||x-y||^2 for +-1 rows
+    ratios = []
+    for a in range(0, 30, 3):
+        for b in range(a + 2, 30, 5):
+            dq = (q[a] - q[b]).astype(np.float64)
+            if (dq**2).sum() == 0:
+                continue
+            dp = (P[a] - P[b]).astype(np.float64)
+            ratios.append((dp**2).sum() / (out_dim * (dq**2).sum()))
+    m = float(np.mean(ratios))
+    assert 0.7 < m < 1.3, m
+
+
+def test_drift_psi_planted_shift_and_replay(spark):
+    """E85: PSI terms replay exactly in pure Python from the counts; a
+    planted distribution shift yields PSI > 0.25 while self-vs-self
+    stays ~2e-4 (Laplace floor); empty bins are defined (no NULL/inf)."""
+    import math
+
+    from seizury_hrv_featuresextraction_spark.operators.stats import drift_psi
+
+    ref_vals = [float(i % 10) * 10.0 + 1.0 for i in range(400)]       # uniform 1..91
+    cur_vals = [float(i % 3) * 10.0 + 61.0 for i in range(300)]       # shifted 61..81
+    ref = spark.createDataFrame([(v,) for v in ref_vals], "value double")
+    cur = spark.createDataFrame([(v,) for v in cur_vals], "value double")
+
+    out = drift_psi(ref, cur, "value", bin_width=10.0, n_bins=12).collect()
+    assert len(out) == 12                                             # every bin present
+    assert all(r["psi_term"] is not None for r in out)                # empty bins defined
+
+    # pure-Python replay of smoothing + ln term from the exact counts
+    n_ref = sum(r["cnt_ref"] for r in out)
+    n_cur = sum(r["cnt_cur"] for r in out)
+    assert (n_ref, n_cur) == (400, 300)
+    psi = 0.0
+    for r in out:
+        p_r = (r["cnt_ref"] + 1) / (n_ref + 12)
+        p_c = (r["cnt_cur"] + 1) / (n_cur + 12)
+        assert r["p_ref"] == round(p_r, 6)
+        assert r["p_cur"] == round(p_c, 6)
+        assert r["psi_term"] == round((p_c - p_r) * math.log(p_c / p_r), 6)
+        psi += r["psi_term"]
+    assert psi > 0.25                                                 # planted shift detected
+
+    # self-vs-self: only the Laplace floor remains
+    out2 = drift_psi(ref, ref, "value", bin_width=10.0, n_bins=12).collect()
+    assert abs(sum(r["psi_term"] for r in out2)) < 1e-3
+
+
+def test_drift_psi_clamps_out_of_range(spark):
+    """Values below 0 and beyond the last edge land in the boundary
+    bins rather than vanishing — total counts are conserved."""
+    from seizury_hrv_featuresextraction_spark.operators.stats import drift_psi
+
+    ref = spark.createDataFrame([(-5.0,), (3.0,), (999.0,)], "value double")
+    cur = spark.createDataFrame([(1.0,)], "value double")
+    out = {r["bin"]: r for r in drift_psi(ref, cur, "value", 10.0, 4).collect()}
+    assert out[0]["cnt_ref"] == 2      # -5 clamped into bin 0, 3.0 natural
+    assert out[3]["cnt_ref"] == 1      # 999 clamped into last bin
+    assert sum(r["cnt_ref"] for r in out.values()) == 3
