@@ -709,3 +709,118 @@ def drift_psi(
         F.round(p_cur, 6).alias("p_cur"),
         F.round(term, 6).alias("psi_term"),
     )
+
+
+def target_encode_loo(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    m: int = 20,
+    scale: int = 1,
+    out_col: str | None = None,
+) -> DataFrame:
+    """E86: leakage-safe leave-one-out target encoding with Bayesian
+    m-smoothing — the classic high-cardinality categorical feature
+    (CatBoost/Micci-Barreca 2001), computed so the row's OWN target
+    never enters its encoding (the standard target-leak of naive mean
+    encoding):
+
+        enc_i = ((sum_g - t_i) + m * global_mean) / ((cnt_g - 1) + m)
+
+    Determinism device: the target is quantized to int64 first
+    (round(t * scale) — pick scale so targets are exact, 1 for integer
+    targets), so sum_g / cnt_g / n / s are exact order-free integers
+    and the encoding is ONE fixed sequence of double ops from identical
+    ints — value-twinnable at round(·,6) in any engine, immune to
+    shuffle-order partial-sum noise. m >= 1 keeps the denominator
+    positive for singleton groups (enforced).
+
+    Scale shape: one bounded groupBy on the category (|categories|
+    rows), stats broadcast back — the corpus is scanned twice, never
+    shuffled; the global (n, s) row rides a broadcast crossJoin. A
+    10^12-row table encodes with zero corpus-sized exchanges.
+    """
+    if m < 1:
+        raise ValueError("m >= 1 required (singleton groups otherwise divide by zero)")
+    out_col = out_col or f"te_{cat_col}"
+    t = F.round(F.col(target_col) * scale).cast("long")
+    g = (
+        df.select(F.col(cat_col).alias("__c"), t.alias("__t"))
+        .groupBy("__c")
+        .agg(F.count(F.lit(1)).alias("__cnt_g"), F.sum("__t").alias("__sum_g"))
+    )
+    tot = df.select(t.alias("__t")).agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__t").alias("__s")
+    )
+    out = df.withColumn("__t", t).join(
+        F.broadcast(g), F.col(cat_col) == F.col("__c")
+    ).crossJoin(F.broadcast(tot))
+    prior = F.col("__s").cast("double") / F.col("__n").cast("double")
+    num = (F.col("__sum_g") - F.col("__t")).cast("double") + F.lit(float(m)) * prior
+    den = (F.col("__cnt_g") - 1 + m).cast("double")
+    enc = num / den / F.lit(float(scale))
+    return out.withColumn(out_col, F.round(enc, 6)).drop(
+        "__c", "__t", "__cnt_g", "__sum_g", "__n", "__s"
+    )
+
+
+def ks_statistic(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    key_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """E87: EXACT two-sample Kolmogorov-Smirnov statistic per key — the
+    sharp companion of the E85 PSI monitor: PSI is binned (fast, lossy),
+    KS is the exact sup-distance between the two empirical CDFs,
+    D = max_x |F_ref(x) - F_cur(x)|, the standard two-sample drift test.
+
+    Determinism device: D is computed as an INTEGER maximum first —
+    d_num = max |c_ref(x) * n_cur - c_cur(x) * n_ref| over the pooled
+    distinct values (cumulative counts are exact int64, the cross
+    products stay in int64 for any realistic n), and the one float is
+    a single division d_num / (n_ref * n_cur) — bit-reproducible in
+    any engine, no quantile approximation anywhere.
+
+    Scale shape: the union collapses to per-(key, distinct value)
+    counts via ONE map-side-combined groupBy; the CDF window sorts the
+    DISTINCT-value table (not the corpus) partitioned by key, so days/
+    sources parallelize; one final bounded per-key agg. Keys with an
+    empty side are dropped (D undefined).
+    """
+    keys = list(key_cols or [])
+    u = ref.select(*keys, F.col(value_col).alias("__v"), F.lit(1).alias("__r")).unionByName(
+        cur.select(*keys, F.col(value_col).alias("__v"), F.lit(0).alias("__r"))
+    )
+    g = u.groupBy(*keys, "__v").agg(
+        F.sum("__r").cast("long").alias("__cr"),
+        F.sum(1 - F.col("__r")).cast("long").alias("__cc"),
+    )
+    w_cum = Window.partitionBy(*keys).orderBy("__v") if keys else Window.orderBy("__v")
+    w_all = Window.partitionBy(*keys) if keys else Window.partitionBy()
+    w = g.select(
+        *keys,
+        F.sum("__cr").over(w_cum).alias("__ccr"),
+        F.sum("__cc").over(w_cum).alias("__ccc"),
+        F.sum("__cr").over(w_all).alias("__nr"),
+        F.sum("__cc").over(w_all).alias("__nc"),
+    )
+    d = F.abs(F.col("__ccr") * F.col("__nc") - F.col("__ccc") * F.col("__nr"))
+    out = (
+        w.groupBy(*keys)
+        .agg(
+            F.max("__nr").alias("n_ref"),
+            F.max("__nc").alias("n_cur"),
+            F.max(d).alias("d_num"),
+        )
+        .filter((F.col("n_ref") > 0) & (F.col("n_cur") > 0))
+        .withColumn(
+            "ks",
+            F.round(
+                F.col("d_num").cast("double")
+                / (F.col("n_ref") * F.col("n_cur")).cast("double"),
+                6,
+            ),
+        )
+    )
+    return out

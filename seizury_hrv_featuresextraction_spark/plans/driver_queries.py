@@ -5020,6 +5020,72 @@ def feature_drift_psi(spark, sf_dir):
 
 
 @q(
+    "target_encode_docs",
+    """
+    WITH g AS (SELECT lang, count(*) AS cnt_g, sum(n_chars) AS sum_g
+               FROM documents GROUP BY lang),
+    t AS (SELECT count(*) AS n, sum(n_chars) AS s FROM documents)
+    SELECT doc_id, d.lang, n_chars,
+           round((((sum_g - n_chars)::double
+                   + 20.0 * (s::double / n::double))
+                  / ((cnt_g - 1 + 20)::double)) / 1.0, 6) AS te_lang
+    FROM documents d JOIN g ON d.lang = g.lang, t
+    """,
+)
+def target_encode_docs(spark, sf_dir):
+    """E86: leakage-safe leave-one-out target encoding of lang by mean
+    doc length (m=20 Bayesian smoothing) — the row's own target never
+    enters its encoding; all sufficient statistics exact int64, the
+    encoding one fixed double-op sequence, category stats broadcast
+    back so the corpus is never shuffled."""
+    from ..operators.stats import target_encode_loo
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return target_encode_loo(docs, "lang", "n_chars", m=20, scale=1)
+
+
+@q(
+    "ks_drift_daily",
+    """
+    WITH u AS (SELECT floor(epoch_us(ts) / 86400000000)::bigint AS day, value,
+                      CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_ref
+               FROM events WHERE event_type IN ('click', 'view')),
+    g AS (SELECT day, value, sum(is_ref)::bigint AS cr, sum(1 - is_ref)::bigint AS cc
+          FROM u GROUP BY day, value),
+    w AS (SELECT day,
+                 sum(cr) OVER (PARTITION BY day ORDER BY value) AS ccr,
+                 sum(cc) OVER (PARTITION BY day ORDER BY value) AS ccc,
+                 sum(cr) OVER (PARTITION BY day) AS nr,
+                 sum(cc) OVER (PARTITION BY day) AS nc
+          FROM g)
+    SELECT day, max(nr)::bigint AS n_ref, max(nc)::bigint AS n_cur,
+           max(abs(ccr * nc - ccc * nr))::bigint AS d_num,
+           round(max(abs(ccr * nc - ccc * nr))::double
+                 / (max(nr) * max(nc))::double, 6) AS ks
+    FROM w GROUP BY day
+    HAVING max(nr) > 0 AND max(nc) > 0
+    """,
+)
+def ks_drift_daily(spark, sf_dir):
+    """E87: exact per-day two-sample KS statistic between the 'click'
+    and 'view' value distributions — integer sup-distance numerator
+    over pooled distinct values, one division at the end; the CDF
+    window sorts the distinct-value table partitioned by day, never
+    the corpus."""
+    from ..operators.stats import ks_statistic
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86400000000)).cast("long")
+    )
+    return ks_statistic(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "view"),
+        "value",
+        key_cols=["day"],
+    )
+
+
+@q(
     "cms_heavy_ngrams",
     f"""
     WITH w AS (SELECT {WORDS_DD} AS ws FROM documents),

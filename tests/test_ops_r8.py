@@ -384,3 +384,67 @@ def test_drift_psi_clamps_out_of_range(spark):
     assert out[0]["cnt_ref"] == 2      # -5 clamped into bin 0, 3.0 natural
     assert out[3]["cnt_ref"] == 1      # 999 clamped into last bin
     assert sum(r["cnt_ref"] for r in out.values()) == 3
+
+
+def test_target_encode_loo_excludes_own_row_and_replays(spark):
+    """E86: hand-computed LOO encodings match; the planted outlier's own
+    target does NOT enter its encoding; singleton group falls back
+    toward the prior; m=0 rejected."""
+    import pytest
+
+    from seizury_hrv_featuresextraction_spark.operators.stats import target_encode_loo
+
+    rows = [
+        (0, "a", 10.0), (1, "a", 20.0), (2, "a", 90.0),   # outlier in group a
+        (3, "b", 30.0), (4, "b", 50.0),
+        (5, "c", 70.0),                                    # singleton
+    ]
+    df = spark.createDataFrame(rows, "id long, cat string, t double")
+    out = {r["id"]: r["te_cat"] for r in target_encode_loo(df, "cat", "t", m=2).collect()}
+
+    prior = 270.0 / 6.0  # 45
+    def loo(sum_g, t_i, cnt_g):
+        return round(((sum_g - t_i) + 2.0 * prior) / (cnt_g - 1 + 2), 6)
+
+    assert out[2] == loo(120.0, 90.0, 3)       # own 90 excluded -> pulled DOWN
+    assert out[0] == loo(120.0, 10.0, 3)
+    assert out[0] > out[2]                     # outlier's encoding is the smallest in-group
+    assert out[3] == loo(80.0, 30.0, 2)
+    assert out[5] == loo(70.0, 70.0, 1) == round(prior, 6)  # singleton -> pure prior
+
+    with pytest.raises(ValueError):
+        target_encode_loo(df, "cat", "t", m=0)
+
+
+def test_ks_statistic_exact_vs_scipy_formula(spark):
+    """E87: KS replays exactly against a pure-Python sup-distance over
+    pooled distinct values (ties included); identical samples give 0;
+    disjoint supports give 1; one-sided keys are dropped."""
+    from seizury_hrv_featuresextraction_spark.operators.stats import ks_statistic
+
+    ref_rows = [("k1", v) for v in [1.0, 2.0, 2.0, 3.0, 5.0]] + [("k2", 1.0), ("k2", 2.0)]
+    cur_rows = [("k1", v) for v in [2.0, 4.0, 4.0, 6.0]] + [("k3", 9.0)]
+    ref = spark.createDataFrame(ref_rows, "k string, v double")
+    cur = spark.createDataFrame(cur_rows, "k string, v double")
+
+    out = {r["k"]: r for r in ks_statistic(ref, cur, "v", ["k"]).collect()}
+    assert set(out) == {"k1"}  # k2/k3 one-sided -> dropped
+
+    # pure-Python replay for k1
+    rv = sorted([1.0, 2.0, 2.0, 3.0, 5.0])
+    cv = sorted([2.0, 4.0, 4.0, 6.0])
+    pooled = sorted(set(rv + cv))
+    d_num = max(
+        abs(sum(1 for x in rv if x <= t) * len(cv) - sum(1 for x in cv if x <= t) * len(rv))
+        for t in pooled
+    )
+    r = out["k1"]
+    assert (r["n_ref"], r["n_cur"], r["d_num"]) == (5, 4, d_num)
+    assert r["ks"] == round(d_num / (5 * 4), 6)
+
+    same = ks_statistic(ref, ref, "v", ["k"]).collect()
+    assert all(r["ks"] == 0.0 for r in same)
+
+    lo = spark.createDataFrame([("k", float(i)) for i in range(5)], "k string, v double")
+    hi = spark.createDataFrame([("k", float(i + 100)) for i in range(5)], "k string, v double")
+    assert ks_statistic(lo, hi, "v", ["k"]).collect()[0]["ks"] == 1.0
