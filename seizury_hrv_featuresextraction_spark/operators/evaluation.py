@@ -155,3 +155,62 @@ def latest_alarm_before_onset(alarms: DataFrame, events: DataFrame) -> DataFrame
         F.max("alarm_time").alias("latest_alarm"),
         (F.col("onset") - F.max("alarm_time")).alias("warning_seconds"),
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """E90: reliability-diagram bins + per-bin expected-calibration-error
+    terms for a probabilistic classifier (Guo et al. 2017's ECE) — does
+    prob 0.8 actually mean 80% positives; the acceptance gate a quality
+    classifier (E40) must pass before its scores drive corpus selection.
+
+    Determinism devices: the probability is quantized to an exact int64
+    micro-unit first (p6 = round(p * 1e6) — feed an engine-stable prob,
+    e.g. the classifier's round-6 output, and both engines recover the
+    IDENTICAL integer), binning is pure integer arithmetic
+    (p6 * n_bins / 1e6, clamped), and per-bin sufficient statistics
+    (n, n_pos, sum_p6) are exact order-free int64 sums; mean confidence,
+    accuracy, |gap| and the ECE term n*gap/N are each ONE fixed double-op
+    sequence from those integers — value-twinnable at round(·,6), immune
+    to float-summation order.
+
+    Scale shape: one map-side-combined groupBy bounded at n_bins rows;
+    the N total rides a broadcast crossJoin. ECE itself = sum(ece_term).
+    """
+    p6 = F.round(F.col(prob_col) * 1000000).cast("long")
+    b = F.least(
+        F.lit(n_bins - 1).cast("long"), F.floor(p6 * n_bins / F.lit(1000000))
+    )
+    g = (
+        df.select(
+            b.alias("bin"),
+            p6.alias("__p6"),
+            F.col(label_col).cast("long").alias("__y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__y").alias("n_pos"),
+            F.sum("__p6").alias("__sum_p6"),
+        )
+    )
+    tot = g.agg(F.sum("n").alias("__N"))
+    g = g.crossJoin(F.broadcast(tot))
+    conf = F.col("__sum_p6").cast("double") / (F.col("n") * 1000000).cast("double")
+    acc = F.col("n_pos").cast("double") / F.col("n").cast("double")
+    gap = F.abs(acc - conf)
+    return g.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.round(conf, 6).alias("mean_conf"),
+        F.round(acc, 6).alias("accuracy"),
+        F.round(gap, 6).alias("gap"),
+        F.round(F.col("n").cast("double") * gap / F.col("__N").cast("double"), 6).alias(
+            "ece_term"
+        ),
+    )

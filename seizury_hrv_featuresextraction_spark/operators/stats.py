@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -646,6 +646,21 @@ def correlation_matrix(
     return out.withColumn("corr", corr)
 
 
+
+def psi_bin(value_col: str, bin_width: float, n_bins: int) -> Column:
+    """E85: the shared fixed-edge bin assignment (width * i clamped to
+    [0, n_bins-1]) — data-independent and in-row, used identically by
+    the batch drift_psi and the streaming bin maintainer so both sides
+    bucket bit-identically."""
+    return F.greatest(
+        F.lit(0).cast("long"),
+        F.least(
+            F.lit(n_bins - 1).cast("long"),
+            F.floor(F.col(value_col) / F.lit(bin_width)),
+        ),
+    )
+
+
 def drift_psi(
     ref: DataFrame,
     cur: DataFrame,
@@ -676,10 +691,7 @@ def drift_psi(
     spark = ref.sparkSession
 
     def side(df: DataFrame, name: str) -> DataFrame:
-        b = F.greatest(
-            F.lit(0).cast("long"),
-            F.least(F.lit(n_bins - 1).cast("long"), F.floor(F.col(value_col) / F.lit(bin_width))),
-        )
+        b = psi_bin(value_col, bin_width, n_bins)
         return df.select(b.alias("bin")).groupBy("bin").agg(F.count(F.lit(1)).alias(name))
 
     bins = spark.range(n_bins).select(F.col("id").alias("bin"))

@@ -241,3 +241,45 @@ def debounce(
         alarm_col, (F.col("__cand") == 1) & (F.sum("__cand").over(cum) == 1)
     )
     return out.drop("__pos", "__run", "__pos_rank", "__cand")
+
+
+def decay_features(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    alpha: float = 0.5,
+    n_lags: int = 4,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """E88: bounded-lag exponentially-weighted moving average per key —
+    the tsfresh/feature-store trend feature (recent observations weigh
+    more) in a form a distributed engine can twin exactly: the infinite
+    recursive EWMA is order-dependent and unbounded-history, so it is
+    truncated at n_lags,
+
+        ewma_t = (sum_{j=0..L} a^j * x_{t-j}) / (sum over AVAILABLE j of a^j)
+
+    with head rows (fewer than L predecessors) normalized by the
+    weights actually present — no warm-up bias, no NULL propagation.
+
+    Determinism devices: alpha defaults to 0.5 (an exact binary
+    fraction, so a^j is exact and the weighted terms are single
+    correctly-rounded IEEE multiplies) and both numerator and
+    denominator fold in ONE FIXED left-to-right order (j = 0..L), so
+    the result is bit-identical across engines/partitionings before
+    the round(·,6).
+
+    Scale shape: ONE window sort per key (the same exchange the O42
+    lag/diff family already pays — composes with it for free); the lag
+    chain is in-row expression work, zero joins, zero Python.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    num = F.col(value_col).cast("double")
+    den = F.lit(1.0)
+    for j in range(1, n_lags + 1):
+        lj = F.lag(F.col(value_col).cast("double"), j).over(w)
+        wj = F.lit(float(alpha**j))
+        num = num + F.when(lj.isNotNull(), wj * lj).otherwise(F.lit(0.0))
+        den = den + F.when(lj.isNotNull(), wj).otherwise(F.lit(0.0))
+    return df.withColumn(out_col, F.round(num / den, 6))

@@ -4196,6 +4196,65 @@ def linear_quality_docs(spark, sf_dir):
 
 
 @q(
+    "classifier_calibration_bins",
+    f"""
+    WITH w AS (SELECT doc_id, lang, {WORDS_DD} AS ws FROM documents),
+    e AS (SELECT doc_id, unnest(ws) AS word FROM w),
+    b AS (SELECT doc_id,
+                 ('0x' || substr(md5('f:' || word), 1, 15))::bigint % 1024 AS j
+          FROM e),
+    s AS (SELECT doc_id,
+                 sum(('0x' || substr(md5('w:' || j::varchar), 1, 8))::bigint
+                     / 4294967296.0 - 0.5) AS dot
+          FROM b GROUP BY doc_id),
+    f AS (SELECT w.doc_id, w.lang, len(w.ws)::bigint AS n_words,
+                 coalesce(s.dot, 0.0) AS dot
+          FROM w LEFT JOIN s ON s.doc_id = w.doc_id),
+    p AS (SELECT round(round(1.0 / (1.0 + exp(-(CASE WHEN n_words > 0
+                                                     THEN dot / n_words
+                                                     ELSE 0.0 END))), 6)
+                       * 1000000)::bigint AS p6,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+          FROM f),
+    g AS (SELECT least(9, (p6 * 10) // 1000000) AS bin,
+                 count(*)::bigint AS n, sum(y)::bigint AS n_pos,
+                 sum(p6)::bigint AS sum_p6
+          FROM p GROUP BY 1),
+    t AS (SELECT sum(n) AS nn FROM g)
+    SELECT bin, n, n_pos,
+           round(sum_p6::double / (n * 1000000)::double, 6) AS mean_conf,
+           round(n_pos::double / n::double, 6) AS accuracy,
+           round(abs(n_pos::double / n::double
+                     - sum_p6::double / (n * 1000000)::double), 6) AS gap,
+           round(n::double * abs(n_pos::double / n::double
+                                 - sum_p6::double / (n * 1000000)::double)
+                 / nn::double, 6) AS ece_term
+    FROM g, t
+    """,
+)
+def classifier_calibration_bins(spark, sf_dir):
+    """E90: reliability bins + ECE terms for the E40 quality classifier
+    probed against the is-English label — probs quantized to exact int64
+    micro-units, integer binning, order-free integer sufficient stats,
+    one bounded n_bins exchange. Twin replays classifier + calibration
+    end-to-end."""
+    from ..operators.curation import hashed_linear_classifier, md5_feature_weights
+    from ..operators.dedup import spread
+    from ..operators.evaluation import calibration_bins
+
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang"))
+    scored = hashed_linear_classifier(
+        docs,
+        md5_feature_weights(1024),
+        bias=0.0,
+        threshold=0.0,
+        score_round=6,
+        extra_cols=("lang",),
+    ).withColumn("y", (F.col("lang") == "en").cast("long"))
+    return calibration_bins(scored, "prob", "y", n_bins=10)
+
+
+@q(
     "quality_budget_select",
     f"""
     WITH w AS (SELECT doc_id, {WORDS_DD} AS ws FROM documents),
@@ -5083,6 +5142,46 @@ def ks_drift_daily(spark, sf_dir):
         "value",
         key_cols=["day"],
     )
+
+
+@q(
+    "decay_features_events",
+    """
+    WITH e AS (SELECT event_id, user_id, value,
+                      epoch_us(ts) AS us
+               FROM events),
+    l AS (SELECT event_id, user_id, value,
+                 lag(value, 1) OVER w AS l1,
+                 lag(value, 2) OVER w AS l2,
+                 lag(value, 3) OVER w AS l3,
+                 lag(value, 4) OVER w AS l4
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+    SELECT event_id, user_id, value,
+           round((((((value + CASE WHEN l1 IS NOT NULL THEN 0.5 * l1 ELSE 0.0 END)
+                     + CASE WHEN l2 IS NOT NULL THEN 0.25 * l2 ELSE 0.0 END)
+                    + CASE WHEN l3 IS NOT NULL THEN 0.125 * l3 ELSE 0.0 END)
+                   + CASE WHEN l4 IS NOT NULL THEN 0.0625 * l4 ELSE 0.0 END))
+                 / (((((1.0 + CASE WHEN l1 IS NOT NULL THEN 0.5 ELSE 0.0 END)
+                       + CASE WHEN l2 IS NOT NULL THEN 0.25 ELSE 0.0 END)
+                      + CASE WHEN l3 IS NOT NULL THEN 0.125 ELSE 0.0 END)
+                     + CASE WHEN l4 IS NOT NULL THEN 0.0625 ELSE 0.0 END)), 6) AS ewma
+    FROM l
+    """,
+)
+def decay_features_events(spark, sf_dir):
+    """E88: bounded-lag EWMA trend feature per user over event values —
+    alpha 0.5 (exact binary fraction), 4 lags, head rows normalized by
+    available weights; one window sort per key, in-row lag chain, zero
+    joins. Twin replays the identical left-to-right fold."""
+    from ..operators.windows import decay_features
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    return decay_features(
+        ev, ["user_id"], ["us", "event_id"], "value", alpha=0.5, n_lags=4
+    ).select("event_id", "user_id", "value", "ewma")
 
 
 @q(

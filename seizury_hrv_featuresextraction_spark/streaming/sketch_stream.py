@@ -98,3 +98,27 @@ def streaming_hdr_histogram(
         .groupBy("g", "b")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+
+
+def streaming_psi_bins(
+    stream_df: DataFrame,
+    value_col: str,
+    bin_width: float,
+    n_bins: int,
+) -> DataFrame:
+    """E85-S: incrementally maintained current-side PSI bin counts over
+    a feature stream — the streaming half of the drift monitor. Bin
+    assignment is the SAME shared fixed-edge expression the batch
+    drift_psi uses (operators/stats.py:psi_bin), so stream and batch
+    bucket bit-identically; the groupBy is Spark's incremental
+    aggregate with state bounded at n_bins rows REGARDLESS of stream
+    length. Update-mode counts are monotone, so the current histogram
+    is max-per-bin over the sink; the PSI assembly against the static
+    reference histogram is the tiny batch tail (n_bins rows)."""
+    from ..operators.stats import psi_bin
+
+    return (
+        stream_df.select(psi_bin(value_col, bin_width, n_bins).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt_cur"))
+    )

@@ -448,3 +448,61 @@ def test_ks_statistic_exact_vs_scipy_formula(spark):
     lo = spark.createDataFrame([("k", float(i)) for i in range(5)], "k string, v double")
     hi = spark.createDataFrame([("k", float(i + 100)) for i in range(5)], "k string, v double")
     assert ks_statistic(lo, hi, "v", ["k"]).collect()[0]["ks"] == 1.0
+
+
+def test_decay_features_hand_computed_and_head_normalization(spark):
+    """E88: EWMA values match a hand-rolled truncated-decay fold; the
+    first row equals its own value (weights renormalized, no warm-up
+    bias); keys are independent."""
+    from seizury_hrv_featuresextraction_spark.operators.windows import decay_features
+
+    rows = [("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 30.0),
+            ("a", 4, 40.0), ("a", 5, 50.0), ("a", 6, 60.0),
+            ("b", 1, 7.0)]
+    df = spark.createDataFrame(rows, "k string, t long, x double")
+    out = {(r["k"], r["t"]): r["ewma"]
+           for r in decay_features(df, ["k"], ["t"], "x", alpha=0.5, n_lags=4).collect()}
+
+    xs = [10.0, 20.0, 30.0, 40.0, 50.0, 60.0]
+    for i in range(6):
+        num, den = xs[i], 1.0
+        for j in range(1, 5):
+            if i - j >= 0:
+                num += (0.5 ** j) * xs[i - j]
+                den += 0.5 ** j
+        assert out[("a", i + 1)] == round(num / den, 6), i
+
+    assert out[("b", 1)] == 7.0     # head row: pure own value
+    assert out[("a", 1)] == 10.0    # key b never leaks into key a
+
+
+def test_calibration_bins_perfect_and_miscalibrated(spark):
+    """E90: a perfectly calibrated feed yields gap ~= Laplace-free exact
+    0 per bin; a systematically overconfident feed shows the gap; ECE
+    terms replay in pure Python and sum to n-weighted mean gap."""
+    from seizury_hrv_featuresextraction_spark.operators.evaluation import (
+        calibration_bins,
+    )
+
+    # perfectly calibrated: in the 0.25-bin, exactly 25% positives
+    rows = []
+    for i in range(200):
+        p = 0.25 if i < 100 else 0.75
+        y = 1 if (i % 4 == 0 if i < 100 else i % 4 != 0) else 0
+        rows.append((p, y))
+    df = spark.createDataFrame(rows, "prob double, y long")
+    out = {r["bin"]: r for r in calibration_bins(df, "prob", "y", 10).collect()}
+    assert set(out) == {2, 7}
+    assert out[2]["mean_conf"] == 0.25 and out[2]["accuracy"] == 0.25
+    assert out[2]["gap"] == 0.0 and out[7]["gap"] == 0.0
+
+    # overconfident: prob 0.9 but only 50% positives
+    bad = spark.createDataFrame([(0.9, i % 2) for i in range(100)], "prob double, y long")
+    r = calibration_bins(bad, "prob", "y", 10).collect()[0]
+    assert r["bin"] == 9 and r["n"] == 100 and r["n_pos"] == 50
+    assert r["mean_conf"] == 0.9 and r["accuracy"] == 0.5
+    assert r["gap"] == 0.4 and r["ece_term"] == 0.4  # single bin: n/N = 1
+
+    # prob exactly 1.0 clamps into the last bin
+    edge = spark.createDataFrame([(1.0, 1)], "prob double, y long")
+    assert calibration_bins(edge, "prob", "y", 10).collect()[0]["bin"] == 9
