@@ -18,7 +18,7 @@ Scale stance (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import _safe_range, words
@@ -1359,5 +1359,61 @@ def span_corruption_plan(
             F.col("sp.span_idx").alias("span_idx"),
             F.col("sp.start").alias("start"),
             F.col("sp.length").alias("length"),
+        )
+    )
+
+
+def vocab_growth(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 10,
+    seed: str = "vg:",
+) -> DataFrame:
+    """E92: vocabulary-saturation (Heaps' law) curve — how many NEW
+    distinct words each additional corpus slice contributes, the
+    diagnostic that sizes a tokenizer vocabulary and tells a curation
+    team when more of the same source stops adding lexical coverage.
+
+    Order device: "ingestion order" is made deterministic by hashing
+    doc ids into n_buckets NESTED prefixes (md5 hex-substring device —
+    prefix k = buckets 0..k, an unbiased corpus sample at every k, so
+    the curve is a pure function of the corpus, reproducible across
+    runs/engines/partitionings). A word's first_bucket = min bucket
+    over the docs containing it; new_words(b) = |{w : first_bucket(w)
+    = b}|, and the running sum is the vocab size of prefix b.
+
+    Scale shape: explode → per-(word) MIN aggregate with map-side
+    combine (the only corpus-scale exchange, keyed on the word —
+    identical shape to the E52 word-frequency stage); the curve itself
+    is n_buckets rows, its cumulative window trivial. Token totals per
+    bucket ride the same scan.
+    """
+    b = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % n_buckets
+    )
+    ws = words(F.coalesce(F.col(text_col), F.lit("")))
+    ex = df.select(b.alias("__b"), F.explode(ws).alias("__w"))
+    tok = ex.groupBy("__b").agg(F.count(F.lit(1)).alias("n_tokens"))
+    first = ex.groupBy("__w").agg(F.min("__b").alias("__fb"))
+    nw = first.groupBy("__fb").agg(F.count(F.lit(1)).alias("new_words"))
+    w = Window.orderBy("__fb").rowsBetween(Window.unboundedPreceding, 0)
+    curve = nw.select(
+        F.col("__fb").alias("bucket"),
+        "new_words",
+        F.sum("new_words").over(w).alias("cum_vocab"),
+    )
+    return (
+        curve.join(tok.withColumnRenamed("__b", "bucket"), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            "new_words",
+            "cum_vocab",
         )
     )

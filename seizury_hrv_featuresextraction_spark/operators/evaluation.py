@@ -13,6 +13,8 @@
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -213,4 +215,68 @@ def calibration_bins(
         F.round(F.col("n").cast("double") * gap / F.col("__N").cast("double"), 6).alias(
             "ece_term"
         ),
+    )
+
+
+def auc_by_group(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """E91: EXACT ROC AUC per group via the Mann-Whitney U statistic —
+    the ranking-quality companion of the E90 calibration gate (a
+    classifier can be well-calibrated and still rank poorly, and vice
+    versa). Ties handled by the midrank convention, but computed
+    WITHOUT fractional ranks: per distinct score s,
+
+        num2 += 2 * c_pos(s) * cum_neg(<s) + c_pos(s) * c_neg(s)
+
+    keeps everything in exact int64 (the tie term counts each tied
+    pair once, i.e. the usual 1/2 credit pre-doubled), and
+    AUC = num2 / (2 * n_pos * n_neg) is the single float division —
+    bit-reproducible, no sampling, no approximation.
+
+    Scale shape (the E87 KS device): the corpus collapses to
+    per-(group, distinct score) counts via ONE map-side-combined
+    groupBy; the cumulative window sorts the DISTINCT-SCORE table
+    partitioned by group, never the corpus; one final bounded per-group
+    agg. Groups with no positives or no negatives are dropped (AUC
+    undefined).
+    """
+    keys = list(group_cols or [])
+    y = F.col(label_col).cast("long")
+    g = (
+        df.select(*keys, F.col(score_col).alias("__s"), y.alias("__y"))
+        .groupBy(*keys, "__s")
+        .agg(
+            F.sum("__y").cast("long").alias("__cp"),
+            F.sum(1 - F.col("__y")).cast("long").alias("__cn"),
+        )
+    )
+    w_cum = Window.partitionBy(*keys).orderBy("__s") if keys else Window.orderBy("__s")
+    w_all = Window.partitionBy(*keys) if keys else Window.partitionBy()
+    cum_neg_below = F.sum("__cn").over(w_cum) - F.col("__cn")
+    ranked = g.select(
+        *keys,
+        (2 * F.col("__cp") * cum_neg_below + F.col("__cp") * F.col("__cn")).alias("__t"),
+        F.sum("__cp").over(w_all).alias("__np"),
+        F.sum("__cn").over(w_all).alias("__nn"),
+    )
+    return (
+        ranked.groupBy(*keys)
+        .agg(
+            F.max("__np").alias("n_pos"),
+            F.max("__nn").alias("n_neg"),
+            F.sum("__t").alias("auc_num2"),
+        )
+        .filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+        .withColumn(
+            "auc",
+            F.round(
+                F.col("auc_num2").cast("double")
+                / (2 * F.col("n_pos") * F.col("n_neg")).cast("double"),
+                6,
+            ),
+        )
     )

@@ -4255,6 +4255,71 @@ def classifier_calibration_bins(spark, sf_dir):
 
 
 @q(
+    "auc_by_source_docs",
+    """
+    WITH d AS (SELECT source, n_chars AS s,
+                      CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+               FROM documents),
+    g AS (SELECT source, s, sum(y)::bigint AS cp, sum(1 - y)::bigint AS cn
+          FROM d GROUP BY source, s),
+    w AS (SELECT source,
+                 cp, cn,
+                 sum(cn) OVER (PARTITION BY source ORDER BY s) - cn AS cnb,
+                 sum(cp) OVER (PARTITION BY source) AS np,
+                 sum(cn) OVER (PARTITION BY source) AS nn
+          FROM g)
+    SELECT source, max(np)::bigint AS n_pos, max(nn)::bigint AS n_neg,
+           sum(2 * cp * cnb + cp * cn)::bigint AS auc_num2,
+           round(sum(2 * cp * cnb + cp * cn)::double
+                 / (2 * max(np) * max(nn))::double, 6) AS auc
+    FROM w GROUP BY source
+    HAVING max(np) > 0 AND max(nn) > 0
+    """,
+)
+def auc_by_source_docs(spark, sf_dir):
+    """E91: exact per-source ROC AUC (Mann-Whitney with integer midrank
+    tie credit) of doc length predicting is-English — the ranking
+    companion of the E90 calibration gate; corpus collapses to
+    per-(source, distinct score) counts, the window sorts only that
+    table."""
+    from ..operators.evaluation import auc_by_group
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "y", (F.col("lang") == "en").cast("long")
+    )
+    return auc_by_group(docs, "n_chars", "y", ["source"])
+
+
+@q(
+    "vocab_growth_docs",
+    f"""
+    WITH d AS (SELECT ('0x' || substr(md5('vg:' || doc_id::varchar), 1, 8))::bigint
+                      % 10 AS b,
+                      {WORDS_DD} AS ws
+               FROM documents),
+    ex AS (SELECT b, unnest(ws) AS w FROM d),
+    tok AS (SELECT b, count(*)::bigint AS n_tokens FROM ex GROUP BY b),
+    first AS (SELECT w, min(b) AS fb FROM ex GROUP BY w),
+    nw AS (SELECT fb AS bucket, count(*)::bigint AS new_words FROM first GROUP BY fb)
+    SELECT nw.bucket,
+           coalesce(tok.n_tokens, 0)::bigint AS n_tokens,
+           nw.new_words,
+           sum(nw.new_words) OVER (ORDER BY nw.bucket)::bigint AS cum_vocab
+    FROM nw LEFT JOIN tok ON tok.b = nw.bucket
+    """,
+)
+def vocab_growth_docs(spark, sf_dir):
+    """E92: Heaps-law vocabulary-saturation curve over 10 nested hash
+    prefixes — new distinct words per corpus slice + running vocab;
+    the one corpus-scale exchange is the per-word MIN aggregate (E52
+    word-frequency shape), the curve itself 10 rows."""
+    from ..operators.curation import vocab_growth
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_growth(docs, "text", "doc_id", n_buckets=10)
+
+
+@q(
     "quality_budget_select",
     f"""
     WITH w AS (SELECT doc_id, {WORDS_DD} AS ws FROM documents),

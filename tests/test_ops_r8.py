@@ -506,3 +506,76 @@ def test_calibration_bins_perfect_and_miscalibrated(spark):
     # prob exactly 1.0 clamps into the last bin
     edge = spark.createDataFrame([(1.0, 1)], "prob double, y long")
     assert calibration_bins(edge, "prob", "y", 10).collect()[0]["bin"] == 9
+
+
+def test_auc_by_group_matches_sklearn_formula_with_ties(spark):
+    """E91: AUC matches a pure-Python pairwise count (ties = 1/2 credit)
+    on a tied sample; perfect ranking gives 1.0, inverted 0.0, constant
+    scores 0.5; single-class groups are dropped."""
+    from seizury_hrv_featuresextraction_spark.operators.evaluation import auc_by_group
+
+    scores = [1.0, 2.0, 2.0, 3.0, 3.0, 3.0, 4.0, 5.0]
+    labels = [0, 0, 1, 0, 1, 1, 0, 1]
+    rows = [("g", s, y) for s, y in zip(scores, labels)]
+    rows += [("perfect", float(i), 1 if i >= 5 else 0) for i in range(10)]
+    rows += [("inverted", float(i), 1 if i < 5 else 0) for i in range(10)]
+    rows += [("const", 7.0, i % 2) for i in range(10)]
+    rows += [("onesided", 1.0, 1), ("onesided", 2.0, 1)]
+    df = spark.createDataFrame(rows, "k string, s double, y long")
+    out = {r["k"]: r for r in auc_by_group(df, "s", "y", ["k"]).collect()}
+
+    # pure-Python pairwise AUC for the tied group
+    pos = [s for s, y in zip(scores, labels) if y == 1]
+    neg = [s for s, y in zip(scores, labels) if y == 0]
+    num = sum(1.0 if p > n else (0.5 if p == n else 0.0) for p in pos for n in neg)
+    assert out["g"]["auc"] == round(num / (len(pos) * len(neg)), 6)
+    assert (out["g"]["n_pos"], out["g"]["n_neg"]) == (4, 4)
+
+    assert out["perfect"]["auc"] == 1.0
+    assert out["inverted"]["auc"] == 0.0
+    assert out["const"]["auc"] == 0.5
+    assert "onesided" not in out
+
+
+def test_vocab_growth_hand_corpus(spark):
+    """E92: first-bucket attribution is exact on a hand corpus; the
+    cumulative vocab equals brute-force distinct counts over nested
+    prefixes; token totals conserve."""
+    import hashlib
+
+    from seizury_hrv_featuresextraction_spark.operators.curation import vocab_growth
+
+    texts = {
+        0: "alpha beta gamma",
+        1: "alpha beta delta",
+        2: "alpha epsilon",
+        3: "zeta",
+        4: None,
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    out = vocab_growth(df, "text", "doc_id", n_buckets=4, seed="t:").collect()
+
+    def bkt(i):
+        return int(hashlib.md5(f"t:{i}".encode()).hexdigest()[:8], 16) % 4
+
+    # brute-force replay
+    from collections import defaultdict
+    first = {}
+    tok = defaultdict(int)
+    for i, t in texts.items():
+        for w in (t or "").split():
+            b = bkt(i)
+            tok[b] += 1
+            first[w] = min(first.get(w, 99), b)
+    exp_new = defaultdict(int)
+    for w, b in first.items():
+        exp_new[b] += 1
+
+    got = {r["bucket"]: r for r in out}
+    assert {b: r["new_words"] for b, r in got.items()} == dict(exp_new)
+    cum = 0
+    for b in sorted(got):
+        cum += exp_new[b]
+        assert got[b]["cum_vocab"] == cum
+        assert got[b]["n_tokens"] == tok[b]
+    assert cum == len(first)  # total vocab = distinct words overall
