@@ -1417,3 +1417,72 @@ def vocab_growth(
             "cum_vocab",
         )
     )
+
+
+def logodds_keyness(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    alpha0: float = 100.0,
+    min_count: int = 5,
+    k: int = 10,
+) -> DataFrame:
+    """E94: per-group distinctive vocabulary via the log-odds ratio with
+    an informed Dirichlet prior (Monroe/Colaresi/Quinn "Fightin' Words"),
+    the standard keyness statistic a curation team uses to see WHAT a
+    source actually contributes ("which words make reddit reddit") and
+    to catch source mislabeling/contamination (a "wikipedia" slice whose
+    key terms are spam n-grams). Plain frequency ratios overweight rare
+    words and underweight common ones; the Dirichlet-prior z-score
+
+        delta_gw = ln((y_gw + a_w) / (n_g + a0 - y_gw - a_w))
+                 - ln((y_w - y_gw + a_w) / (n - n_g + a0 - (y_w - y_gw) - a_w))
+        z_gw    = delta_gw / sqrt(1/(y_gw + a_w) + 1/(y_w - y_gw + a_w))
+
+    with a_w = a0 * y_w / n (prior mass proportional to corpus frequency)
+    regularizes both tails. Output: top-k words per group by z, with the
+    in-group and corpus counts.
+
+    Scale shape: ONE corpus-scale exchange (explode -> (group, word)
+    count with map-side combine, the E52 word-frequency shape). The
+    corpus-frequency column rides a window keyed on word over that
+    VOCAB-scale table, the per-group totals are a |groups|-row broadcast,
+    and the grand total a 1-row broadcast; the top-k rank window sorts
+    only rows passing min_count, partitioned by group. All arithmetic
+    after the integer counts is double with a final round(6) so the
+    DuckDB twin value-hashes (policy at plans/driver_queries.py:5-9).
+    """
+    ws = words(F.coalesce(F.col(text_col), F.lit("")))
+    cnt = (
+        df.select(F.col(group_col).alias("__g"), F.explode(ws).alias("__w"))
+        .groupBy("__g", "__w")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    yw = F.sum("__c").over(Window.partitionBy("__w")).cast("long")
+    cnt = cnt.withColumn("__yw", yw)
+    tot = cnt.groupBy("__g").agg(F.sum("__c").cast("long").alias("__ni"))
+    grand = tot.agg(F.sum("__ni").cast("long").alias("__n"))
+    j = cnt.join(F.broadcast(tot), "__g").crossJoin(F.broadcast(grand))
+    aw = F.lit(alpha0) * F.col("__yw") / F.col("__n")
+    num_g = F.col("__c") + aw
+    den_g = F.col("__ni") + F.lit(alpha0) - F.col("__c") - aw
+    rest = F.col("__yw") - F.col("__c")
+    num_r = rest + aw
+    den_r = F.col("__n") - F.col("__ni") + F.lit(alpha0) - rest - aw
+    delta = F.log(num_g / den_g) - F.log(num_r / den_r)
+    z = F.round(delta / F.sqrt(1.0 / num_g + 1.0 / num_r), 6)
+    scored = (
+        j.filter(F.col("__c") >= min_count)
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("__w").alias("word"),
+            F.col("__c").alias("n_in_group"),
+            F.col("__yw").alias("n_corpus"),
+            z.alias("zscore"),
+        )
+    )
+    w_rank = Window.partitionBy(group_col).orderBy(F.desc("zscore"), F.asc("word"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

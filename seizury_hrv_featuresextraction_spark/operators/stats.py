@@ -836,3 +836,108 @@ def ks_statistic(
         )
     )
     return out
+
+
+def negative_samples(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    k: int = 4,
+    pool_size: int = 32,
+    n_buckets: int = 16,
+    seed: str = "ns:",
+) -> DataFrame:
+    """E93: deterministic negative sampling for contrastive training —
+    for every anchor document, k pseudo-random negatives drawn from a
+    hash-selected candidate pool, excluding the anchor itself and any
+    candidate from the anchor's own group (same-source rows are too
+    likely to be true neighbors to serve as negatives). The draw is a
+    pure function of (seed, ids): resume-stable, partitioning-invariant,
+    identical across engines — the property a training-data pipeline
+    needs so that re-running a failed shard reproduces the same pairs.
+
+    Scale shape (the E40 plan-literal device): candidates are NOT the
+    corpus — a bounded pool of n_buckets x pool_size rows is drawn by a
+    per-bucket order-hash window (the one exchange, keyed on bucket,
+    output capped), collected, and baked into the plan as a literal
+    array-of-arrays. The corpus is then touched ONCE, zero further
+    exchanges: each anchor indexes its probe bucket's array in-row,
+    filters self/same-group, ranks candidates by a per-(anchor,
+    candidate) hash via array_sort, and posexplodes its top-k. At 100 TB
+    the cost is n_anchors x pool_size in-row comparisons — no self-join,
+    no per-anchor shuffle; pool freshness is a rerun of the capped
+    window. Grow n_buckets with the corpus to keep pool coverage
+    representative; the literal stays n_buckets x pool_size rows.
+    """
+
+    def h(*cols: Column) -> Column:
+        return F.conv(F.substring(F.md5(F.concat(*cols)), 1, 15), 16, 10).cast("long")
+
+    cid = F.col(id_col).cast("long")
+    pool_rows = (
+        df.select(
+            cid.alias("__cid"),
+            F.col(group_col).alias("__cg"),
+            (h(F.lit(seed + "b:"), cid.cast("string")) % n_buckets).alias("__b"),
+            h(F.lit(seed + "o:"), cid.cast("string")).alias("__o"),
+        )
+        .withColumn(
+            "__rn",
+            F.row_number().over(Window.partitionBy("__b").orderBy("__o", "__cid")),
+        )
+        .filter(F.col("__rn") <= pool_size)
+        .select("__b", "__cid", "__cg")
+        .collect()  # bounded: n_buckets * pool_size rows
+    )
+    by_bucket: dict[int, list[tuple[int, str]]] = {b: [] for b in range(n_buckets)}
+    for r in pool_rows:
+        by_bucket[r["__b"]].append((r["__cid"], r["__cg"]))
+    empty = F.array().cast("array<struct<cid:bigint,cg:string>>")
+    pool_lit = F.array(
+        *[
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).cast("long").alias("cid"), F.lit(g).alias("cg")
+                    )
+                    for c, g in by_bucket[b]
+                ]
+            )
+            if by_bucket[b]
+            else empty
+            for b in range(n_buckets)
+        ]
+    )
+    aid = F.col(id_col).cast("long")
+    probe = (h(F.lit(seed + "p:"), aid.cast("string")) % n_buckets).cast("int")
+    anchors = df.select(
+        aid.alias("anchor_id"),
+        F.col(group_col).alias("__ag"),
+        F.element_at(pool_lit, probe + 1).alias("__pool"),
+    )
+    cands = F.filter(
+        F.col("__pool"),
+        lambda c: (c["cid"] != F.col("anchor_id")) & (c["cg"] != F.col("__ag")),
+    )
+    scored = F.transform(
+        cands,
+        lambda c: F.struct(
+            h(
+                F.lit(seed + "r:"),
+                F.col("anchor_id").cast("string"),
+                F.lit(":"),
+                c["cid"].cast("string"),
+            ).alias("rh"),
+            c["cid"].alias("cid"),
+            c["cg"].alias("cg"),
+        ),
+    )
+    topk = F.slice(F.array_sort(scored), 1, k)
+    return anchors.select(
+        "anchor_id", F.posexplode(topk).alias("__pos", "__c")
+    ).select(
+        "anchor_id",
+        (F.col("__pos") + 1).cast("long").alias("rank"),
+        F.col("__c")["cid"].alias("neg_id"),
+        F.col("__c")["cg"].alias("neg_source"),
+    )

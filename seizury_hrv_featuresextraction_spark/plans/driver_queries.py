@@ -258,6 +258,83 @@ def asof_forward_tte(spark, sf_dir):
     )
 
 
+@q(
+    "negative_pairs_docs",
+    """
+    WITH ids AS (SELECT doc_id::bigint AS cid, source AS cg FROM documents),
+    pb AS (SELECT cid, cg,
+                  ('0x' || substr(md5('ns:b:' || cid::varchar), 1, 15))::bigint % 16 AS b,
+                  ('0x' || substr(md5('ns:o:' || cid::varchar), 1, 15))::bigint AS o
+           FROM ids),
+    pool AS (SELECT b, cid, cg FROM (
+               SELECT *, row_number() OVER (PARTITION BY b ORDER BY o, cid) AS rn
+               FROM pb)
+             WHERE rn <= 32),
+    a AS (SELECT doc_id::bigint AS anchor_id, source AS ag,
+                 ('0x' || substr(md5('ns:p:' || doc_id::varchar), 1, 15))::bigint % 16 AS p
+          FROM documents),
+    j AS (SELECT a.anchor_id, pool.cid, pool.cg,
+                 ('0x' || substr(md5('ns:r:' || a.anchor_id::varchar || ':'
+                                     || pool.cid::varchar), 1, 15))::bigint AS rh
+          FROM a JOIN pool ON pool.b = a.p
+                          AND pool.cid <> a.anchor_id AND pool.cg <> a.ag)
+    SELECT anchor_id, rank, cid AS neg_id, cg AS neg_source
+    FROM (SELECT anchor_id, cid, cg,
+                 row_number() OVER (PARTITION BY anchor_id ORDER BY rh, cid) AS rank
+          FROM j)
+    WHERE rank <= 4
+    """,
+)
+def negative_pairs_docs(spark, sf_dir):
+    """E93: deterministic contrastive negative sampling — k negatives per
+    anchor from a hash-bucketed literal pool, self/same-source excluded.
+    Corpus touched once, zero post-pool exchanges (plan-literal device);
+    twin replays pool draw + per-anchor hash ranking as a plain join."""
+    from ..operators.stats import negative_samples
+
+    docs = load_table(spark, sf_dir, "documents")
+    return negative_samples(
+        docs, "doc_id", "source", k=4, pool_size=32, n_buckets=16, seed="ns:"
+    )
+
+
+@q(
+    "logodds_keyness_docs",
+    f"""
+    WITH d AS (SELECT source AS g, {WORDS_DD} AS ws FROM documents),
+    ex AS (SELECT g, unnest(ws) AS w FROM d),
+    cnt AS (SELECT g, w, count(*)::bigint AS c FROM ex GROUP BY g, w),
+    ww AS (SELECT g, w, c, sum(c) OVER (PARTITION BY w) AS yw FROM cnt),
+    tot AS (SELECT g, sum(c)::bigint AS ni FROM cnt GROUP BY g),
+    n AS (SELECT sum(ni)::bigint AS n FROM tot),
+    sc AS (SELECT ww.g, ww.w, ww.c, ww.yw, tot.ni, n.n,
+                  100.0 * ww.yw / n.n AS aw
+           FROM ww JOIN tot ON tot.g = ww.g CROSS JOIN n),
+    z AS (SELECT g, w, c, yw,
+                 round((ln((c + aw) / (ni + 100.0 - c - aw))
+                        - ln((yw - c + aw) / (n - ni + 100.0 - (yw - c) - aw)))
+                       / sqrt(1.0 / (c + aw) + 1.0 / (yw - c + aw)), 6) AS zscore
+          FROM sc WHERE c >= 5)
+    SELECT g AS source, w AS word, c AS n_in_group, yw::bigint AS n_corpus,
+           zscore, rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY g ORDER BY zscore DESC, w) AS rank
+          FROM z)
+    WHERE rank <= 10
+    """,
+)
+def logodds_keyness_docs(spark, sf_dir):
+    """E94: Monroe et al. "Fightin' Words" log-odds keyness with informed
+    Dirichlet prior — top-10 distinctive words per source. One
+    corpus-scale (source, word) count exchange; everything downstream is
+    vocab-scale. Twin replays prior + z end-to-end in SQL."""
+    from ..operators.curation import logodds_keyness
+
+    docs = load_table(spark, sf_dir, "documents")
+    return logodds_keyness(
+        docs, "text", "source", alpha0=100.0, min_count=5, k=10
+    )
+
+
 # E81: regular-grid resample + linear interpolation (union+window device;
 # the twin is the INDEPENDENT two-ASOF-join formulation, so grid
 # generation, prev/next selection and the interpolation arithmetic are

@@ -579,3 +579,95 @@ def test_vocab_growth_hand_corpus(spark):
         assert got[b]["cum_vocab"] == cum
         assert got[b]["n_tokens"] == tok[b]
     assert cum == len(first)  # total vocab = distinct words overall
+
+
+def _md5_60(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_negative_samples_replay_and_contract(spark):
+    """E93: full pure-Python replay of pool draw + per-anchor hash
+    ranking must match the Spark plan row-for-row; negatives never the
+    anchor itself nor the anchor's own group; draw invariant to input
+    partitioning (resume-stability contract)."""
+    from seizury_hrv_featuresextraction_spark.operators.stats import negative_samples
+
+    rows = [(i, f"s{i % 5}") for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {
+        (r["anchor_id"], r["rank"]): (r["neg_id"], r["neg_source"])
+        for r in negative_samples(df, k=3, pool_size=8, n_buckets=4, seed="t:").collect()
+    }
+
+    # pure-Python replay
+    pool: dict[int, list[tuple[int, str]]] = {b: [] for b in range(4)}
+    cand = sorted(rows, key=lambda r: (_md5_60(f"t:o:{r[0]}"), r[0]))
+    for cid, cg in cand:
+        b = _md5_60(f"t:b:{cid}") % 4
+        if len(pool[b]) < 8:
+            pool[b].append((cid, cg))
+    want = {}
+    for aid, ag in rows:
+        p = _md5_60(f"t:p:{aid}") % 4
+        cs = [(c, g) for c, g in pool[p] if c != aid and g != ag]
+        cs.sort(key=lambda cg_: (_md5_60(f"t:r:{aid}:{cg_[0]}"), cg_[0]))
+        for rk, (c, g) in enumerate(cs[:3], 1):
+            want[(aid, rk)] = (c, g)
+    assert got == want
+    assert all(nid != aid for (aid, _), (nid, _) in got.items())
+    src = dict(rows)
+    assert all(g != src[aid] for (aid, _), (_, g) in got.items())
+
+    # partitioning invariance
+    got2 = {
+        (r["anchor_id"], r["rank"]): (r["neg_id"], r["neg_source"])
+        for r in negative_samples(
+            df.repartition(7, "source"), k=3, pool_size=8, n_buckets=4, seed="t:"
+        ).collect()
+    }
+    assert got2 == got
+
+
+def test_logodds_keyness_planted_word_and_replay(spark):
+    """E94: a word frequent in one group and absent elsewhere must top
+    that group's keyness ranking; z-scores replay against the
+    Monroe et al. informed-Dirichlet formula in pure Python."""
+    import math
+
+    from seizury_hrv_featuresextraction_spark.operators.curation import logodds_keyness
+
+    filler = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, f"{filler} zebra zebra", "a") for i in range(10)] + [
+        (100 + i, filler, "b") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = logodds_keyness(df, "text", "source", alpha0=10.0, min_count=3, k=5).collect()
+    top_a = next(r for r in out if r["source"] == "a" and r["rank"] == 1)
+    assert top_a["word"] == "zebra"
+    assert top_a["n_in_group"] == 20 and top_a["n_corpus"] == 20
+    assert top_a["zscore"] > 0
+
+    # replay every emitted z against the formula
+    from collections import Counter
+
+    cnt: Counter = Counter()
+    for _, text, g in rows:
+        for w in text.lower().split():
+            cnt[(g, w)] += 1
+    yw = Counter()
+    ni = Counter()
+    for (g, w), c in cnt.items():
+        yw[w] += c
+        ni[g] += c
+    n = sum(ni.values())
+    for r in out:
+        c = cnt[(r["source"], r["word"])]
+        a_w = 10.0 * yw[r["word"]] / n
+        rest = yw[r["word"]] - c
+        delta = math.log((c + a_w) / (ni[r["source"]] + 10.0 - c - a_w)) - math.log(
+            (rest + a_w) / (n - ni[r["source"]] + 10.0 - rest - a_w)
+        )
+        z = delta / math.sqrt(1.0 / (c + a_w) + 1.0 / (rest + a_w))
+        assert abs(r["zscore"] - round(z, 6)) < 2e-6, r
