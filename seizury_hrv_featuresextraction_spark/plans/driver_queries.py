@@ -259,6 +259,79 @@ def asof_forward_tte(spark, sf_dir):
 
 
 @q(
+    "funnel_conversion_events",
+    """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type AS t FROM events),
+    a AS (SELECT user_id, us, t,
+                 min(CASE WHEN t = 'view' THEN us END)
+                   OVER (PARTITION BY user_id) AS a0
+          FROM e),
+    b AS (SELECT *, min(CASE WHEN t = 'click' AND us > a0
+                              AND us <= a0 + 172800000000 THEN us END)
+                      OVER (PARTITION BY user_id) AS a1 FROM a),
+    c AS (SELECT *, min(CASE WHEN t = 'purchase' AND us > a1
+                              AND us <= a1 + 172800000000 THEN us END)
+                      OVER (PARTITION BY user_id) AS a2 FROM b),
+    u AS (SELECT user_id, max(a0) AS a0, max(a1) AS a1, max(a2) AS a2
+          FROM c GROUP BY user_id),
+    f AS (SELECT (a0 // 86400000000)::bigint AS cohort_day, a0, a1, a2
+          FROM u WHERE a0 IS NOT NULL),
+    d AS (SELECT cohort_day,
+                 sum((a0 IS NOT NULL)::int)::bigint AS n_step1,
+                 sum((a1 IS NOT NULL)::int)::bigint AS n_step2,
+                 sum((a2 IS NOT NULL)::int)::bigint AS n_step3
+          FROM f GROUP BY cohort_day)
+    SELECT cohort_day, n_step1, n_step2, n_step3,
+           CASE WHEN n_step1 > 0
+                THEN round(n_step2::double / n_step1::double, 6) END AS conv_1_2,
+           CASE WHEN n_step2 > 0
+                THEN round(n_step3::double / n_step2::double, 6) END AS conv_2_3
+    FROM d
+    """,
+)
+def funnel_conversion_events(spark, sf_dir):
+    """E95: first-touch view->click->purchase funnel by cohort day,
+    48 h per-hop horizon — stacked unordered user-keyed windows (one
+    corpus exchange), exact int64 micro anchoring. Twin replays the
+    chained-minima formulation in SQL windows."""
+    from ..operators.behavior import funnel_conversion
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_conversion(
+        ev, steps=("view", "click", "purchase"), horizon_s=172_800
+    )
+
+
+@q(
+    "cohort_retention_events",
+    """
+    WITH e AS (SELECT user_id,
+                      (epoch_us(ts) // 604800000000)::bigint AS wk
+               FROM events),
+    a AS (SELECT user_id, wk, min(wk) OVER (PARTITION BY user_id) AS fw FROM e),
+    d AS (SELECT DISTINCT user_id, fw AS cohort_week, wk - fw AS age_week FROM a),
+    g AS (SELECT cohort_week, age_week, count(*)::bigint AS n_active
+          FROM d GROUP BY 1, 2)
+    SELECT cohort_week, age_week, n_active,
+           (max(CASE WHEN age_week = 0 THEN n_active END)
+              OVER (PARTITION BY cohort_week))::bigint AS cohort_size,
+           round(n_active::double
+                 / (max(CASE WHEN age_week = 0 THEN n_active END)
+                      OVER (PARTITION BY cohort_week))::double, 6) AS retention
+    FROM g
+    """,
+)
+def cohort_retention_events(spark, sf_dir):
+    """E96: weekly cohort retention triangle — cohort = epoch week of a
+    user's first event; one user-keyed window + bounded rollups, exact
+    int64 week arithmetic, single final rate division."""
+    from ..operators.behavior import cohort_retention
+
+    ev = load_table(spark, sf_dir, "events")
+    return cohort_retention(ev)
+
+
+@q(
     "negative_pairs_docs",
     """
     WITH ids AS (SELECT doc_id::bigint AS cid, source AS cg FROM documents),

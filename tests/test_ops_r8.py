@@ -671,3 +671,64 @@ def test_logodds_keyness_planted_word_and_replay(spark):
         )
         z = delta / math.sqrt(1.0 / (c + a_w) + 1.0 / (rest + a_w))
         assert abs(r["zscore"] - round(z, 6)) < 2e-6, r
+
+
+def test_funnel_conversion_ordering_and_horizon(spark):
+    """E95: step k counts only events strictly AFTER the step k-1 anchor
+    and within the horizon; pre-view clicks and out-of-horizon clicks
+    don't convert; users without the first step vanish entirely."""
+    from datetime import datetime, timedelta
+
+    from seizury_hrv_featuresextraction_spark.operators.behavior import funnel_conversion
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    h = timedelta(hours=1)
+    rows = [
+        # user 1: full funnel inside a 1h-per-hop horizon
+        (1, t0, "view"), (1, t0 + h / 2, "click"), (1, t0 + h, "purchase"),
+        # user 2: click BEFORE the first view -> stalls at step 1
+        (2, t0 + h / 2, "click"), (2, t0 + h, "view"),
+        # user 3: click outside the horizon -> stalls at step 1
+        (3, t0, "view"), (3, t0 + 3 * h, "click"),
+        # user 4: no view at all -> excluded
+        (4, t0, "click"), (4, t0 + h / 2, "purchase"),
+        # user 5: view+click ok, purchase exactly AT the anchor (not after) -> step 2
+        (5, t0, "view"), (5, t0 + h / 2, "click"), (5, t0 + h / 2, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = funnel_conversion(df, steps=("view", "click", "purchase"), horizon_s=3600).collect()
+    assert len(out) == 1  # everyone's first view lands on the same day
+    r = out[0]
+    assert (r["n_step1"], r["n_step2"], r["n_step3"]) == (4, 2, 1)
+    assert r["conv_1_2"] == 0.5 and r["conv_2_3"] == 0.5
+
+
+def test_cohort_retention_triangle(spark):
+    """E96: hand-built two-cohort triangle — week-0 size anchors the
+    rate; a user active in weeks {0,2} counts in ages 0 and 2 only."""
+    from datetime import datetime, timedelta
+
+    from seizury_hrv_featuresextraction_spark.operators.behavior import cohort_retention
+
+    wk = timedelta(weeks=1)
+    # epoch-aligned Thursday so events sit cleanly inside epoch weeks
+    w0 = datetime(2024, 1, 4, 12, 0, 0)
+    rows = [
+        (1, w0), (1, w0 + wk), (1, w0 + 2 * wk),   # cohort A, ages 0,1,2
+        (2, w0), (2, w0 + 2 * wk),                 # cohort A, ages 0,2
+        (3, w0 + wk), (3, w0 + 2 * wk),            # cohort B, ages 0,1
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r["cohort_week"] - min(x["cohort_week"] for x in out), r["age_week"]): (
+            r["n_active"], r["cohort_size"], r["retention"],
+        )
+        for out in [cohort_retention(df).collect()]
+        for r in out
+    }
+    assert got[(0, 0)] == (2, 2, 1.0)
+    assert got[(0, 1)] == (1, 2, 0.5)
+    assert got[(0, 2)] == (2, 2, 1.0)
+    assert got[(1, 0)] == (1, 1, 1.0)
+    assert got[(1, 1)] == (1, 1, 1.0)
+    assert len(got) == 5
