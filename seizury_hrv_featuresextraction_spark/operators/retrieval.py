@@ -122,3 +122,79 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+def dense_hash_topk(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 20,
+    dim: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dense retrieval leg over the E45 signed-feature-hash embedding:
+    corpus and the (tiny, broadcast) literal queries are embedded by the
+    SAME deterministic hash, scored by exact cosine, ranked per query
+    with the (score DESC, doc_id) tiebreak. Docs with no words are
+    excluded (they embed to the zero vector — undefined cosine, and
+    unretrievable by construction).
+
+    Scale shape: the embedding lives in the scan stage; queries are a
+    |queries|-row broadcast; the only exchange is the per-query rank
+    window (queries are few — for a large query set use the IVF path
+    instead). Returns (query_id, rank, doc_id, score)."""
+    from ..functions.vectors import cosine, hash_embed, hash_embed_udf
+
+    spark = docs.sparkSession
+    qdf = spark.createDataFrame(
+        [(int(qid), qtext) for qid, qtext in queries], "query_id long, qtext string"
+    ).select("query_id", hash_embed(F.col("qtext"), dim=dim).alias("qv"))
+    # corpus side: the Arrow scatter kernel (bit-identical to the
+    # expression form by pytest, O(n_words + dim) per row vs the expr
+    # form's O(dim^2 x n_words) wrapper cost — see hash_embed docstring)
+    emb = spread(docs).filter(F.size(words(F.coalesce(F.col(text_col), F.lit("")))) > 0).select(
+        F.col(id_col).alias("doc_id"), hash_embed_udf(dim)(F.col(text_col)).alias("dv")
+    )
+    scored = emb.join(F.broadcast(qdf), F.lit(True)).select(
+        "query_id", "doc_id", cosine(F.col("qv"), F.col("dv")).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def rrf_fuse(legs: list[DataFrame], k: int = 10, rrf_k: int = 60) -> DataFrame:
+    """E97: reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) — the
+    standard hybrid-search combiner: each leg's ranked list contributes
+    1/(rrf_k + rank) per (query, doc); docs absent from a leg simply
+    contribute nothing (no score normalization needed, the whole point
+    of RRF — BM25 scores and cosines are not commensurable). Ranks are
+    integers, each contribution one IEEE division, the two-leg sum
+    commutative-exact, so the fused score value-twins at round 6.
+
+    Scale shape: legs are already top-leg_k per query (bounded), so
+    fusion runs entirely on |queries| x leg_k x n_legs rows — one tiny
+    union + keyed aggregate + rank window. Returns
+    (query_id, rank, doc_id, rrf_score)."""
+    from functools import reduce
+
+    contribs = [
+        leg.select(
+            "query_id", "doc_id", (1.0 / (F.lit(rrf_k) + F.col("rank"))).alias("__c")
+        )
+        for leg in legs
+    ]
+    fused = (
+        reduce(lambda a, b: a.unionByName(b), contribs)
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("__c"), 6).alias("rrf_score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "rrf_score")
+    )

@@ -258,6 +258,120 @@ def asof_forward_tte(spark, sf_dir):
     )
 
 
+# E97 hybrid RRF fusion: same literal query set as E53 BM25 (re-declared
+# here because this registration precedes the E53 block in file order)
+_HY_QUERIES = [
+    (0, ["spark", "join", "fast"]),
+    (1, ["window", "agg", "scan"]),
+    (2, ["customer", "vector"]),
+]
+_HY_VALUES = ", ".join(f"({qid}, '{t}')" for qid, terms in _HY_QUERIES for t in terms)
+_HY_TERMS_IN = ", ".join(
+    f"'{t}'" for t in sorted({t for _, ts in _HY_QUERIES for t in ts})
+)
+_HY_QTEXT = ", ".join(f"({qid}, '{' '.join(terms)}')" for qid, terms in _HY_QUERIES)
+_HY_SCATTER = (
+    "list_sum(list_transform(ws,"
+    " w -> CASE WHEN ('0x' || substr(md5('e:' || w), 1, 15))::bigint % 16 = j"
+    " THEN (CASE WHEN ('0x' || substr(md5('s:' || w), 1, 1))::bigint % 2 = 0"
+    " THEN 1.0 ELSE -1.0 END)"
+    " ELSE 0.0 END))"
+)
+_COS16_DD = (
+    "list_sum(list_transform(generate_series(1, 16), i -> {a}[i] * {b}[i]))"
+    " / (sqrt(list_sum(list_transform(generate_series(1, 16), i -> {a}[i] * {a}[i])))"
+    " * sqrt(list_sum(list_transform(generate_series(1, 16), i -> {b}[i] * {b}[i]))))"
+)
+
+
+@q(
+    "hybrid_rrf_topk",
+    f"""
+    WITH q(query_id, term) AS (VALUES {_HY_VALUES}),
+    qt(query_id, qtext) AS (VALUES {_HY_QTEXT}),
+    base AS (SELECT doc_id, {WORDS_DD} AS ws FROM documents),
+    dl AS (SELECT doc_id, len(ws)::double AS dl FROM base),
+    tf AS (SELECT b.doc_id, t.w AS term, count(*)::double AS tf
+           FROM base b, unnest(b.ws) AS t(w)
+           WHERE t.w IN ({_HY_TERMS_IN})
+           GROUP BY b.doc_id, t.w),
+    dfq AS (SELECT term, count(*)::double AS df FROM tf GROUP BY term),
+    stats AS (SELECT count(*)::double AS n_docs, avg(dl) AS avgdl FROM dl),
+    bsc AS (SELECT q.query_id::bigint AS query_id, tf.doc_id,
+                   round(sum(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                             * (tf.tf * (1.2 + 1))
+                             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))), 6)
+                     AS score
+            FROM tf JOIN dfq d USING (term)
+                    JOIN q ON q.term = tf.term
+                    JOIN dl ON dl.doc_id = tf.doc_id
+                    CROSS JOIN stats s
+            GROUP BY q.query_id, tf.doc_id),
+    bmr AS (SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, doc_id)::bigint AS rank
+            FROM bsc QUALIFY rank <= 20),
+    db AS (SELECT doc_id, ws FROM base WHERE len(ws) > 0),
+    dhit AS (SELECT doc_id,
+                    ('0x' || substr(md5('e:' || w), 1, 15))::bigint % 16 AS j,
+                    sum(CASE WHEN ('0x' || substr(md5('s:' || w), 1, 1))::bigint % 2 = 0
+                             THEN 1.0 ELSE -1.0 END) AS v
+             FROM db, unnest(ws) AS t(w) GROUP BY doc_id, j),
+    draw AS (SELECT d.doc_id, g.j, coalesce(s.v, 0.0) AS v
+             FROM db d CROSS JOIN unnest(generate_series(0, 15)) AS g(j)
+             LEFT JOIN dhit s ON s.doc_id = d.doc_id AND s.j = g.j),
+    dn AS (SELECT doc_id, sqrt(sum(v * v)) AS nrm FROM draw GROUP BY doc_id),
+    dvec AS (SELECT r.doc_id,
+                    list(CASE WHEN nrm > 0 THEN v / nrm ELSE v END ORDER BY j) AS dv
+             FROM draw r JOIN dn USING (doc_id) GROUP BY r.doc_id),
+    qws AS (SELECT query_id::bigint AS query_id,
+                   list_filter(string_split_regex(lower(trim(qtext)), '\\s+'),
+                               w -> w <> '') AS ws
+            FROM qt),
+    qraw AS (SELECT query_id, j, {_HY_SCATTER} AS v
+             FROM qws, unnest(generate_series(0, 15)) AS t(j)),
+    qn AS (SELECT query_id, sqrt(sum(v * v)) AS nrm FROM qraw GROUP BY query_id),
+    qvec AS (SELECT r.query_id,
+                    list(CASE WHEN nrm > 0 THEN v / nrm ELSE v END ORDER BY j) AS qv
+             FROM qraw r JOIN qn USING (query_id) GROUP BY r.query_id),
+    dsc AS (SELECT q.query_id, d.doc_id,
+                   {_COS16_DD.format(a='q.qv', b='d.dv')} AS score
+            FROM dvec d CROSS JOIN qvec q),
+    dnr AS (SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, doc_id)::bigint AS rank
+            FROM dsc QUALIFY rank <= 20),
+    legs AS (SELECT query_id, doc_id, rank FROM bmr
+             UNION ALL SELECT query_id, doc_id, rank FROM dnr),
+    f AS (SELECT query_id, doc_id,
+                 round(sum(1.0 / (60 + rank)), 6) AS rrf_score
+          FROM legs GROUP BY 1, 2)
+    SELECT query_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rrf_score DESC, doc_id)::bigint AS rank,
+           doc_id, rrf_score
+    FROM f
+    QUALIFY rank <= 10
+    """,
+)
+def hybrid_rrf_topk(spark, sf_dir):
+    """E97: hybrid search — BM25 lexical top-20 (E53) fused with a dense
+    hash-embedding cosine top-20 (E45 embedding) by reciprocal-rank
+    fusion 1/(60+rank). Twin replays both legs AND the fusion end-to-end
+    in SQL; ranks are integers, each contribution one IEEE division."""
+    from ..operators.retrieval import bm25_topk, dense_hash_topk, rrf_fuse
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bm = bm25_topk(docs, _HY_QUERIES, k=20)
+    dn = dense_hash_topk(
+        docs,
+        [(qid, " ".join(terms)) for qid, terms in _HY_QUERIES],
+        k=20,
+        dim=16,
+    )
+    return rrf_fuse([bm, dn], k=10, rrf_k=60)
+
+
 @q(
     "funnel_conversion_events",
     """

@@ -462,3 +462,44 @@ def test_pca_partitioning_invariance(spark):
         for r in pca_top_component(df.repartition(17), dim=16).collect()
     )
     assert a == b
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """E97: fused score = sum of 1/(rrf_k + rank) over the legs that
+    contain the doc; docs in a single leg score lower than docs in both;
+    deterministic doc_id tiebreak on equal scores."""
+    from seizury_hrv_featuresextraction_spark.operators.retrieval import rrf_fuse
+
+    leg_a = spark.createDataFrame(
+        [(0, 1, 10), (0, 2, 11), (0, 3, 12)], "query_id long, rank long, doc_id long"
+    ).select("query_id", "rank", "doc_id")
+    leg_b = spark.createDataFrame(
+        [(0, 1, 11), (0, 2, 10), (0, 3, 99)], "query_id long, rank long, doc_id long"
+    ).select("query_id", "rank", "doc_id")
+    out = rrf_fuse([leg_a, leg_b], k=10, rrf_k=60).collect()
+    got = {r["doc_id"]: (r["rank"], r["rrf_score"]) for r in out}
+    # doc 10: rank 1 in A, rank 2 in B; doc 11: rank 2 in A, rank 1 in B
+    both = round(1 / 61 + 1 / 62, 6)
+    assert got[10] == (1, both)  # tie with 11 -> smaller doc_id wins
+    assert got[11] == (2, both)
+    assert got[12] == (3, round(1 / 63, 6))
+    assert got[99] == (4, round(1 / 63, 6))
+    assert len(got) == 4
+
+
+def test_dense_hash_topk_excludes_empty_and_ranks_overlap_first(spark):
+    """E97 dense leg: a doc sharing the query's words must outrank an
+    unrelated doc; empty/whitespace docs never appear."""
+    from seizury_hrv_featuresextraction_spark.operators.retrieval import dense_hash_topk
+
+    rows = [
+        (1, "spark join fast spark join"),
+        (2, "completely unrelated words about gardening and weather patterns"),
+        (3, "   "),
+        (4, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dense_hash_topk(docs, [(0, "spark join fast")], k=10, dim=16).collect()
+    ids = [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ids[0] == 1
+    assert 3 not in ids and 4 not in ids
