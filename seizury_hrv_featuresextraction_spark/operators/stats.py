@@ -941,3 +941,73 @@ def negative_samples(
         F.col("__c")["cid"].alias("neg_id"),
         F.col("__c")["cg"].alias("neg_source"),
     )
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    quantiles: Sequence[int] = (50, 90, 99),
+) -> DataFrame:
+    """E98: hot-key / partition-skew diagnostic — the report that tells
+    you BEFORE a 100 TB join or groupBy whether its key needs salting
+    (E39/E51b) and how badly: exact per-key-count distribution stats
+    (max, mean, exact percentiles of the count distribution, max/mean
+    ratio, top-1 share) plus the Gini coefficient of the key-count
+    distribution (0 = perfectly uniform keys, ->1 = one key owns the
+    table).
+
+    Scale shape (the count-of-counts device): ONE corpus-scale exchange
+    (the key count, map-side combined); the distribution then collapses
+    to (count_value, n_keys_with_that_count) rows — bounded by the
+    number of DISTINCT count values, tiny in practice — and every
+    statistic (cumulative-rank percentiles, the Gini rank sum Σ i·x_i
+    folded per run of equal counts) is computed on THAT table with
+    exact integer arithmetic; floats appear only in the final ratios
+    (round-6). Gini run contributions stay exact int64 up to ~2^53
+    total rank-mass — beyond that the doubles degrade gracefully (it is
+    a diagnostic, not a label).
+    """
+    keys = list(key_cols)
+    kc = df.groupBy(*keys).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    cc = kc.groupBy("cnt").agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+    w_cum = Window.orderBy("cnt").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    ce = (
+        cc.withColumn("cum_keys", F.sum("n_keys").over(w_cum))
+        .withColumn("nk", F.sum("n_keys").over(w_all))
+        .withColumn("start_rank", F.col("cum_keys") - F.col("n_keys") + 1)
+        .withColumn(
+            "contrib",
+            F.expr("cnt * (n_keys * start_rank + (n_keys * (n_keys - 1)) DIV 2)"),
+        )
+    )
+    nk_d = F.max("nk").cast("double")
+    t_d = F.sum(F.col("cnt") * F.col("n_keys")).cast("double")
+    mx_d = F.max("cnt").cast("double")
+    s1_d = F.sum("contrib").cast("double")
+    qcols = [
+        F.min(
+            F.when(
+                F.col("cum_keys") >= F.ceil(F.lit(q / 100.0) * F.col("nk")),
+                F.col("cnt"),
+            )
+        )
+        .cast("long")
+        .alias(f"p{q}_cnt")
+        for q in quantiles
+    ]
+    return ce.agg(
+        F.lit(",".join(keys)).alias("key"),
+        F.max("nk").cast("long").alias("n_keys"),
+        F.sum(F.col("cnt") * F.col("n_keys")).cast("long").alias("n_rows"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+        F.round(t_d / nk_d, 6).alias("mean_cnt"),
+        *qcols,
+        F.round(mx_d / (t_d / nk_d), 6).alias("max_to_mean"),
+        F.round(mx_d / t_d, 6).alias("top1_share"),
+        F.round(
+            (F.lit(2.0) * s1_d) / (nk_d * t_d)
+            - (F.max("nk") + 1).cast("double") / nk_d,
+            6,
+        ).alias("gini"),
+    )

@@ -258,6 +258,45 @@ def asof_forward_tte(spark, sf_dir):
     )
 
 
+@q(
+    "key_skew_events",
+    """
+    WITH kc AS (SELECT user_id, count(*)::bigint AS cnt FROM events GROUP BY user_id),
+    cc AS (SELECT cnt, count(*)::bigint AS n_keys FROM kc GROUP BY cnt),
+    cw AS (SELECT cnt, n_keys,
+                  (sum(n_keys) OVER (ORDER BY cnt))::bigint AS cum_keys,
+                  (sum(n_keys) OVER ())::bigint AS nk
+           FROM cc),
+    ce AS (SELECT *, cum_keys - n_keys + 1 AS start_rank FROM cw)
+    SELECT 'user_id' AS key,
+           max(nk)::bigint AS n_keys,
+           sum(cnt * n_keys)::bigint AS n_rows,
+           max(cnt)::bigint AS max_cnt,
+           round(sum(cnt * n_keys)::double / max(nk)::double, 6) AS mean_cnt,
+           min(CASE WHEN cum_keys >= ceil(0.50 * nk) THEN cnt END)::bigint AS p50_cnt,
+           min(CASE WHEN cum_keys >= ceil(0.90 * nk) THEN cnt END)::bigint AS p90_cnt,
+           min(CASE WHEN cum_keys >= ceil(0.99 * nk) THEN cnt END)::bigint AS p99_cnt,
+           round(max(cnt)::double
+                 / (sum(cnt * n_keys)::double / max(nk)::double), 6) AS max_to_mean,
+           round(max(cnt)::double / sum(cnt * n_keys)::double, 6) AS top1_share,
+           round((2.0 * (sum(cnt * (n_keys * start_rank
+                                    + (n_keys * (n_keys - 1)) // 2)))::double)
+                 / (max(nk)::double * sum(cnt * n_keys)::double)
+                 - (max(nk) + 1)::double / max(nk)::double, 6) AS gini
+    FROM ce
+    """,
+)
+def key_skew_events(spark, sf_dir):
+    """E98: hot-key / partition-skew report over the events stream's
+    user_id — exact count-distribution stats + Gini via the
+    count-of-counts device (one corpus exchange, everything downstream
+    bounded by distinct count values)."""
+    from ..operators.stats import key_skew_report
+
+    ev = load_table(spark, sf_dir, "events")
+    return key_skew_report(ev, ["user_id"])
+
+
 # E97 hybrid RRF fusion: same literal query set as E53 BM25 (re-declared
 # here because this registration precedes the E53 block in file order)
 _HY_QUERIES = [

@@ -732,3 +732,31 @@ def test_cohort_retention_triangle(spark):
     assert got[(1, 0)] == (1, 1, 1.0)
     assert got[(1, 1)] == (1, 1, 1.0)
     assert len(got) == 5
+
+
+def test_key_skew_report_uniform_and_degenerate(spark):
+    """E98: all-equal key counts -> gini 0, max_to_mean 1; one dominant
+    key -> gini = (n-1)/n * (1 - n/rows ... ) checked against the exact
+    closed form; exact percentiles from the count-of-counts cumulative."""
+    from seizury_hrv_featuresextraction_spark.operators.stats import key_skew_report
+
+    # uniform: 10 keys x 4 rows
+    rows = [(k,) for k in range(10) for _ in range(4)]
+    df = spark.createDataFrame(rows, "k long")
+    r = key_skew_report(df, ["k"]).collect()[0]
+    assert (r["n_keys"], r["n_rows"], r["max_cnt"]) == (10, 40, 4)
+    assert r["gini"] == 0.0 and r["max_to_mean"] == 1.0
+    assert r["p50_cnt"] == r["p99_cnt"] == 4
+
+    # skewed: 9 keys x 1 row + 1 key x 91 rows
+    rows = [(k,) for k in range(9)] + [(99,)] * 91
+    df = spark.createDataFrame(rows, "k long")
+    r = key_skew_report(df, ["k"]).collect()[0]
+    assert (r["n_keys"], r["n_rows"], r["max_cnt"]) == (10, 100, 91)
+    assert r["top1_share"] == 0.91
+    assert r["max_to_mean"] == 9.1
+    assert r["p50_cnt"] == 1 and r["p99_cnt"] == 91
+    # exact Gini: sorted counts [1]*9 + [91]; S1 = sum i*x_i = 45 + 10*91
+    s1 = sum((i + 1) * x for i, x in enumerate(sorted([1] * 9 + [91])))
+    want = round(2 * s1 / (10 * 100) - 11 / 10, 6)
+    assert r["gini"] == want
