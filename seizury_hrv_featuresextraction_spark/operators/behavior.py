@@ -117,10 +117,19 @@ def cohort_retention(
     window run on the bounded weeks x weeks triangle. All week/age
     arithmetic is exact int64; the single division is the final rate.
     """
-    w = Window.partitionBy(user_col)
     wk = F.floor(_us(ts_col) / F.lit(US_PER_WEEK)).cast("long")
+    return cohort_triangle(df.select(user_col, wk.alias("__wk")), user_col=user_col)
+
+
+def cohort_triangle(pairs: DataFrame, user_col: str = "user_id") -> DataFrame:
+    """The (user, epoch-week) -> retention-triangle tail shared by the
+    batch path (cohort_retention) and the E96-S streaming leg (where
+    ``pairs`` is the drained incrementally-maintained per-(user, week)
+    activity state). Duplicate (user, week) rows are fine — the
+    per-(user, cohort, age) collapse dedups them."""
+    w = Window.partitionBy(user_col)
     base = (
-        df.select(user_col, wk.alias("__wk"))
+        pairs.select(user_col, F.col("__wk").cast("long").alias("__wk"))
         .withColumn("__fw", F.min("__wk").over(w))
         .groupBy(user_col, F.col("__fw").alias("cohort_week"), (F.col("__wk") - F.col("__fw")).alias("age_week"))
         .agg(F.lit(1))
