@@ -280,3 +280,60 @@ def auc_by_group(
             ),
         )
     )
+
+
+def cohen_kappa(
+    df: DataFrame,
+    pred_col: str,
+    label_col: str,
+    group_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """E99: Cohen's kappa — chance-corrected agreement between two
+    binary raters (here: a classifier vs a reference label), the QA
+    statistic that exposes "95% accuracy" on a 95%-skewed label as the
+    zero-information rater it is. Computed entirely from the exact
+    int64 confusion counts with ONE final division:
+
+        kappa = (n*(n11+n00) - M) / (n^2 - M),
+        M = (n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)
+
+    (algebraically (po-pe)/(1-pe) with the fractions cleared), NULL
+    when the denominator is 0 (both raters constant — kappa undefined).
+    po/pe are also emitted (round-6) for the report.
+
+    Scale shape: one map-side-combined groupBy on the group key — the
+    corpus collapses to four integers per group; nothing else touches
+    it."""
+    keys = list(group_cols or [])
+    p = F.col(pred_col).cast("long")
+    y = F.col(label_col).cast("long")
+    g = (
+        df.select(*keys, p.alias("__p"), y.alias("__y"))
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("__p") * F.col("__y")).cast("long").alias("n11"),
+            F.sum(F.col("__p") * (1 - F.col("__y"))).cast("long").alias("n10"),
+            F.sum((1 - F.col("__p")) * F.col("__y")).cast("long").alias("n01"),
+            F.sum((1 - F.col("__p")) * (1 - F.col("__y"))).cast("long").alias("n00"),
+        )
+    )
+    m = (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01")) + (
+        F.col("n01") + F.col("n00")
+    ) * (F.col("n10") + F.col("n00"))
+    agree = F.col("n11") + F.col("n00")
+    den = F.col("n") * F.col("n") - m
+    return g.select(
+        *keys,
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(agree.cast("double") / F.col("n").cast("double"), 6).alias("po"),
+        F.round(m.cast("double") / (F.col("n") * F.col("n")).cast("double"), 6).alias("pe"),
+        F.when(
+            den != 0,
+            F.round((F.col("n") * agree - m).cast("double") / den.cast("double"), 6),
+        ).alias("kappa"),
+    )

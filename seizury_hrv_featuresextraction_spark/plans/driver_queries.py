@@ -259,6 +259,65 @@ def asof_forward_tte(spark, sf_dir):
 
 
 @q(
+    "agreement_kappa_docs",
+    f"""
+    WITH w AS (SELECT doc_id, source, lang, {WORDS_DD} AS ws FROM documents),
+    e AS (SELECT doc_id, unnest(ws) AS word FROM w),
+    b AS (SELECT doc_id,
+                 ('0x' || substr(md5('f:' || word), 1, 15))::bigint % 1024 AS j
+          FROM e),
+    s AS (SELECT doc_id,
+                 sum(('0x' || substr(md5('w:' || j::varchar), 1, 8))::bigint
+                     / 4294967296.0 - 0.5) AS dot
+          FROM b GROUP BY doc_id),
+    f AS (SELECT w.source,
+                 (round(CASE WHEN len(w.ws) > 0
+                             THEN coalesce(s.dot, 0.0) / len(w.ws)
+                             ELSE 0.0 END, 6) > 0.0)::int AS p,
+                 (w.lang = 'en')::int AS y
+          FROM w LEFT JOIN s ON s.doc_id = w.doc_id),
+    g AS (SELECT source, count(*)::bigint AS n,
+                 sum(p * y)::bigint AS n11, sum(p * (1 - y))::bigint AS n10,
+                 sum((1 - p) * y)::bigint AS n01,
+                 sum((1 - p) * (1 - y))::bigint AS n00
+          FROM f GROUP BY source)
+    SELECT source, n, n11, n10, n01, n00,
+           round((n11 + n00)::double / n::double, 6) AS po,
+           round(((n11 + n10) * (n11 + n01)
+                  + (n01 + n00) * (n10 + n00))::double / (n * n)::double, 6) AS pe,
+           CASE WHEN n * n - ((n11 + n10) * (n11 + n01)
+                              + (n01 + n00) * (n10 + n00)) <> 0
+                THEN round((n * (n11 + n00)
+                            - ((n11 + n10) * (n11 + n01)
+                               + (n01 + n00) * (n10 + n00)))::double
+                           / (n * n - ((n11 + n10) * (n11 + n01)
+                                       + (n01 + n00) * (n10 + n00)))::double, 6)
+           END AS kappa
+    FROM g
+    """,
+)
+def agreement_kappa_docs(spark, sf_dir):
+    """E99: per-source Cohen's kappa between the E40 quality classifier
+    keep decision and the is-English reference — chance-corrected
+    agreement from exact int64 confusion counts, single final division.
+    Twin replays classifier + kappa end-to-end."""
+    from ..operators.curation import hashed_linear_classifier, md5_feature_weights
+    from ..operators.dedup import spread
+    from ..operators.evaluation import cohen_kappa
+
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source"))
+    scored = hashed_linear_classifier(
+        docs,
+        md5_feature_weights(1024),
+        bias=0.0,
+        threshold=0.0,
+        score_round=6,
+        extra_cols=("source", "lang"),
+    ).withColumn("y", (F.col("lang") == "en").cast("long"))
+    return cohen_kappa(scored, "keep", "y", ["source"])
+
+
+@q(
     "key_skew_events",
     """
     WITH kc AS (SELECT user_id, count(*)::bigint AS cnt FROM events GROUP BY user_id),

@@ -89,3 +89,37 @@ def test_latest_alarm(spark):
     events = spark.createDataFrame(pd.DataFrame({"doc_id": ["d1"], "onset": [60.0]}))
     out = latest_alarm_before_onset(alarms, events).toPandas()
     assert out.iloc[0]["latest_alarm"] == 50.0 and out.iloc[0]["warning_seconds"] == 10.0
+
+
+def test_cohen_kappa_known_values_and_degenerate(spark):
+    """E99: kappa replays the closed form on a hand confusion matrix;
+    perfect agreement -> 1, independence-level agreement -> ~0, both
+    raters constant -> NULL."""
+    from seizury_hrv_featuresextraction_spark.operators.evaluation import cohen_kappa
+
+    # hand matrix: n11=20, n10=5, n01=10, n00=15 -> po=0.7
+    rows = (
+        [(1, 1)] * 20 + [(1, 0)] * 5 + [(0, 1)] * 10 + [(0, 0)] * 15
+    )
+    df = spark.createDataFrame([(p, y) for p, y in rows], "p long, y long")
+    r = cohen_kappa(df, "p", "y").collect()[0]
+    n, m = 50, (25 * 30 + 25 * 20)
+    assert (r["n11"], r["n10"], r["n01"], r["n00"]) == (20, 5, 10, 15)
+    assert r["po"] == 0.7
+    assert r["pe"] == round(m / (n * n), 6)
+    assert r["kappa"] == round((n * 35 - m) / (n * n - m), 6)
+
+    # perfect agreement
+    df = spark.createDataFrame([(1, 1)] * 3 + [(0, 0)] * 3, "p long, y long")
+    assert cohen_kappa(df, "p", "y").collect()[0]["kappa"] == 1.0
+
+    # both raters constant -> denominator 0 -> NULL
+    df = spark.createDataFrame([(1, 1)] * 4, "p long, y long")
+    assert cohen_kappa(df, "p", "y").collect()[0]["kappa"] is None
+
+    # grouped: each group independent
+    df = spark.createDataFrame(
+        [("a", 1, 1), ("a", 0, 0), ("b", 1, 0), ("b", 0, 1)], "g string, p long, y long"
+    )
+    got = {r["g"]: r["kappa"] for r in cohen_kappa(df, "p", "y", ["g"]).collect()}
+    assert got["a"] == 1.0 and got["b"] == -1.0
