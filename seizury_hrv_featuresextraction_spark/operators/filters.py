@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -71,3 +71,74 @@ def nan_to_zero(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     for c in cols:
         out = out.withColumn(c, F.coalesce(F.nanvl(F.col(c), F.lit(0.0)), F.lit(0.0)))
     return out
+
+
+def grouped_mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    id_col: str,
+    z_thresh: float = 3.5,
+) -> DataFrame:
+    """E100: per-group robust outlier flags via the modified z-score
+    (Iglewicz-Hoaglin): rz = 0.6745*|x - median| / MAD, flag rz >
+    z_thresh — the grouped companion of the global O11 median/MAD
+    filter, for scrubbing a feature column whose scale differs per key
+    (mean/stddev would let the outliers mask themselves). Medians are
+    EXACT lower medians by the integer rank rule rn == (cnt+1) DIV 2
+    over a deterministic (value, id) order — no percentile
+    approximation, engine-reproducible under ties; MAD is the same rule
+    over |x - median|. Groups with MAD = 0 (majority-constant) flag any
+    nonzero deviation.
+
+    Scale shape: two sorted windows over the SAME group key (one
+    exchange, two sorts) + two unordered max-over-partition backfills;
+    no joins, no row amplification. Returns only the flagged rows with
+    (group, id, value, med, mad, rz).
+    """
+    keys = list(group_cols)
+    x = F.col(value_col).cast("double")
+    wg = Window.partitionBy(*keys)
+    w1 = Window.partitionBy(*keys).orderBy(value_col, id_col)
+    d1 = (
+        df.select(*keys, id_col, x.alias(value_col))
+        .withColumn("__rn", F.row_number().over(w1))
+        .withColumn("__cnt", F.count(F.lit(1)).over(wg))
+        .withColumn(
+            "__med",
+            F.max(
+                F.when(F.col("__rn") == F.expr("(__cnt + 1) DIV 2"), F.col(value_col))
+            ).over(wg),
+        )
+        .withColumn("__dev", F.abs(F.col(value_col) - F.col("__med")))
+    )
+    w2 = Window.partitionBy(*keys).orderBy("__dev", id_col)
+    d2 = (
+        d1.withColumn("__rn2", F.row_number().over(w2))
+        .withColumn(
+            "__mad",
+            F.max(
+                F.when(F.col("__rn2") == F.expr("(__cnt + 1) DIV 2"), F.col("__dev"))
+            ).over(wg),
+        )
+        .withColumn(
+            "__rz",
+            F.when(
+                F.col("__mad") > 0,
+                F.round(F.lit(0.6745) * F.col("__dev") / F.col("__mad"), 6),
+            ),
+        )
+    )
+    flagged = d2.filter(
+        F.when(F.col("__mad") > 0, F.col("__rz") > F.lit(float(z_thresh))).otherwise(
+            F.col("__dev") > 0
+        )
+    )
+    return flagged.select(
+        *keys,
+        id_col,
+        value_col,
+        F.col("__med").alias("med"),
+        F.col("__mad").alias("mad"),
+        F.col("__rz").alias("rz"),
+    )

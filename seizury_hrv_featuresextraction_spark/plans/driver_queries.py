@@ -259,6 +259,43 @@ def asof_forward_tte(spark, sf_dir):
 
 
 @q(
+    "robust_outliers_events",
+    """
+    WITH d AS (SELECT event_type, event_id, value::double AS value FROM events),
+    r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                                       ORDER BY value, event_id) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS cnt
+          FROM d),
+    m AS (SELECT *, max(CASE WHEN rn = (cnt + 1) // 2 THEN value END)
+                      OVER (PARTITION BY event_type) AS med
+          FROM r),
+    dv AS (SELECT *, abs(value - med) AS dev FROM m),
+    r2 AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                                        ORDER BY dev, event_id) AS rn2
+           FROM dv),
+    md AS (SELECT *, max(CASE WHEN rn2 = (cnt + 1) // 2 THEN dev END)
+                       OVER (PARTITION BY event_type) AS mad
+           FROM r2),
+    z AS (SELECT event_type, event_id, value, med, mad,
+                 CASE WHEN mad > 0 THEN round(0.6745 * dev / mad, 6) END AS rz,
+                 dev
+          FROM md)
+    SELECT event_type, event_id, value, med, mad, rz
+    FROM z
+    WHERE CASE WHEN mad > 0 THEN rz > 3.5 ELSE dev > 0 END
+    """,
+)
+def robust_outliers_events(spark, sf_dir):
+    """E100: per-event-type robust outlier flags — modified z-score
+    0.6745*|x-med|/MAD over EXACT lower medians (integer rank rule, no
+    percentile approximation). Twin replays both median windows."""
+    from ..operators.filters import grouped_mad_outliers
+
+    ev = load_table(spark, sf_dir, "events")
+    return grouped_mad_outliers(ev, "value", ["event_type"], "event_id", z_thresh=3.5)
+
+
+@q(
     "agreement_kappa_docs",
     f"""
     WITH w AS (SELECT doc_id, source, lang, {WORDS_DD} AS ws FROM documents),

@@ -760,3 +760,36 @@ def test_key_skew_report_uniform_and_degenerate(spark):
     s1 = sum((i + 1) * x for i, x in enumerate(sorted([1] * 9 + [91])))
     want = round(2 * s1 / (10 * 100) - 11 / 10, 6)
     assert r["gini"] == want
+
+
+def test_grouped_mad_outliers_exact_medians_and_flags(spark):
+    """E100: exact lower-median rule, per-group independence, the
+    planted spike flags, the tight cluster doesn't; MAD=0 group flags
+    any nonzero deviation."""
+    from seizury_hrv_featuresextraction_spark.operators.filters import (
+        grouped_mad_outliers,
+    )
+
+    rows = (
+        # group a: tight cluster around 10 + one spike
+        [("a", i, 10.0 + 0.1 * (i % 3)) for i in range(9)]
+        + [("a", 99, 1000.0)]
+        # group b: all identical except one -> MAD=0 path
+        + [("b", i, 5.0) for i in range(5)]
+        + [("b", 50, 7.0)]
+    )
+    df = spark.createDataFrame(rows, "g string, id long, value double")
+    out = grouped_mad_outliers(df, "value", ["g"], "id", z_thresh=3.5).collect()
+    got = {(r["g"], r["id"]): r for r in out}
+    assert ("a", 99) in got
+    assert got[("a", 99)]["med"] == 10.1  # lower median of the 10 values
+    assert all(k == ("a", 99) for k in got if k[0] == "a")
+    # MAD=0 group: the single deviating row flags, rz is NULL
+    assert ("b", 50) in got and got[("b", 50)]["rz"] is None
+    assert len([k for k in got if k[0] == "b"]) == 1
+
+    # partitioning invariance
+    out2 = grouped_mad_outliers(
+        df.repartition(5), "value", ["g"], "id", z_thresh=3.5
+    ).collect()
+    assert {(r["g"], r["id"]) for r in out2} == set(got)
