@@ -71,22 +71,33 @@ def funnel_conversion(
             )
         cur = cur.withColumn(col, F.min(cond).over(w))
         anchors.append(col)
-    per_user = (
-        cur.groupBy(user_col)
-        .agg(*[F.max(a).alias(a) for a in anchors])
-        .filter(F.col(anchors[0]).isNotNull())
-        .withColumn("cohort_day", F.floor(F.col(anchors[0]) / F.lit(US_PER_DAY)).cast("long"))
-    )
-    day = per_user.groupBy("cohort_day").agg(
-        *[
-            F.sum(F.col(a).isNotNull().cast("long")).alias(f"n_step{i + 1}")
-            for i, a in enumerate(anchors)
-        ]
+    per_user = cur.groupBy(user_col).agg(*[F.max(a).alias(a) for a in anchors])
+    return funnel_rollup(per_user, n_steps=len(steps))
+
+
+def funnel_rollup(per_user: DataFrame, n_steps: int = 3) -> DataFrame:
+    """The per-user-anchors -> per-cohort-day funnel tail shared by the
+    batch path and the E95-S streaming leg (where ``per_user`` is the
+    drained latest state row per user). Expects anchor columns
+    __a0..__a{n_steps-1} in int64 micros."""
+    anchors = [f"__a{i}" for i in range(n_steps)]
+    day = (
+        per_user.filter(F.col(anchors[0]).isNotNull())
+        .withColumn(
+            "cohort_day", F.floor(F.col(anchors[0]) / F.lit(US_PER_DAY)).cast("long")
+        )
+        .groupBy("cohort_day")
+        .agg(
+            *[
+                F.sum(F.col(a).isNotNull().cast("long")).alias(f"n_step{i + 1}")
+                for i, a in enumerate(anchors)
+            ]
+        )
     )
     out_cols = [F.col("cohort_day")] + [
-        F.col(f"n_step{i + 1}") for i in range(len(steps))
+        F.col(f"n_step{i + 1}") for i in range(n_steps)
     ]
-    for i in range(1, len(steps)):
+    for i in range(1, n_steps):
         out_cols.append(
             F.when(
                 F.col(f"n_step{i}") > 0,
