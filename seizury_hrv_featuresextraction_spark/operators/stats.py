@@ -1011,3 +1011,71 @@ def key_skew_report(
             6,
         ).alias("gini"),
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """E101: exact quantile normalization — map every group's value
+    distribution onto the GLOBAL distribution (the cross-source
+    feature-alignment step: after it, "doc length 90th percentile"
+    means the same thing for every source, so per-source thresholds and
+    mixtures compose). target(v | g) = the smallest global value G
+    whose global CDF >= the group CDF of v; with integer counts both
+    CDFs are exact ratios and the mapping is engine-reproducible.
+
+    Scale shape (the E87/E91/E98 collapse device): ONE corpus-scale
+    exchange — the (group, value) count; the global distribution folds
+    FROM that table (no second scan), and the CDF lookup is the
+    union-window as-of device: union the (group, value) rows with the
+    global distinct-value rows, ONE sort of that bounded table by
+    (cdf, tag), and min-over-following picks each row's first global
+    crossing. No range join, no corpus sort, no row amplification.
+
+    Returns (group, value, n, cdf, target) — n the in-group count of
+    the value, cdf the exact in-group CDF, target the normalized value.
+    """
+    g, v = group_col, value_col
+    sc = (
+        df.select(F.col(g).alias("__g"), F.col(v).alias("__v"))
+        .groupBy("__g", "__v")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    w_s = Window.partitionBy("__g").orderBy("__v")
+    w_sg = Window.partitionBy("__g")
+    sc2 = sc.withColumn(
+        "__cum", F.sum("__c").over(w_s.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("__ns", F.sum("__c").over(w_sg))
+    gc = sc.groupBy("__v").agg(F.sum("__c").cast("long").alias("__cg"))
+    w_g = Window.orderBy("__v")
+    w_all = Window.partitionBy()
+    gc2 = gc.withColumn(
+        "__cumg", F.sum("__cg").over(w_g.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("__n", F.sum("__cg").over(w_all))
+    left = sc2.select(
+        "__g",
+        "__v",
+        "__c",
+        (F.col("__cum").cast("double") / F.col("__ns").cast("double")).alias("__q"),
+        F.lit(0).alias("__tag"),
+        F.lit(None).cast(sc2.schema["__v"].dataType).alias("__gv"),
+    )
+    right = gc2.select(
+        F.lit(None).cast(sc2.schema["__g"].dataType).alias("__g"),
+        F.lit(None).cast(sc2.schema["__v"].dataType).alias("__v"),
+        F.lit(None).cast("long").alias("__c"),
+        (F.col("__cumg").cast("double") / F.col("__n").cast("double")).alias("__q"),
+        F.lit(1).alias("__tag"),
+        F.col("__v").alias("__gv"),
+    )
+    w_f = Window.orderBy("__q", "__tag").rowsBetween(0, Window.unboundedFollowing)
+    fused = left.unionByName(right).withColumn("__target", F.min("__gv").over(w_f))
+    return fused.filter(F.col("__tag") == 0).select(
+        F.col("__g").alias(g),
+        F.col("__v").alias(v),
+        F.col("__c").alias("n"),
+        F.round("__q", 6).alias("cdf"),
+        F.col("__target").alias("target"),
+    )

@@ -259,6 +259,46 @@ def asof_forward_tte(spark, sf_dir):
 
 
 @q(
+    "quantile_normalize_docs",
+    """
+    WITH sc AS (SELECT source AS g, n_chars AS v, count(*)::bigint AS c
+                FROM documents GROUP BY 1, 2),
+    s2 AS (SELECT g, v, c,
+                  (sum(c) OVER (PARTITION BY g ORDER BY v))::bigint AS cum,
+                  (sum(c) OVER (PARTITION BY g))::bigint AS ns
+           FROM sc),
+    gc AS (SELECT v, sum(c)::bigint AS cg FROM sc GROUP BY v),
+    g2 AS (SELECT v, (sum(cg) OVER (ORDER BY v))::bigint AS cumg,
+                  (sum(cg) OVER ())::bigint AS n
+           FROM gc),
+    u AS (SELECT g, v, c, cum::double / ns::double AS q, 0 AS tag,
+                 NULL::bigint AS gv
+          FROM s2
+          UNION ALL
+          SELECT NULL, NULL, NULL, cumg::double / n::double AS q, 1 AS tag,
+                 v AS gv
+          FROM g2),
+    f AS (SELECT *, min(gv) OVER (ORDER BY q, tag
+                                  ROWS BETWEEN CURRENT ROW
+                                  AND UNBOUNDED FOLLOWING) AS target
+          FROM u)
+    SELECT g AS source, v AS n_chars, c AS n, round(q, 6) AS cdf, target
+    FROM f WHERE tag = 0
+    """,
+)
+def quantile_normalize_docs(spark, sf_dir):
+    """E101: exact quantile normalization of per-source doc-length
+    distributions onto the global distribution — the collapse device
+    (one (source, value) count exchange) + union-window as-of CDF
+    lookup; no range join, no corpus sort. Twin replays the same
+    construction."""
+    from ..operators.stats import quantile_normalize
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quantile_normalize(docs, "n_chars", "source")
+
+
+@q(
     "robust_outliers_events",
     """
     WITH d AS (SELECT event_type, event_id, value::double AS value FROM events),

@@ -793,3 +793,49 @@ def test_grouped_mad_outliers_exact_medians_and_flags(spark):
         df.repartition(5), "value", ["g"], "id", z_thresh=3.5
     ).collect()
     assert {(r["g"], r["id"]) for r in out2} == set(got)
+
+
+def test_quantile_normalize_replay_and_properties(spark):
+    """E101: target = smallest global value whose global CDF >= the
+    group CDF, replayed in pure Python; a uniform group maps onto the
+    global spread; max of every group maps to the global max."""
+    from collections import Counter
+
+    from seizury_hrv_featuresextraction_spark.operators.stats import quantile_normalize
+
+    rows = (
+        [("a", v) for v in [1, 1, 2, 3, 10]]
+        + [("b", v) for v in [100, 200, 200, 300]]
+        + [("c", v) for v in [5]]
+    )
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = quantile_normalize(df, "v", "g").collect()
+    got = {(r["g"], r["v"]): (r["n"], r["cdf"], r["target"]) for r in out}
+
+    # pure-Python replay
+    per_g: dict[str, Counter] = {}
+    for g, v in rows:
+        per_g.setdefault(g, Counter())[v] += 1
+    glob = Counter(v for _, v in rows)
+    gvals = sorted(glob)
+    N = sum(glob.values())
+    want = {}
+    for g, cnt in per_g.items():
+        ns = sum(cnt.values())
+        cum = 0
+        for v in sorted(cnt):
+            cum += cnt[v]
+            q = cum / ns
+            cg = 0
+            target = None
+            for gv in gvals:
+                cg += glob[gv]
+                if cg / N >= q:
+                    target = gv
+                    break
+            want[(g, v)] = (cnt[v], round(q, 6), target)
+    assert got == want
+    # every group's max value maps to the global max
+    assert got[("a", 10)][2] == 300
+    assert got[("b", 300)][2] == 300
+    assert got[("c", 5)][2] == 300  # single row: CDF 1.0
