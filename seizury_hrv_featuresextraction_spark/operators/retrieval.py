@@ -198,3 +198,67 @@ def rrf_fuse(legs: list[DataFrame], k: int = 10, rrf_k: int = 60) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "rrf_score")
     )
+
+
+def mmr_rerank(
+    cands: DataFrame,
+    k: int = 5,
+    lam: float = 0.5,
+) -> DataFrame:
+    """E102: maximal-marginal-relevance re-ranking (Carbonell/Goldstein
+    1998) — greedily pick the candidate maximizing
+    lam*rel - (1-lam)*max_sim_to_already_selected, the diversification
+    pass that stops a retrieval page (or a RAG context window) from
+    filling with near-duplicates of one hit. Expects columns
+    (query_id, doc_id, rel, dv): rel a round-6 relevance, dv the E45
+    hash-embedding vector; candidate-candidate similarity is exact
+    cosine. Scores re-round(6) each round and ties break on doc_id, so
+    the greedy trajectory is engine-reproducible. NOTE: lam must be an
+    exactly-representable binary fraction (0.5, 0.25, 0.75) — 1-lam is
+    computed driver-side and must equal the twin's literal bit-for-bit.
+
+    Scale shape: candidates are already bounded per query (top-leg_k
+    from retrieval), so the k greedy rounds run on |queries| x leg_k
+    rows — k bounded window+join rounds over tiny tables, nothing
+    corpus-scale. Returns (query_id, rank, doc_id, mmr_score)."""
+    from ..functions.vectors import cosine
+
+    mu = float(1.0 - lam)
+    rem = cands.select(
+        "query_id", "doc_id", "rel", "dv", F.lit(0.0).alias("maxsim")
+    )
+    picks = []
+    for i in range(1, k + 1):
+        w = Window.partitionBy("query_id").orderBy(F.desc("__score"), F.asc("doc_id"))
+        scored = rem.withColumn(
+            "__score",
+            F.round(F.lit(lam) * F.col("rel") - F.lit(mu) * F.col("maxsim"), 6),
+        ).withColumn("__rn", F.row_number().over(w))
+        pick = scored.filter(F.col("__rn") == 1).select(
+            "query_id",
+            F.lit(i).cast("long").alias("rank"),
+            "doc_id",
+            F.col("__score").alias("mmr_score"),
+            F.col("dv").alias("__sel_dv"),
+        )
+        picks.append(pick.drop("__sel_dv"))
+        if i < k:
+            rem = (
+                scored.filter(F.col("__rn") > 1)
+                .join(
+                    pick.select("query_id", "__sel_dv"),
+                    "query_id",
+                )
+                .select(
+                    "query_id",
+                    "doc_id",
+                    "rel",
+                    "dv",
+                    F.greatest(
+                        F.col("maxsim"), cosine(F.col("dv"), F.col("__sel_dv"))
+                    ).alias("maxsim"),
+                )
+            )
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), picks)

@@ -547,6 +547,91 @@ def hybrid_rrf_topk(spark, sf_dir):
     return rrf_fuse([bm, dn], k=10, rrf_k=60)
 
 
+def _mmr_round(r: int) -> str:
+    cos = _COS16_DD.format(a="c.dv", b="p.dv")
+    return f"""
+    s{r} AS (SELECT *, round(0.5 * rel - 0.5 * maxsim, 6) AS score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY round(0.5 * rel - 0.5 * maxsim, 6) DESC,
+                                               doc_id) AS rn
+             FROM c{r - 1}),
+    p{r} AS (SELECT query_id, doc_id, dv, score FROM s{r} WHERE rn = 1),
+    c{r} AS (SELECT c.query_id, c.doc_id, c.rel, c.dv,
+                    greatest(c.maxsim, {cos}) AS maxsim
+             FROM s{r} c JOIN p{r} p ON p.query_id = c.query_id
+             WHERE c.rn > 1)"""
+
+
+@q(
+    "mmr_rerank_topk",
+    f"""
+    WITH qt(query_id, qtext) AS (VALUES {_HY_QTEXT}),
+    base AS (SELECT doc_id, {WORDS_DD} AS ws FROM documents),
+    db AS (SELECT doc_id, ws FROM base WHERE len(ws) > 0),
+    dhit AS (SELECT doc_id,
+                    ('0x' || substr(md5('e:' || w), 1, 15))::bigint % 16 AS j,
+                    sum(CASE WHEN ('0x' || substr(md5('s:' || w), 1, 1))::bigint % 2 = 0
+                             THEN 1.0 ELSE -1.0 END) AS v
+             FROM db, unnest(ws) AS t(w) GROUP BY doc_id, j),
+    draw AS (SELECT d.doc_id, g.j, coalesce(s.v, 0.0) AS v
+             FROM db d CROSS JOIN unnest(generate_series(0, 15)) AS g(j)
+             LEFT JOIN dhit s ON s.doc_id = d.doc_id AND s.j = g.j),
+    dn AS (SELECT doc_id, sqrt(sum(v * v)) AS nrm FROM draw GROUP BY doc_id),
+    dvec AS (SELECT r.doc_id,
+                    list(CASE WHEN nrm > 0 THEN v / nrm ELSE v END ORDER BY j) AS dv
+             FROM draw r JOIN dn USING (doc_id) GROUP BY r.doc_id),
+    qws AS (SELECT query_id::bigint AS query_id,
+                   list_filter(string_split_regex(lower(trim(qtext)), '\\s+'),
+                               w -> w <> '') AS ws
+            FROM qt),
+    qraw AS (SELECT query_id, j, {_HY_SCATTER} AS v
+             FROM qws, unnest(generate_series(0, 15)) AS t(j)),
+    qn AS (SELECT query_id, sqrt(sum(v * v)) AS nrm FROM qraw GROUP BY query_id),
+    qvec AS (SELECT r.query_id,
+                    list(CASE WHEN nrm > 0 THEN v / nrm ELSE v END ORDER BY j) AS qv
+             FROM qraw r JOIN qn USING (query_id) GROUP BY r.query_id),
+    dsc AS (SELECT q.query_id, d.doc_id, d.dv,
+                   {_COS16_DD.format(a='q.qv', b='d.dv')} AS dscore
+            FROM dvec d CROSS JOIN qvec q),
+    cand AS (SELECT query_id, doc_id, round(dscore, 6) AS rel, dv
+             FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                                ORDER BY dscore DESC, doc_id) AS rnk
+                   FROM dsc)
+             WHERE rnk <= 20),
+    c0 AS (SELECT query_id, doc_id, rel, dv, 0.0 AS maxsim FROM cand),
+    {",".join(_mmr_round(r) for r in range(1, 6))}
+    SELECT query_id, rank, doc_id, mmr_score FROM (
+      SELECT query_id, 1::bigint AS rank, doc_id, score AS mmr_score FROM p1
+      UNION ALL SELECT query_id, 2, doc_id, score FROM p2
+      UNION ALL SELECT query_id, 3, doc_id, score FROM p3
+      UNION ALL SELECT query_id, 4, doc_id, score FROM p4
+      UNION ALL SELECT query_id, 5, doc_id, score FROM p5)
+    """,
+)
+def mmr_rerank_topk(spark, sf_dir):
+    """E102: MMR diversified re-ranking of the dense top-20 (lam = 0.5,
+    an exactly-representable fraction so both engines' 1-lam literal is
+    bit-identical) down to 5 per query. Twin unrolls all five greedy
+    rounds in SQL (the E71 PCA unroll device)."""
+    from ..functions.vectors import hash_embed_udf
+    from ..operators.retrieval import dense_hash_topk, mmr_rerank
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    qtexts = [(qid, " ".join(terms)) for qid, terms in _HY_QUERIES]
+    dn = dense_hash_topk(docs, qtexts, k=20, dim=16)
+    # re-embed ONLY the candidate docs (<= |queries| x 20 rows; the
+    # broadcast semi-join keeps this second pass off the corpus)
+    cand_ids = dn.select("doc_id").distinct()
+    cand_vecs = docs.join(F.broadcast(cand_ids), "doc_id").select(
+        "doc_id", hash_embed_udf(16)(F.col("text")).alias("dv")
+    )
+    cands = (
+        dn.select("query_id", "doc_id", F.round("score", 6).alias("rel"))
+        .join(cand_vecs, "doc_id")
+    )
+    return mmr_rerank(cands, k=5, lam=0.5)
+
+
 @q(
     "funnel_conversion_events",
     """

@@ -503,3 +503,52 @@ def test_dense_hash_topk_excludes_empty_and_ranks_overlap_first(spark):
     ids = [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])]
     assert ids[0] == 1
     assert 3 not in ids and 4 not in ids
+
+
+def test_mmr_rerank_diversifies_and_replays(spark):
+    """E102: three near-identical top-relevance docs must NOT fill the
+    head of the MMR list — after the first, a less-relevant but novel
+    doc wins; full greedy trajectory replayed in pure Python."""
+    import numpy as np
+
+    from seizury_hrv_featuresextraction_spark.operators.retrieval import mmr_rerank
+
+    def vec(x, y):
+        n = (x * x + y * y) ** 0.5
+        return [x / n, y / n] + [0.0] * 14
+
+    # docs 1-3: same direction (mutual cos 1.0), rel 0.9; doc 4:
+    # orthogonal, rel 0.5; doc 5: opposite, rel 0.1
+    rows = [
+        (0, 1, 0.9, vec(1.0, 0.0)),
+        (0, 2, 0.9, vec(1.0, 0.0)),
+        (0, 3, 0.9, vec(1.0, 0.0)),
+        (0, 4, 0.5, vec(0.0, 1.0)),
+        (0, 5, 0.1, vec(-1.0, 0.0)),
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id long, doc_id long, rel double, dv array<double>"
+    )
+    out = sorted(mmr_rerank(df, k=4, lam=0.5).collect(), key=lambda r: r["rank"])
+    order = [r["doc_id"] for r in out]
+    # pick1: doc 1 (rel tie -> smallest id). pick2: doc 4 (novel) beats
+    # docs 2,3 (0.5*0.9-0.5*1.0 = -0.05 < 0.5*0.5-0.5*0 = 0.25) and
+    # doc 5 (0.5*0.1+0.5 = 0.55 ... vs -0.05 and 0.25)
+    assert order[0] == 1
+    assert order[1] in (4, 5)
+
+    # pure-Python greedy replay
+    cand = {d: (rel, np.array(v)) for _, d, rel, v in rows}
+    sel, maxsim = [], {d: 0.0 for d in cand}
+    for _ in range(4):
+        best = max(
+            ((round(0.5 * cand[d][0] - 0.5 * maxsim[d], 6), -d), d)
+            for d in cand
+            if d not in sel
+        )[1]
+        sel.append(best)
+        for d in cand:
+            if d not in sel:
+                c = float(cand[d][1] @ cand[best][1])
+                maxsim[d] = max(maxsim[d], c)
+    assert order == sel
