@@ -1486,3 +1486,81 @@ def logodds_keyness(
         scored.withColumn("rank", F.row_number().over(w_rank).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def source_lexical_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    top_r: int = 100,
+) -> DataFrame:
+    """E103: per-source lexical-health statistics — unigram Shannon
+    entropy (low entropy = template/boilerplate-dominated source) and
+    the Zipf rank-frequency slope over the top ``top_r`` words (natural
+    text sits near -1; synthetic/spam sources deviate hard) — the two
+    cheap scalars that catch a degenerate source before any model sees
+    it. Entropy via the order-free decomposition
+    H = ln(n) - (sum c*ln c)/n; slope via closed-form OLS on
+    (ln rank, ln count). Double sums are rounded(6) after aggregation
+    per the cross-engine float policy (plans/driver_queries.py:5-9).
+
+    Scale shape: ONE corpus-scale exchange (the (group, word) count,
+    E52 shape); entropy stats ride a per-group agg of the VOCAB-scale
+    table; the rank window sorts only each group's top of vocab and the
+    OLS runs on <= top_r rows per group. Returns (group, n_tokens,
+    vocab, entropy, zipf_slope).
+    """
+    ws = words(F.coalesce(F.col(text_col), F.lit("")))
+    cnt = (
+        df.select(F.col(group_col).alias("__g"), F.explode(ws).alias("__w"))
+        .groupBy("__g", "__w")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    ent = cnt.groupBy("__g").agg(
+        F.sum("__c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.col("__c").cast("double") * F.log(F.col("__c").cast("double"))).alias(
+            "__sum_clnc"
+        ),
+    )
+    ent = ent.select(
+        "__g",
+        "n_tokens",
+        "vocab",
+        F.round(
+            F.log(F.col("n_tokens").cast("double"))
+            - F.col("__sum_clnc") / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("entropy"),
+    )
+    w_rank = Window.partitionBy("__g").orderBy(F.desc("__c"), F.asc("__w"))
+    top = (
+        cnt.withColumn("__r", F.row_number().over(w_rank))
+        .filter(F.col("__r") <= top_r)
+        .select(
+            "__g",
+            F.log(F.col("__r").cast("double")).alias("__x"),
+            F.log(F.col("__c").cast("double")).alias("__y"),
+        )
+    )
+    ols = top.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("double").alias("__m"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+    )
+    slope = F.when(
+        F.col("__m") * F.col("__sxx") - F.col("__sx") * F.col("__sx") != 0,
+        F.round(
+            (F.col("__m") * F.col("__sxy") - F.col("__sx") * F.col("__sy"))
+            / (F.col("__m") * F.col("__sxx") - F.col("__sx") * F.col("__sx")),
+            6,
+        ),
+    )
+    return (
+        ent.join(ols.select("__g", slope.alias("zipf_slope")), "__g")
+        .select(
+            F.col("__g").alias(group_col), "n_tokens", "vocab", "entropy", "zipf_slope"
+        )
+    )

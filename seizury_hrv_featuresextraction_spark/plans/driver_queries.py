@@ -259,6 +259,45 @@ def asof_forward_tte(spark, sf_dir):
 
 
 @q(
+    "lexical_stats_docs",
+    f"""
+    WITH d AS (SELECT source AS g, {WORDS_DD} AS ws FROM documents),
+    cnt AS (SELECT g, unnest(ws) AS w FROM d),
+    c2 AS (SELECT g, w, count(*)::bigint AS c FROM cnt GROUP BY g, w),
+    ent AS (SELECT g, sum(c)::bigint AS n_tokens, count(*)::bigint AS vocab,
+                   sum(c::double * ln(c::double)) AS sum_clnc
+            FROM c2 GROUP BY g),
+    e2 AS (SELECT g, n_tokens, vocab,
+                  round(ln(n_tokens::double) - sum_clnc / n_tokens::double, 6)
+                    AS entropy
+           FROM ent),
+    top AS (SELECT g, ln(r::double) AS x, ln(c::double) AS y
+            FROM (SELECT g, c, row_number() OVER (PARTITION BY g
+                                                  ORDER BY c DESC, w) AS r
+                  FROM c2)
+            WHERE r <= 100),
+    ols AS (SELECT g, count(*)::double AS m, sum(x) AS sx, sum(y) AS sy,
+                   sum(x * y) AS sxy, sum(x * x) AS sxx
+            FROM top GROUP BY g)
+    SELECT e2.g AS source, e2.n_tokens, e2.vocab, e2.entropy,
+           CASE WHEN m * sxx - sx * sx <> 0
+                THEN round((m * sxy - sx * sy) / (m * sxx - sx * sx), 6)
+           END AS zipf_slope
+    FROM e2 JOIN ols ON ols.g = e2.g
+    """,
+)
+def lexical_stats_docs(spark, sf_dir):
+    """E103: per-source unigram Shannon entropy + Zipf rank-frequency
+    slope (top-100 OLS) — the lexical-health scalars that catch a
+    boilerplate or synthetic source. One (source, word) count exchange;
+    everything downstream vocab-scale."""
+    from ..operators.curation import source_lexical_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_lexical_stats(docs, "text", "source", top_r=100)
+
+
+@q(
     "quantile_normalize_docs",
     """
     WITH sc AS (SELECT source AS g, n_chars AS v, count(*)::bigint AS c

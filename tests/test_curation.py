@@ -807,3 +807,45 @@ def test_corpus_datacard_plan_shape(spark):
     plan = corpus_datacard(df)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "Python" not in plan
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_source_lexical_stats_entropy_and_zipf(spark):
+    """E103: uniform vocabulary -> entropy ln(V) and slope ~0; a
+    single-word source -> entropy 0 and NULL slope (one point); values
+    replay against numpy closed forms."""
+    import math
+
+    import numpy as np
+
+    from seizury_hrv_featuresextraction_spark.operators.curation import (
+        source_lexical_stats,
+    )
+
+    rows = (
+        # source u: 8 distinct words, each exactly 3 times -> H = ln 8
+        [(i, " ".join(f"w{j}" for j in range(8)), "u") for i in range(3)]
+        # source z: strongly zipfian: w0 x 32, w1 x 16, ... w5 x 1
+        + [(100, " ".join(f"z{j}" for j in range(6) for _ in range(2 ** (5 - j))), "z")]
+        # source s: one word only
+        + [(200, "solo solo solo", "s")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: r for r in source_lexical_stats(df, top_r=100).collect()}
+
+    assert got["u"]["vocab"] == 8 and got["u"]["n_tokens"] == 24
+    assert got["u"]["entropy"] == round(math.log(8), 6)
+    assert abs(got["u"]["zipf_slope"]) < 1e-6  # flat counts -> slope 0
+
+    # zipfian source: counts 2^k halving -> slope vs ln rank replayed
+    cs = sorted([32, 16, 8, 4, 2, 1], reverse=True)
+    x = np.log(np.arange(1, 7, dtype=float))
+    y = np.log(np.array(cs, dtype=float))
+    m = 6.0
+    want = (m * (x * y).sum() - x.sum() * y.sum()) / (m * (x * x).sum() - x.sum() ** 2)
+    assert abs(got["z"]["zipf_slope"] - round(want, 6)) < 2e-6
+    n = sum(cs)
+    h = math.log(n) - sum(c * math.log(c) for c in cs) / n
+    assert abs(got["z"]["entropy"] - round(h, 6)) < 2e-6
+
+    assert got["s"]["entropy"] == 0.0
+    assert got["s"]["zipf_slope"] is None  # single point: zero variance
