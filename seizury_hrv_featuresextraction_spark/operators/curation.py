@@ -1564,3 +1564,62 @@ def source_lexical_stats(
             F.col("__g").alias(group_col), "n_tokens", "vocab", "entropy", "zipf_slope"
         )
     )
+
+
+def readability_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """E104: Flesch reading-ease + Flesch-Kincaid grade per document —
+    the classic curation feature for audience-level filtering and for
+    flagging degenerate text (word-salad scores off-scale). Syllables
+    use the standard vowel-group heuristic max(1, |[aeiouy]+ runs|) per
+    word; sentences count [.!?]+ runs (min 1). Pure in-row regex
+    arithmetic — scan-stage, zero exchanges, zero Python; the decimal
+    literals (206.835, 1.015, 84.6, 0.39, 11.8, 15.59) parse to
+    identical IEEE doubles in any engine, and both ratios are single
+    divisions before the round-6.
+
+    Returns (id, n_words, n_sentences, n_syllables, flesch, fk_grade);
+    wordless docs yield NULL scores.
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    ws = words(txt)
+    n_syl = F.aggregate(
+        F.transform(
+            ws,
+            lambda w: F.greatest(
+                F.lit(1),
+                F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), F.lit(0))),
+            ),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("long")
+    n_sent = F.greatest(
+        F.lit(1), F.size(F.regexp_extract_all(txt, F.lit("[.!?]+"), F.lit(0)))
+    ).cast("long")
+    n_words = F.size(ws).cast("long")
+    base = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syl.alias("n_syllables"),
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_sentences").cast("double")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words").cast("double")
+    return base.select(
+        id_col,
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.when(
+            F.col("n_words") > 0,
+            F.round(F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 6),
+        ).alias("flesch"),
+        F.when(
+            F.col("n_words") > 0,
+            F.round(F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 6),
+        ).alias("fk_grade"),
+    )

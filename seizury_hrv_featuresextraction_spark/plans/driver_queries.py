@@ -259,6 +259,45 @@ def asof_forward_tte(spark, sf_dir):
 
 
 @q(
+    "readability_docs",
+    f"""
+    WITH d AS (SELECT doc_id, coalesce(text, '') AS txt, {WORDS_DD} AS ws
+               FROM documents),
+    s AS (SELECT doc_id,
+                 len(ws)::bigint AS n_words,
+                 greatest(1, len(regexp_extract_all(txt, '[.!?]+')))::bigint
+                   AS n_sentences,
+                 list_sum(list_transform(ws,
+                   w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+')))))
+                   ::bigint AS n_syllables
+          FROM d)
+    SELECT doc_id, n_words, n_sentences,
+           coalesce(n_syllables, 0)::bigint AS n_syllables,
+           CASE WHEN n_words > 0
+                THEN round(206.835 - 1.015 * (n_words::double / n_sentences::double)
+                           - 84.6 * (n_syllables::double / n_words::double), 6)
+           END AS flesch,
+           CASE WHEN n_words > 0
+                THEN round(0.39 * (n_words::double / n_sentences::double)
+                           + 11.8 * (n_syllables::double / n_words::double)
+                           - 15.59, 6)
+           END AS fk_grade
+    FROM s
+    """,
+)
+def readability_docs(spark, sf_dir):
+    """E104: Flesch reading-ease + Flesch-Kincaid grade per doc —
+    vowel-group syllable heuristic, [.!?]+ sentence runs, scan-stage
+    in-row regex arithmetic, zero exchanges. Twin replays the identical
+    heuristic."""
+    from ..operators.curation import readability_scores
+    from ..operators.dedup import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return readability_scores(docs)
+
+
+@q(
     "lexical_stats_docs",
     f"""
     WITH d AS (SELECT source AS g, {WORDS_DD} AS ws FROM documents),

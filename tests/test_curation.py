@@ -849,3 +849,35 @@ def test_source_lexical_stats_entropy_and_zipf(spark):
 
     assert got["s"]["entropy"] == 0.0
     assert got["s"]["zipf_slope"] is None  # single point: zero variance
+
+
+def test_readability_scores_hand_computed(spark):
+    """E104: syllable/sentence counts and both formulas replay on a
+    hand-counted text; wordless docs yield NULL scores with zero
+    counts; sentence floor is 1."""
+    from seizury_hrv_featuresextraction_spark.operators.curation import (
+        readability_scores,
+    )
+
+    rows = [
+        (1, "The cat sat. The dog ran!"),  # 6 words, 2 sentences, 6 syllables
+        (2, "beautiful day"),  # syllables: eau,i,u + ay = 4; 1 sentence floor
+        (3, ""),  # wordless
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in readability_scores(df).collect()}
+
+    r = got[1]
+    assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (6, 2, 6)
+    wps, spw = 6 / 2, 6 / 6
+    assert r["flesch"] == round(206.835 - 1.015 * wps - 84.6 * spw, 6)
+    assert r["fk_grade"] == round(0.39 * wps + 11.8 * spw - 15.59, 6)
+
+    r = got[2]
+    assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (2, 1, 4)
+
+    for d in (3, 4):
+        r = got[d]
+        assert (r["n_words"], r["n_syllables"]) == (0, 0)
+        assert r["flesch"] is None and r["fk_grade"] is None
