@@ -224,16 +224,22 @@ def mmr_rerank(
     from ..functions.vectors import cosine
 
     mu = float(1.0 - lam)
+    # the candidate set is bounded (|queries| x leg_k rows), so eagerly
+    # materialize it once and re-materialize each round: without this
+    # the greedy loop's lineage re-derives the ENTIRE upstream
+    # (retrieval + embedding, a corpus scan) once per round per branch —
+    # the r8 plan audit measured 93 scans / 186 exchanges for k=5
+    # before this checkpoint, 1 scan after (the E52 BPE-loop device)
     rem = cands.select(
         "query_id", "doc_id", "rel", "dv", F.lit(0.0).alias("maxsim")
-    )
+    ).localCheckpoint(eager=True)
     picks = []
     for i in range(1, k + 1):
         w = Window.partitionBy("query_id").orderBy(F.desc("__score"), F.asc("doc_id"))
         scored = rem.withColumn(
             "__score",
             F.round(F.lit(lam) * F.col("rel") - F.lit(mu) * F.col("maxsim"), 6),
-        ).withColumn("__rn", F.row_number().over(w))
+        ).withColumn("__rn", F.row_number().over(w)).localCheckpoint(eager=True)
         pick = scored.filter(F.col("__rn") == 1).select(
             "query_id",
             F.lit(i).cast("long").alias("rank"),
