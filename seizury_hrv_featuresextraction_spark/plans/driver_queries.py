@@ -259,6 +259,82 @@ def asof_forward_tte(spark, sf_dir):
 
 
 @q(
+    "rollup_corpus_stats",
+    """
+    SELECT coalesce(source, '__all__') AS source,
+           coalesce(lang, '__all__') AS lang,
+           grouping(source)::bigint * 2 + grouping(lang)::bigint AS gid,
+           count(*)::bigint AS n_docs,
+           sum(n_chars)::bigint AS total_chars,
+           round(avg(n_chars::double), 6) AS avg_chars
+    FROM documents
+    GROUP BY ROLLUP (source, lang)
+    """,
+)
+def rollup_corpus_stats(spark, sf_dir):
+    """E105: multi-level ROLLUP aggregation — per (source, lang), per
+    source, and grand-total corpus stats in ONE pass (Spark expands the
+    grouping sets map-side; one exchange keyed on the padded grouping
+    columns). grouping_id disambiguates levels; NULL group values are
+    coalesced to a sentinel so the twin's hash compare is NULL-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    gid = (F.grouping("source") * 2 + F.grouping("lang")).cast("long")
+    return (
+        docs.rollup("source", "lang")
+        .agg(
+            gid.alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.round(F.avg(F.col("n_chars").cast("double")), 6).alias("avg_chars"),
+        )
+        .select(
+            F.coalesce("source", F.lit("__all__")).alias("source"),
+            F.coalesce("lang", F.lit("__all__")).alias("lang"),
+            "gid",
+            "n_docs",
+            "total_chars",
+            "avg_chars",
+        )
+    )
+
+
+@q(
+    "pivot_lang_by_source",
+    """
+    SELECT source,
+           sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::bigint AS en,
+           sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)::bigint AS de,
+           sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END)::bigint AS fr,
+           sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END)::bigint AS es,
+           sum(CASE WHEN lang NOT IN ('en', 'de', 'fr', 'es') THEN 1 ELSE 0 END)
+             ::bigint AS other
+    FROM documents
+    GROUP BY source
+    """,
+)
+def pivot_lang_by_source(spark, sf_dir):
+    """E106: PIVOT — language-distribution matrix per source via
+    Spark's native pivot with an EXPLICIT value list (no distinct
+    pre-pass job, the values are the plan literal) + an overflow
+    bucket. One exchange; the twin is the canonical conditional-agg
+    formulation."""
+    docs = load_table(spark, sf_dir, "documents")
+    langs = ["en", "de", "fr", "es"]
+    wide = (
+        docs.withColumn(
+            "__l", F.when(F.col("lang").isin(langs), F.col("lang")).otherwise("other")
+        )
+        .groupBy("source")
+        .pivot("__l", langs + ["other"])
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "source",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c) for c in langs + ["other"]],
+    )
+
+
+@q(
     "readability_docs",
     f"""
     WITH d AS (SELECT doc_id, coalesce(text, '') AS txt, {WORDS_DD} AS ws

@@ -839,3 +839,27 @@ def test_quantile_normalize_replay_and_properties(spark):
     assert got[("a", 10)][2] == 300
     assert got[("b", 300)][2] == 300
     assert got[("c", 5)][2] == 300  # single row: CDF 1.0
+
+
+def test_rollup_and_pivot_consistency(spark):
+    """E105/E106: rollup level sums are conserved (leaf -> source ->
+    grand total); pivot row sums equal per-source doc counts."""
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    roll = e.queries()["rollup_corpus_stats"](spark, sf).collect()
+    leafs = [r for r in roll if r["gid"] == 0]
+    mids = {r["source"]: r for r in roll if r["gid"] == 1}
+    total = [r for r in roll if r["gid"] == 3]
+    assert len(total) == 1 and total[0]["source"] == "__all__"
+    assert total[0]["n_docs"] == sum(r["n_docs"] for r in leafs)
+    for s, m in mids.items():
+        assert m["n_docs"] == sum(r["n_docs"] for r in leafs if r["source"] == s)
+        assert m["total_chars"] == sum(
+            r["total_chars"] for r in leafs if r["source"] == s
+        )
+
+    piv = e.queries()["pivot_lang_by_source"](spark, sf).collect()
+    for r in piv:
+        row_sum = r["en"] + r["de"] + r["fr"] + r["es"] + r["other"]
+        assert row_sum == mids[r["source"]]["n_docs"]
