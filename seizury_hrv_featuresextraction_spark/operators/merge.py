@@ -19,7 +19,7 @@ combine), so inserted/updated/carried counts cost zero extra passes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -100,4 +100,61 @@ def snapshot_diff(
     )
     return agg.select(key_col, kind.alias("kind"), "fp_old", "fp_new").where(
         F.col("kind") != "unchanged"
+    )
+
+
+def scd2_history(
+    df: DataFrame,
+    key_col: str,
+    content_col: str,
+    version_col: str,
+    current_version: int,
+) -> DataFrame:
+    """E107: slowly-changing-dimension type-2 history build from FULL
+    snapshots — the standard warehouse change-tracking table the E54
+    MERGE and E69 diff family lacks: one row per (key, contiguous run
+    of identical content), with the version interval it was live. A
+    version GAP (key absent from a snapshot) closes the run even if the
+    content later reasserts — delete + re-insert are two rows, which is
+    the difference between SCD2 and naive content dedup.
+
+    Run detection: lag over the per-key version order; a new run starts
+    when content changes OR version != prev_version + 1 (the gap rule).
+    Everything is exact (versions int64, content compared as strings);
+    is_current = run reaches ``current_version``.
+
+    Scale shape: ONE exchange (the per-key window sort, reused by the
+    run-id cumulative sum and the (key, run) collapse — same key);
+    no joins, no amplification. Returns
+    (key, content, valid_from, valid_to, is_current)."""
+    w = Window.partitionBy(key_col).orderBy(version_col)
+    d = (
+        df.withColumn("__pc", F.lag(content_col).over(w))
+        .withColumn("__pv", F.lag(version_col).over(w))
+        .withColumn(
+            "__new_run",
+            (
+                F.col("__pc").isNull()
+                | (F.col(content_col) != F.col("__pc"))
+                | (F.col(version_col) != F.col("__pv") + 1)
+            ).cast("long"),
+        )
+        .withColumn(
+            "__run",
+            F.sum("__new_run").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return (
+        d.groupBy(key_col, "__run", content_col)
+        .agg(
+            F.min(version_col).cast("long").alias("valid_from"),
+            F.max(version_col).cast("long").alias("valid_to"),
+        )
+        .select(
+            key_col,
+            content_col,
+            "valid_from",
+            "valid_to",
+            (F.col("valid_to") == F.lit(int(current_version))).alias("is_current"),
+        )
     )

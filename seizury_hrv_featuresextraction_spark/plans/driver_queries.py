@@ -259,6 +259,69 @@ def asof_forward_tte(spark, sf_dir):
 
 
 @q(
+    "scd2_history_crawl",
+    """
+    WITH v1 AS (SELECT doc_id, 1::bigint AS version, md5(text) AS content
+                FROM documents),
+    v2 AS (SELECT doc_id, 2::bigint AS version,
+                  md5(CASE WHEN doc_id % 3 = 0 THEN text || ' rev2' ELSE text END)
+                    AS content
+           FROM documents WHERE doc_id % 11 <> 0),
+    v3 AS (SELECT doc_id, 3::bigint AS version,
+                  md5(CASE WHEN doc_id % 5 = 0 THEN text || ' rev3'
+                           WHEN doc_id % 3 = 0 THEN text || ' rev2'
+                           ELSE text END) AS content
+           FROM documents),
+    t AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2 UNION ALL SELECT * FROM v3),
+    l AS (SELECT *, lag(content) OVER (PARTITION BY doc_id ORDER BY version) AS pc,
+                 lag(version) OVER (PARTITION BY doc_id ORDER BY version) AS pv
+          FROM t),
+    r AS (SELECT *, (CASE WHEN pc IS NULL OR content <> pc OR version <> pv + 1
+                          THEN 1 ELSE 0 END)::bigint AS new_run
+          FROM l),
+    c AS (SELECT *, sum(new_run) OVER (PARTITION BY doc_id
+                                       ORDER BY version)::bigint AS run
+          FROM r)
+    SELECT doc_id, content,
+           min(version)::bigint AS valid_from,
+           max(version)::bigint AS valid_to,
+           (max(version) = 3) AS is_current
+    FROM c GROUP BY doc_id, run, content
+    """,
+)
+def scd2_history_crawl(spark, sf_dir):
+    """E107: SCD2 history from three synthesized full crawl snapshots —
+    planted rev-2/rev-3 changes, a %11 delete-in-v2 + re-insert-in-v3
+    gap (two history rows even when content reasserts), and unchanged
+    carries collapsing to one interval. One per-key window exchange."""
+    from ..operators.merge import scd2_history
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    v1 = docs.select(
+        "doc_id", F.lit(1).cast("long").alias("version"), F.md5("text").alias("content")
+    )
+    v2 = docs.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id",
+        F.lit(2).cast("long").alias("version"),
+        F.md5(
+            F.when(F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" rev2")))
+            .otherwise(F.col("text"))
+        ).alias("content"),
+    )
+    v3 = docs.select(
+        "doc_id",
+        F.lit(3).cast("long").alias("version"),
+        F.md5(
+            F.when(F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" rev3")))
+            .when(F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" rev2")))
+            .otherwise(F.col("text"))
+        ).alias("content"),
+    )
+    snaps = v1.unionByName(v2).unionByName(v3)
+    return scd2_history(snaps, "doc_id", "content", "version", current_version=3)
+
+
+@q(
     "rollup_corpus_stats",
     """
     SELECT coalesce(source, '__all__') AS source,

@@ -86,3 +86,35 @@ def test_snapshot_diff_plan_one_exchange_no_join(spark):
     plan = snapshot_diff(v1, v2)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_scd2_history_runs_gaps_and_currency(spark):
+    """E107: unchanged content collapses to one interval; a content
+    change splits; a version GAP splits even when content reasserts
+    (delete + re-insert = two rows); is_current only on runs reaching
+    the final version."""
+    from seizury_hrv_featuresextraction_spark.operators.merge import scd2_history
+
+    rows = [
+        # key 1: same content v1-v3 -> one current row
+        (1, 1, "a"), (1, 2, "a"), (1, 3, "a"),
+        # key 2: change at v2 -> two rows, second current
+        (2, 1, "a"), (2, 2, "b"), (2, 3, "b"),
+        # key 3: present v1, absent v2, SAME content v3 -> two rows (gap)
+        (3, 1, "a"), (3, 3, "a"),
+        # key 4: deleted after v1 -> one closed row
+        (4, 1, "a"),
+    ]
+    df = spark.createDataFrame(rows, "k long, version long, content string")
+    got = {
+        (r["k"], r["valid_from"]): (r["content"], r["valid_to"], r["is_current"])
+        for r in scd2_history(df, "k", "content", "version", 3).collect()
+    }
+    assert got == {
+        (1, 1): ("a", 3, True),
+        (2, 1): ("a", 1, False),
+        (2, 2): ("b", 3, True),
+        (3, 1): ("a", 1, False),
+        (3, 3): ("a", 3, True),
+        (4, 1): ("a", 1, False),
+    }
