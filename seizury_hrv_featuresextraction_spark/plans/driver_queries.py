@@ -259,6 +259,43 @@ def asof_forward_tte(spark, sf_dir):
 
 
 @q(
+    "skew_join_events_dim",
+    f"""
+    WITH dim AS (SELECT user_id, min({EPOCH_DD}) AS first_seen,
+                        count(*)::bigint AS n_events
+                 FROM events GROUP BY user_id)
+    SELECT e.event_id, e.user_id, e.event_type,
+           round(dim.first_seen, 6) AS first_seen, dim.n_events
+    FROM events e JOIN dim ON dim.user_id = e.user_id
+    """,
+)
+def skew_join_events_dim(spark, sf_dir):
+    """E108: hot/cold salted skew join of the events fact against a
+    per-user dim — hot_threshold forced low so REAL rows take the
+    salted path at gate scale; the result is row-identical to the plain
+    join (the twin), because the operator only changes shuffle
+    placement."""
+    from ..operators.skew import skew_join
+
+    ev = _ev(spark, sf_dir)
+    dim = ev.groupBy("user_id").agg(
+        F.round(F.min("e"), 6).alias("first_seen"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    joined = skew_join(
+        ev.select("event_id", "user_id", "event_type"),
+        dim,
+        on="user_id",
+        left_id_col="event_id",
+        hot_threshold=20,  # force most users onto the salted path
+        n_salts=8,
+    )
+    return joined.select(
+        "event_id", "user_id", "event_type", "first_seen", "n_events"
+    )
+
+
+@q(
     "scd2_history_crawl",
     """
     WITH v1 AS (SELECT doc_id, 1::bigint AS version, md5(text) AS content

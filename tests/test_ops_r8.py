@@ -863,3 +863,48 @@ def test_rollup_and_pivot_consistency(spark):
     for r in piv:
         row_sum = r["en"] + r["de"] + r["fr"] + r["es"] + r["other"]
         assert row_sum == mids[r["source"]]["n_docs"]
+
+
+def test_skew_join_equals_plain_join_and_salts_hot_keys(spark):
+    """E108: hot/cold salted join is row-for-row (incl. multiplicity)
+    equal to the plain join, with duplicate right keys, cold-only keys,
+    hot-only keys, and a left key absent from the right."""
+    from seizury_hrv_featuresextraction_spark.operators.skew import skew_join
+
+    left = spark.createDataFrame(
+        [(i, 1 if i < 50 else (2 if i < 55 else 3)) for i in range(60)],
+        "id long, k long",
+    )
+    # right: key 1 twice (multiplicity), key 2 once, key 4 unmatched
+    right = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (4, "d")], "k long, v string"
+    )
+    got = sorted(
+        (r["id"], r["k"], r["v"])
+        for r in skew_join(
+            left, right, on="k", left_id_col="id", hot_threshold=10, n_salts=4
+        ).collect()
+    )
+    want = sorted(
+        (r["id"], r["k"], r["v"]) for r in left.join(right, "k").collect()
+    )
+    assert got == want
+    assert len(got) == 50 * 2 + 5  # key1 x2 rights, key2 x1, key3 dropped
+
+    # all-cold fast path (no hot keys) is the plain join
+    got2 = sorted(
+        (r["id"], r["k"], r["v"])
+        for r in skew_join(
+            left, right, on="k", left_id_col="id", hot_threshold=1000, n_salts=4
+        ).collect()
+    )
+    assert got2 == want
+
+    # max_hot_keys guard
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        skew_join(
+            left, right, on="k", left_id_col="id",
+            hot_threshold=0, n_salts=2, max_hot_keys=1,
+        )
