@@ -259,6 +259,83 @@ def asof_forward_tte(spark, sf_dir):
 
 
 @q(
+    "contrastive_pipeline",
+    f"""
+    WITH fpd AS (SELECT doc_id, text, source,
+                        substr(md5(regexp_replace(lower(trim(text)),
+                                                  '\\s+', ' ', 'g')), 1, 16) AS fp
+                 FROM documents),
+    kept AS (SELECT doc_id, text, source FROM (
+               SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keeper FROM fpd)
+             WHERE doc_id = keeper),
+    w AS (SELECT doc_id, source, {WORDS_DD} AS ws FROM kept),
+    e AS (SELECT doc_id, unnest(ws) AS word FROM w),
+    b AS (SELECT doc_id,
+                 ('0x' || substr(md5('f:' || word), 1, 15))::bigint % 1024 AS j
+          FROM e),
+    s AS (SELECT doc_id,
+                 sum(('0x' || substr(md5('w:' || j::varchar), 1, 8))::bigint
+                     / 4294967296.0 - 0.5) AS dot
+          FROM b GROUP BY doc_id),
+    good AS (SELECT w.doc_id, w.source
+             FROM w LEFT JOIN s ON s.doc_id = w.doc_id
+             WHERE round(CASE WHEN len(w.ws) > 0
+                              THEN coalesce(s.dot, 0.0) / len(w.ws)
+                              ELSE 0.0 END, 6) > 0.0),
+    pb AS (SELECT doc_id AS cid, source AS cg,
+                  ('0x' || substr(md5('cp:b:' || doc_id::varchar), 1, 15))::bigint
+                    % 16 AS b,
+                  ('0x' || substr(md5('cp:o:' || doc_id::varchar), 1, 15))::bigint AS o
+           FROM good),
+    pool AS (SELECT b, cid, cg FROM (
+               SELECT *, row_number() OVER (PARTITION BY b ORDER BY o, cid) AS rn
+               FROM pb)
+             WHERE rn <= 32),
+    a AS (SELECT doc_id AS anchor_id, source AS ag,
+                 ('0x' || substr(md5('cp:p:' || doc_id::varchar), 1, 15))::bigint
+                   % 16 AS p
+          FROM good),
+    j AS (SELECT a.anchor_id, pool.cid, pool.cg,
+                 ('0x' || substr(md5('cp:r:' || a.anchor_id::varchar || ':'
+                                     || pool.cid::varchar), 1, 15))::bigint AS rh
+          FROM a JOIN pool ON pool.b = a.p
+                          AND pool.cid <> a.anchor_id AND pool.cg <> a.ag)
+    SELECT anchor_id, rank, cid AS neg_id, cg AS neg_source
+    FROM (SELECT anchor_id, cid, cg,
+                 row_number() OVER (PARTITION BY anchor_id ORDER BY rh, cid) AS rank
+          FROM j)
+    WHERE rank <= 4
+    """,
+)
+def contrastive_pipeline(spark, sf_dir):
+    """E109: contrastive-training data-prep closure — exact dedup
+    (window keeper, E1) -> quality-classifier gate (E40) -> deterministic
+    negative mining (E93) in ONE composed plan; the twin replays all
+    three stages. The E30/E75 composition device: closures pin that the
+    stage contracts actually compose, not just pass alone."""
+    from ..operators.curation import hashed_linear_classifier, md5_feature_weights
+    from ..operators.dedup import dedup_exact_keep, spread
+    from ..operators.stats import negative_samples
+
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    )
+    kept = dedup_exact_keep(docs, "text", "doc_id")
+    scored = hashed_linear_classifier(
+        kept,
+        md5_feature_weights(1024),
+        bias=0.0,
+        threshold=0.0,
+        score_round=6,
+        extra_cols=("source",),
+    )
+    good = scored.filter(F.col("keep")).select("doc_id", "source")
+    return negative_samples(
+        good, "doc_id", "source", k=4, pool_size=32, n_buckets=16, seed="cp:"
+    )
+
+
+@q(
     "skew_join_events_dim",
     f"""
     WITH dim AS (SELECT user_id, min({EPOCH_DD}) AS first_seen,

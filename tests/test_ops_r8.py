@@ -908,3 +908,38 @@ def test_skew_join_equals_plain_join_and_salts_hot_keys(spark):
             left, right, on="k", left_id_col="id",
             hot_threshold=0, n_salts=2, max_hot_keys=1,
         )
+
+
+def test_contrastive_pipeline_stage_contracts_compose(spark):
+    """E109: the closure's negatives are drawn only from kept+good
+    docs — no negative may be a dropped duplicate or a quality reject."""
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    pairs = e.queries()["contrastive_pipeline"](spark, sf).collect()
+    assert pairs, "pipeline should emit pairs at sf0.001"
+
+    from seizury_hrv_featuresextraction_spark.operators.curation import (
+        hashed_linear_classifier,
+        md5_feature_weights,
+    )
+    from seizury_hrv_featuresextraction_spark.operators.dedup import dedup_exact_keep
+    from seizury_hrv_featuresextraction_spark.sources.registry import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text", "source")
+    kept = dedup_exact_keep(docs, "text", "doc_id")
+    good = {
+        r["doc_id"]
+        for r in hashed_linear_classifier(
+            kept, md5_feature_weights(1024), bias=0.0, threshold=0.0,
+            score_round=6, extra_cols=("source",),
+        )
+        .filter(F.col("keep"))
+        .collect()
+    }
+    src = {r["doc_id"]: r["source"] for r in docs.collect()}
+    for r in pairs:
+        assert r["anchor_id"] in good and r["neg_id"] in good
+        assert src[r["anchor_id"]] != r["neg_source"]
+        assert 1 <= r["rank"] <= 4
