@@ -1623,3 +1623,78 @@ def readability_scores(
             F.round(F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 6),
         ).alias("fk_grade"),
     )
+
+
+def datacard_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """E110 phase 1: MERGEABLE per-(source, lang) sufficient statistics
+    for the corpus data card — exact int64 (n_docs, sum_chars,
+    sum_chars_sq), closed under addition, so a new crawl batch folds in
+    with one tiny union+sum instead of a corpus re-scan (the E62
+    maintained-sufficient-stats device applied to corpus reporting).
+    One map-side-combined exchange on (source, lang)."""
+    c = F.coalesce(F.length(F.col(text_col)), F.lit(0)).cast("long")
+    return df.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(c).cast("long").alias("sum_chars"),
+        F.sum(c * c).cast("long").alias("sum_chars_sq"),
+    )
+
+
+def merge_datacard_stats(current: DataFrame, batch: DataFrame) -> DataFrame:
+    """E110 phase 2: fold a new batch's sufficient stats into the
+    maintained table — pure addition on the (source, lang) key; cost is
+    the size of the STATS tables, never the corpus."""
+    return (
+        current.unionByName(batch)
+        .groupBy("source", "lang")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("sum_chars").cast("long").alias("sum_chars"),
+            F.sum("sum_chars_sq").cast("long").alias("sum_chars_sq"),
+        )
+    )
+
+
+def finalize_datacard(stats: DataFrame) -> DataFrame:
+    """E110 phase 3: the human-facing card from the sufficient stats —
+    per source: doc/char totals, mean, population variance via the
+    exact-integer form (n*sumsq - sum^2)/n^2 (one double division
+    sequence, round-6), and the dominant language with its share
+    (rank window over the |sources| x |langs| stats table; ties to the
+    lexically-smallest lang). Everything here runs on the bounded stats
+    table."""
+    per_src = stats.groupBy("source").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("sum_chars").cast("long").alias("total_chars"),
+        F.sum("sum_chars_sq").cast("long").alias("__sumsq"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("n_docs"), F.asc("lang"))
+    top = (
+        stats.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "source",
+            F.col("lang").alias("top_lang"),
+            F.col("n_docs").alias("__top_n"),
+        )
+    )
+    n = F.col("n_docs").cast("double")
+    return (
+        per_src.join(top, "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_chars",
+            F.round(F.col("total_chars").cast("double") / n, 6).alias("avg_chars"),
+            F.round(
+                (
+                    F.col("n_docs") * F.col("__sumsq")
+                    - F.col("total_chars") * F.col("total_chars")
+                ).cast("double")
+                / (F.col("n_docs") * F.col("n_docs")).cast("double"),
+                6,
+            ).alias("var_chars"),
+            "top_lang",
+            F.round(F.col("__top_n").cast("double") / n, 6).alias("top_lang_share"),
+        )
+    )

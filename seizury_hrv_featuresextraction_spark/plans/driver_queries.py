@@ -259,6 +259,51 @@ def asof_forward_tte(spark, sf_dir):
 
 
 @q(
+    "datacard_incremental",
+    """
+    WITH s AS (SELECT source, lang, count(*)::bigint AS n_docs,
+                      sum(coalesce(length(text), 0))::bigint AS sum_chars,
+                      sum(coalesce(length(text), 0)::bigint
+                          * coalesce(length(text), 0)::bigint)::bigint AS sum_sq
+               FROM documents GROUP BY source, lang),
+    per_src AS (SELECT source, sum(n_docs)::bigint AS n_docs,
+                       sum(sum_chars)::bigint AS total_chars,
+                       sum(sum_sq)::bigint AS sumsq
+                FROM s GROUP BY source),
+    top AS (SELECT source, lang AS top_lang, n_docs AS top_n FROM (
+              SELECT *, row_number() OVER (PARTITION BY source
+                                           ORDER BY n_docs DESC, lang) AS rn
+              FROM s)
+            WHERE rn = 1)
+    SELECT p.source, p.n_docs, p.total_chars,
+           round(p.total_chars::double / p.n_docs::double, 6) AS avg_chars,
+           round((p.n_docs * p.sumsq - p.total_chars * p.total_chars)::double
+                 / (p.n_docs * p.n_docs)::double, 6) AS var_chars,
+           t.top_lang,
+           round(t.top_n::double / p.n_docs::double, 6) AS top_lang_share
+    FROM per_src p JOIN top t ON t.source = p.source
+    """,
+)
+def datacard_incremental(spark, sf_dir):
+    """E110: incrementally-maintained corpus data card — the corpus is
+    split into two synthetic crawl batches (doc_id parity), batch 0's
+    sufficient stats are FOLDED with batch 1's by pure addition, and
+    the card is finalized from the merged stats; the twin computes the
+    card directly from the full table, so the gate pins
+    merge == recompute across engines."""
+    from ..operators.curation import (
+        datacard_stats,
+        finalize_datacard,
+        merge_datacard_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    s0 = datacard_stats(docs.filter(F.col("doc_id") % 2 == 0))
+    s1 = datacard_stats(docs.filter(F.col("doc_id") % 2 == 1))
+    return finalize_datacard(merge_datacard_stats(s0, s1))
+
+
+@q(
     "contrastive_pipeline",
     f"""
     WITH fpd AS (SELECT doc_id, text, source,

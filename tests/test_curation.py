@@ -881,3 +881,42 @@ def test_readability_scores_hand_computed(spark):
         r = got[d]
         assert (r["n_words"], r["n_syllables"]) == (0, 0)
         assert r["flesch"] is None and r["fk_grade"] is None
+
+
+def test_datacard_incremental_merge_equals_recompute(spark):
+    """E110: folding batch stats by addition then finalizing equals
+    finalizing stats computed over the whole corpus in one pass; a
+    three-way split agrees too (associativity)."""
+    from seizury_hrv_featuresextraction_spark.operators.curation import (
+        datacard_stats,
+        finalize_datacard,
+        merge_datacard_stats,
+    )
+
+    rows = [
+        (i, "x" * (10 + i % 7), ["en", "de", "fr"][i % 3], f"s{i % 4}")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+    whole = {r["source"]: r for r in finalize_datacard(datacard_stats(df)).collect()}
+    two = finalize_datacard(
+        merge_datacard_stats(
+            datacard_stats(df.filter("doc_id % 2 = 0")),
+            datacard_stats(df.filter("doc_id % 2 = 1")),
+        )
+    )
+    three = finalize_datacard(
+        merge_datacard_stats(
+            merge_datacard_stats(
+                datacard_stats(df.filter("doc_id % 3 = 0")),
+                datacard_stats(df.filter("doc_id % 3 = 1")),
+            ),
+            datacard_stats(df.filter("doc_id % 3 = 2")),
+        )
+    )
+    for split in (two, three):
+        got = {r["source"]: r for r in split.collect()}
+        assert set(got) == set(whole)
+        for s in whole:
+            assert got[s].asDict() == whole[s].asDict(), s
