@@ -122,7 +122,6 @@ def pit_leakage_audit(
         value_cols=[label_col, on],
         direction="backward",
     )
-    on_r = on + "_right" if on in obs.columns else on
     lab_r = label_col + "_right" if label_col in obs.columns else label_col
     w = Window.partitionBy(by).orderBy(F.desc(on), F.desc(label_col))
     naive = (

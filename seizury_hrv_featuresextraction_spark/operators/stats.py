@@ -764,8 +764,12 @@ def target_encode_loo(
     tot = df.select(t.alias("__t")).agg(
         F.count(F.lit(1)).alias("__n"), F.sum("__t").alias("__s")
     )
+    # null-safe equality: groupBy already forms a NULL-category group, so
+    # NULL rows must MATCH it (eqNullSafe) — a plain == silently dropped
+    # every NULL-category row from the output (an encoding transform must
+    # never shrink its input; NULL is encoded as its own category)
     out = df.withColumn("__t", t).join(
-        F.broadcast(g), F.col(cat_col) == F.col("__c")
+        F.broadcast(g), F.col(cat_col).eqNullSafe(F.col("__c"))
     ).crossJoin(F.broadcast(tot))
     prior = F.col("__s").cast("double") / F.col("__n").cast("double")
     num = (F.col("__sum_g") - F.col("__t")).cast("double") + F.lit(float(m)) * prior

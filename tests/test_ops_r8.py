@@ -943,3 +943,22 @@ def test_contrastive_pipeline_stage_contracts_compose(spark):
         assert r["anchor_id"] in good and r["neg_id"] in good
         assert src[r["anchor_id"]] != r["neg_source"]
         assert 1 <= r["rank"] <= 4
+
+
+def test_target_encode_loo_keeps_null_category_rows(spark):
+    """r8 review fix: NULL-category rows must survive the encoding
+    transform (encoded as their own category), not vanish through a
+    non-null-safe join."""
+    from seizury_hrv_featuresextraction_spark.operators.stats import target_encode_loo
+
+    rows = [("a", 1.0), ("a", 3.0), (None, 10.0), (None, 20.0), ("b", 5.0)]
+    df = spark.createDataFrame(rows, "cat string, y double")
+    out = target_encode_loo(df, "cat", "y", m=1).collect()
+    assert len(out) == len(rows)  # nothing dropped
+    nulls = [r for r in out if r["cat"] is None]
+    assert len(nulls) == 2
+    # LOO within the NULL group: prior = 39/5; enc(10) = ((30-10)+1*7.8)/((2-1)+1)
+    prior = 39.0 / 5.0
+    want_10 = round(((30.0 - 10.0) + prior) / 2.0, 6)
+    got_10 = next(r["te_cat"] for r in nulls if r["y"] == 10.0)
+    assert got_10 == want_10
