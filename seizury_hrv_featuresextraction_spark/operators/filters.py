@@ -101,7 +101,12 @@ def grouped_mad_outliers(
     wg = Window.partitionBy(*keys)
     w1 = Window.partitionBy(*keys).orderBy(value_col, id_col)
     d1 = (
-        df.select(*keys, id_col, x.alias(value_col))
+        # NULL values must not rank: Spark sorts them FIRST (shifting the
+        # lower-median index, and a median rank landing ON a NULL makes
+        # the whole group emit nothing) while DuckDB sorts them LAST —
+        # a silent cross-engine divergence (r8 review finding)
+        df.filter(F.col(value_col).isNotNull())
+        .select(*keys, id_col, x.alias(value_col))
         .withColumn("__rn", F.row_number().over(w1))
         .withColumn("__cnt", F.count(F.lit(1)).over(wg))
         .withColumn(

@@ -133,9 +133,14 @@ def scd2_history(
         .withColumn("__pv", F.lag(version_col).over(w))
         .withColumn(
             "__new_run",
+            # null-safe: first row detected via __pv (NULL content is a
+            # legitimate value and must not fragment or merge runs), and
+            # the content comparison via eqNullSafe — plain != yields
+            # NULL around NULL-content rows, which F.sum then skips,
+            # misassigning run ids (r8 review finding)
             (
-                F.col("__pc").isNull()
-                | (F.col(content_col) != F.col("__pc"))
+                F.col("__pv").isNull()
+                | ~F.col(content_col).eqNullSafe(F.col("__pc"))
                 | (F.col(version_col) != F.col("__pv") + 1)
             ).cast("long"),
         )

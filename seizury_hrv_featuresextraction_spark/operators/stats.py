@@ -877,6 +877,10 @@ def negative_samples(
     def h(*cols: Column) -> Column:
         return F.conv(F.substring(F.md5(F.concat(*cols)), 1, 15), 16, 10).cast("long")
 
+    # ids are the hash domain — a NULL id can neither bucket nor rank
+    # (and would KeyError the driver-side pool indexing); drop them
+    # explicitly rather than crash
+    df = df.filter(F.col(id_col).isNotNull())
     cid = F.col(id_col).cast("long")
     pool_rows = (
         df.select(
@@ -919,9 +923,15 @@ def negative_samples(
         F.col(group_col).alias("__ag"),
         F.element_at(pool_lit, probe + 1).alias("__pool"),
     )
+    # ~eqNullSafe, not !=: a NULL-group anchor (or candidate) must still
+    # pair — plain != goes NULL and F.filter drops EVERY candidate,
+    # silently erasing the anchor from the output (r8 review finding;
+    # the target_encode_loo e53e65a contract: transforms never shrink
+    # their input beyond the documented exclusions)
     cands = F.filter(
         F.col("__pool"),
-        lambda c: (c["cid"] != F.col("anchor_id")) & (c["cg"] != F.col("__ag")),
+        lambda c: (c["cid"] != F.col("anchor_id"))
+        & ~c["cg"].eqNullSafe(F.col("__ag")),
     )
     scored = F.transform(
         cands,

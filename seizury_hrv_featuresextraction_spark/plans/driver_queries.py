@@ -528,8 +528,8 @@ def rollup_corpus_stats(spark, sf_dir):
            sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)::bigint AS de,
            sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END)::bigint AS fr,
            sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END)::bigint AS es,
-           sum(CASE WHEN lang NOT IN ('en', 'de', 'fr', 'es') THEN 1 ELSE 0 END)
-             ::bigint AS other
+           sum(CASE WHEN lang IS NULL OR lang NOT IN ('en', 'de', 'fr', 'es')
+                    THEN 1 ELSE 0 END)::bigint AS other
     FROM documents
     GROUP BY source
     """,
@@ -677,7 +677,8 @@ def quantile_normalize_docs(spark, sf_dir):
 @q(
     "robust_outliers_events",
     """
-    WITH d AS (SELECT event_type, event_id, value::double AS value FROM events),
+    WITH d AS (SELECT event_type, event_id, value::double AS value FROM events
+               WHERE value IS NOT NULL),
     r AS (SELECT *, row_number() OVER (PARTITION BY event_type
                                        ORDER BY value, event_id) AS rn,
                  count(*) OVER (PARTITION BY event_type) AS cnt

@@ -98,6 +98,11 @@ def make_funnel_fn(steps: tuple[str, str, str], horizon_us: int):
             v1, clicks, purchases, version = None, [], [], 0
         for pdf in pdf_iter:
             for t, us in zip(pdf["__t"], pdf["__us"]):
+                # a NULL timestamp arrives as NaN; int(nan) would kill
+                # the whole streaming query, while the batch operator's
+                # F.min silently skips NULLs — match batch semantics
+                if pd.isna(us):
+                    continue
                 us = int(us)
                 version += 1
                 if t == s1:
