@@ -74,3 +74,83 @@ def pagerank_fixed_point(
         if checkpoint:
             r = r.localCheckpoint(eager=True)
     return r
+
+
+def triangle_counts(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """(node, deg, n_tri) — per-node triangle participation counts over
+    the undirected graph of ``pairs`` (self-loops and duplicate edges
+    dropped; nodes in no triangle report n_tri = 0).
+
+    Curation use: on the near-dup graph, triangle density separates a
+    genuine duplicate CLIQUE (template family — every pair collides, so
+    triangles abound) from a chain of borderline pairwise collisions
+    (A~B~C with A!~C — zero triangles).  clustering-coefficient-style
+    signals need exactly these counts.
+
+    Scale device — degree-ordered edge orientation (the classic
+    hub-safe wedge join): each edge is directed from its (deg, node)-
+    SMALLER endpoint to the larger, so every out-degree is bounded by
+    O(sqrt(m)) and the wedge self-join materializes sum(d_out^2) =
+    O(m^1.5) candidate wedges instead of the sum(deg^2) of a naive
+    neighbor join, which a single boilerplate hub turns quadratic.
+    Each triangle is found EXACTLY once (as the wedge at its rank-
+    lowest vertex, closed by the oriented edge between the other two),
+    so no post-hoc dedup shuffle is needed.  All integer/count
+    arithmetic — bit-exact in any engine, twin-able CTE for CTE.
+
+    Shuffles: edge-key dedup + degree agg, one join of edges to
+    degrees, the wedge self-join on the center key, the closing-edge
+    semi join on (lo, hi), one explode+count — every one carries the
+    SPARSE oriented edge list or its wedges, never the corpus.
+    """
+    e0 = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(F.col("u") != F.col("v"))
+    # normalize to u < v so each undirected edge appears once
+    norm = e0.select(
+        F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+    ).distinct()
+    sym = norm.unionByName(norm.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    # orient each edge from (deg, id)-smaller endpoint to larger
+    da = deg.select(F.col("u").alias("_au"), F.col("deg").alias("deg_u"))
+    db = deg.select(F.col("u").alias("_bu"), F.col("deg").alias("deg_v"))
+    ed = norm.join(da, norm["u"] == da["_au"]).join(db, norm["v"] == db["_bu"])
+    lo_first = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ed.select(
+        F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(lo_first, F.col("deg_v")).otherwise(F.col("deg_u")).alias("deg_b"),
+    )
+    o1 = oriented.select(F.col("a"), F.col("b").alias("x"), F.col("deg_b").alias("deg_x"))
+    o2 = oriented.select(F.col("a"), F.col("b").alias("y"), F.col("deg_b").alias("deg_y"))
+    wedges = o1.join(o2, "a").where(F.col("x") < F.col("y"))
+    x_first = (F.col("deg_x") < F.col("deg_y")) | (
+        (F.col("deg_x") == F.col("deg_y")) & (F.col("x") < F.col("y"))
+    )
+    w = wedges.select(
+        "a",
+        "x",
+        "y",
+        F.when(x_first, F.col("x")).otherwise(F.col("y")).alias("lo"),
+        F.when(x_first, F.col("y")).otherwise(F.col("x")).alias("hi"),
+    )
+    closing = oriented.select(F.col("a").alias("lo"), F.col("b").alias("hi"))
+    tris = w.join(closing, ["lo", "hi"], "leftsemi").select("a", "x", "y")
+    per_node = (
+        tris.select(F.explode(F.array("a", "x", "y")).alias("u"))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return (
+        deg.join(per_node, "u", "left")
+        .select(
+            F.col("u").alias("node"),
+            F.col("deg").cast("long").alias("deg"),
+            F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri"),
+        )
+    )

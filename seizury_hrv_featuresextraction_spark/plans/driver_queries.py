@@ -6818,6 +6818,77 @@ def domain_link_graph_docs(spark, sf_dir):
 
 
 @q(
+    "triangle_counts_dup_graph",
+    f"""
+    WITH w AS (SELECT doc_id, {WORDS_DD} AS ws FROM documents),
+         sh AS (SELECT doc_id,
+                       list_distinct(list_transform(generate_series(1, greatest(0, len(ws) - 2)),
+                                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sg
+                FROM w WHERE len(ws) >= 3),
+         sig AS (SELECT doc_id,
+                        list_min(list_transform(sg, s -> md5('0:' || s))) AS mh0,
+                        list_min(list_transform(sg, s -> md5('1:' || s))) AS mh1,
+                        list_min(list_transform(sg, s -> md5('2:' || s))) AS mh2,
+                        list_min(list_transform(sg, s -> md5('3:' || s))) AS mh3
+                 FROM sh),
+         bands AS (
+           SELECT doc_id, 0 AS band_idx, mh0 || '|' || mh1 AS band_val FROM sig
+           UNION ALL
+           SELECT doc_id, 1 AS band_idx, mh2 || '|' || mh3 AS band_val FROM sig),
+         p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM bands a JOIN bands b
+                 ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                AND a.doc_id < b.doc_id),
+         e AS (SELECT id_a AS u, id_b AS v FROM p
+               UNION
+               SELECT id_b AS u, id_a AS v FROM p),
+         deg AS (SELECT u, count(*)::bigint AS deg FROM e GROUP BY 1),
+         ed AS (SELECT n.id_a AS u, n.id_b AS v, da.deg AS deg_u, db.deg AS deg_v
+                FROM p n JOIN deg da ON n.id_a = da.u JOIN deg db ON n.id_b = db.u),
+         o AS (SELECT CASE WHEN deg_u < deg_v OR (deg_u = deg_v AND u < v)
+                           THEN u ELSE v END AS a,
+                      CASE WHEN deg_u < deg_v OR (deg_u = deg_v AND u < v)
+                           THEN v ELSE u END AS b,
+                      CASE WHEN deg_u < deg_v OR (deg_u = deg_v AND u < v)
+                           THEN deg_v ELSE deg_u END AS deg_b
+               FROM ed),
+         wdg AS (SELECT o1.a, o1.b AS x, o1.deg_b AS deg_x,
+                        o2.b AS y, o2.deg_b AS deg_y
+                 FROM o o1 JOIN o o2 ON o1.a = o2.a AND o1.b < o2.b),
+         wlh AS (SELECT a, x, y,
+                        CASE WHEN deg_x < deg_y OR (deg_x = deg_y AND x < y)
+                             THEN x ELSE y END AS lo,
+                        CASE WHEN deg_x < deg_y OR (deg_x = deg_y AND x < y)
+                             THEN y ELSE x END AS hi
+                 FROM wdg),
+         tri AS (SELECT a, x, y FROM wlh
+                 WHERE EXISTS (SELECT 1 FROM o WHERE o.a = wlh.lo AND o.b = wlh.hi)),
+         pn AS (SELECT unnest([a, x, y]) AS node FROM tri),
+         cnt AS (SELECT node, count(*)::bigint AS n_tri FROM pn GROUP BY 1)
+    SELECT d.u AS node, d.deg, coalesce(c.n_tri, 0)::bigint AS n_tri
+    FROM deg d LEFT JOIN cnt c ON d.u = c.node
+    """,
+)
+def triangle_counts_dup_graph_q(spark, sf_dir):
+    """E113: per-node triangle counts over the LSH duplicate-pair graph
+    (same edge derivation as E67 PageRank) via degree-ordered edge
+    orientation.  Triangle density separates a genuine template CLIQUE
+    (every pair collides -> triangles abound) from a chain of
+    borderline pairwise collisions (A~B~C with A!~C -> none) — the
+    signal clustering-coefficient curation rules need.  The
+    orientation bounds the wedge join at sum(d_out^2) = O(m^1.5)
+    instead of the naive sum(deg^2) a boilerplate hub turns quadratic,
+    and finds each triangle exactly once, so there is no dedup
+    shuffle.  Pure counting arithmetic — the twin replays CTE for CTE,
+    hash-exact."""
+    from ..operators.graph import triangle_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", n_hashes=4, band_size=2, shingle_words=3)
+    return triangle_counts(pairs)
+
+
+@q(
     "span_corruption_plan",
     f"""
     WITH d AS (SELECT doc_id, len({WORDS_DD})::bigint AS n FROM documents),

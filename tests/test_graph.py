@@ -80,3 +80,49 @@ def test_pagerank_deterministic_across_partitionings(spark):
         for r in pagerank_fixed_point(df.repartition(13), checkpoint=False).collect()
     )
     assert a == b
+
+
+# --- E113: degree-ordered triangle counting -------------------------------
+
+from seizury_hrv_featuresextraction_spark.operators.graph import triangle_counts
+
+
+def _brute_triangles(pairs):
+    import itertools
+
+    adj: dict = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    n_tri = {u: 0 for u in adj}
+    for a, b, c in itertools.combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for u in (a, b, c):
+                n_tri[u] += 1
+    return {u: (len(adj[u]), n_tri[u]) for u in adj}
+
+
+# star + clique + chain (from PAIRS) plus a closing edge (1, 2) that
+# makes the hub participate in exactly one triangle, plus a clique-
+# attached pendant that closes a second triangle overlapping the clique
+TRI_PAIRS = PAIRS + [(1, 2), (14, 10), (14, 11), (2, 1), (5, 5)]
+
+
+def test_triangle_counts_match_brute_force(spark):
+    df = spark.createDataFrame(TRI_PAIRS, "id_a long, id_b long")
+    got = {r.node: (r.deg, r.n_tri) for r in triangle_counts(df).collect()}
+    assert got == _brute_triangles(TRI_PAIRS)
+    # sanity on the planted structure: 4-clique alone gives each member
+    # 3 triangles; 14 closes one more with (10, 11)
+    assert got[12] == (3, 3) and got[13] == (3, 3)
+    assert got[10][1] == 4 and got[14][1] == 1
+    # hub triangle (0,1,2); chain stays triangle-free
+    assert got[0][1] == 1 and got[20][1] == 0
+
+
+def test_triangle_counts_empty_and_triangle_free(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    got = {r.node: (r.deg, r.n_tri) for r in triangle_counts(df).collect()}
+    assert got == {1: (1, 0), 2: (2, 0), 3: (1, 0)}
