@@ -6818,6 +6818,49 @@ def domain_link_graph_docs(spark, sf_dir):
 
 
 @q(
+    "time_weighted_avg_events",
+    """
+    WITH o AS (SELECT user_id AS k, epoch_us(ts) AS us, max(value) AS v
+               FROM events GROUP BY 1, 2),
+         s AS (SELECT k, us, v,
+                      lead(us) OVER (PARTITION BY k ORDER BY us) AS nxt
+               FROM o),
+         seg AS (SELECT k, us, nxt, CAST(round(v * 100) AS bigint) AS v_fp
+                 FROM s WHERE nxt IS NOT NULL AND nxt > us),
+         x AS (SELECT k, us, nxt, v_fp,
+                      unnest(generate_series(us // 3600000000,
+                                             (nxt - 1) // 3600000000)) AS b
+               FROM seg),
+         ov AS (SELECT k, b, v_fp,
+                       least(nxt, (b + 1) * 3600000000)
+                       - greatest(us, b * 3600000000) AS o_us
+                FROM x),
+         g AS (SELECT k, b, sum(v_fp * o_us)::bigint AS num,
+                      sum(o_us)::bigint AS den
+               FROM ov GROUP BY 1, 2)
+    SELECT k AS user_id, (b * 3600000000)::bigint AS bucket_us_start,
+           den AS covered_us,
+           round(num::double / den::double / 100.0, 6) AS twa
+    FROM g
+    """,
+)
+def time_weighted_avg_events_q(spark, sf_dir):
+    """E114: hourly TIME-weighted average of the irregular per-user
+    event value under zero-order hold, holding intervals apportioned
+    across bucket boundaries by map-local sequence+explode.  The row
+    average over-weights bursts; TWA is what "average level over the
+    hour" means for irregular telemetry/RR observations.  Integral is
+    exact int64 fixed-point (per-bucket overlaps tile the bucket, so
+    the sum is bounded and shuffle-order-free); the single final
+    divide of two exact int64s is the only float op — twin hash-exact
+    without tolerance."""
+    from ..operators.windows import time_weighted_avg
+
+    ev = load_table(spark, sf_dir, "events")
+    return time_weighted_avg(ev, "ts", "user_id", "value")
+
+
+@q(
     "triangle_counts_dup_graph",
     f"""
     WITH w AS (SELECT doc_id, {WORDS_DD} AS ws FROM documents),
