@@ -6818,6 +6818,121 @@ def domain_link_graph_docs(spark, sf_dir):
 
 
 @q(
+    "record_linkage_customers",
+    """
+    WITH a AS (SELECT c_custkey AS id_a, c_name AS name_a,
+                      c_nationkey AS nk, c_acctbal AS bal_a,
+                      c_mktsegment AS seg_a
+               FROM customer),
+         b AS (SELECT c_custkey AS id_b,
+                      CASE WHEN c_custkey % 3 = 0
+                           THEN replace(c_name, 'Customer', 'Cust0mer')
+                           WHEN c_custkey % 5 = 0
+                           THEN substr(c_name, 1, length(c_name) - 2)
+                           ELSE c_name END AS name_b,
+                      c_nationkey AS nk,
+                      CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 1.5
+                           ELSE c_acctbal END AS bal_b,
+                      CASE WHEN c_custkey % 11 = 0 THEN 'UNKNOWN'
+                           ELSE c_mktsegment END AS seg_b
+               FROM customer),
+         p AS (SELECT id_a, id_b,
+                      coalesce(name_a = name_b, FALSE) AS g_name,
+                      coalesce(levenshtein(name_a, name_b) <= 2, FALSE) AS g_near,
+                      coalesce(seg_a = seg_b, FALSE) AS g_seg,
+                      coalesce(abs(bal_a - bal_b) <= 1.5, FALSE) AS g_bal
+               FROM a JOIN b ON a.nk = b.nk),
+         st AS (SELECT count(*)::bigint AS n,
+                       sum(g_name::int)::bigint AS c1,
+                       sum(g_near::int)::bigint AS c2,
+                       sum(g_seg::int)::bigint AS c3,
+                       sum(g_bal::int)::bigint AS c4
+                FROM p),
+         cc AS (SELECT n,
+                       greatest(1, least(c1, n - 1)) AS c1,
+                       greatest(1, least(c2, n - 1)) AS c2,
+                       greatest(1, least(c3, n - 1)) AS c3,
+                       greatest(1, least(c4, n - 1)) AS c4
+                FROM st),
+         f AS (SELECT p.*,
+                      CASE WHEN g_name THEN (19 * n)::double / (20 * c1)::double
+                           ELSE (1 * n)::double / (20 * (n - c1))::double END AS f1,
+                      CASE WHEN g_near THEN (99 * n)::double / (100 * c2)::double
+                           ELSE (1 * n)::double / (100 * (n - c2))::double END AS f2,
+                      CASE WHEN g_seg THEN (9 * n)::double / (10 * c3)::double
+                           ELSE (1 * n)::double / (10 * (n - c3))::double END AS f3,
+                      CASE WHEN g_bal THEN (23 * n)::double / (25 * c4)::double
+                           ELSE (2 * n)::double / (25 * (n - c4))::double END AS f4
+               FROM p, cc)
+    SELECT id_a, id_b, g_name, g_near, g_seg, g_bal,
+           round(((((1.0 * f1) * f2) * f3) * f4), 4) AS lr,
+           round(((((1.0 * f1) * f2) * f3) * f4), 4) >= 1.0 AS is_match
+    FROM f
+    """,
+)
+def record_linkage_customers_q(spark, sf_dir):
+    """E115: Fellegi-Sunter probabilistic record linkage — customer vs
+    a deterministically dirtied clone (typo'd name for custkey%3,
+    truncated for %5, segment wiped for %11, balance shifted for %7 —
+    the construct-then-rediscover device of E77/E10c), blocked on
+    nation (which every perturbation preserves, so true pairs are
+    always candidates) — the name comparators, not the block, do the
+    separating, and same-nation neighbours supply realistic
+    near-agreement noise.  u-probabilities are estimated
+    from the blocked pairs themselves; the likelihood ratio is a
+    fixed-order product of exact-integer divisions (no ln weights), so
+    the twin is hash-exact; is_match decides at the natural lr >= 1
+    point (contaminated-u compression makes absolute magnitudes
+    SF-dependent, the RANKING is what separates — the pytest pins
+    perfect true/false separation at sf0.001).  The blocking join is the only pair-scale
+    shuffle; scoring is in-row against a broadcast 1-row stats
+    frame."""
+    from ..operators.linkage import fellegi_sunter_scores
+
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_name").alias("name_a"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_acctbal").alias("bal_a"),
+        F.col("c_mktsegment").alias("seg_a"),
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("id_b"),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.regexp_replace("c_name", "Customer", "Cust0mer"),
+        )
+        .when(
+            F.col("c_custkey") % 5 == 0,
+            F.expr("substr(c_name, 1, length(c_name) - 2)"),
+        )
+        .otherwise(F.col("c_name"))
+        .alias("name_b"),
+        F.col("c_nationkey").alias("nk"),
+        F.when(F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 1.5)
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal_b"),
+        F.when(F.col("c_custkey") % 11 == 0, F.lit("UNKNOWN"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg_b"),
+    )
+    pairs = a.join(b, a["nk"] == b["nk"]).select(
+        "id_a",
+        "id_b",
+        F.coalesce(F.col("name_a") == F.col("name_b"), F.lit(False)).alias("g_name"),
+        F.coalesce(F.levenshtein("name_a", "name_b") <= 2, F.lit(False)).alias("g_near"),
+        F.coalesce(F.col("seg_a") == F.col("seg_b"), F.lit(False)).alias("g_seg"),
+        F.coalesce(F.abs(F.col("bal_a") - F.col("bal_b")) <= 1.5, F.lit(False)).alias("g_bal"),
+    )
+    return fellegi_sunter_scores(
+        pairs,
+        {"g_name": (19, 20), "g_near": (99, 100), "g_seg": (9, 10), "g_bal": (23, 25)},
+        threshold=1.0,
+    )
+
+
+@q(
     "time_weighted_avg_events",
     """
     WITH o AS (SELECT user_id AS k, epoch_us(ts) AS us, max(value) AS v

@@ -1,0 +1,92 @@
+"""E115 Fellegi-Sunter linkage: exact float replay of the fixed-order
+likelihood-ratio product, degenerate-field clamping, and planted-truth
+recovery on the customer clone query."""
+
+from __future__ import annotations
+
+from seizury_hrv_featuresextraction_spark.operators.linkage import fellegi_sunter_scores
+
+AGREE = {"g1": (19, 20), "g2": (9, 10)}
+
+
+def _round_half_up(x, d):
+    # Spark and DuckDB both round HALF_UP (0.03125 -> 0.0313); Python's
+    # built-in round banker's-rounds, so the replay must not use it
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal(1).scaleb(-d), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def _replay(rows, agreements):
+    n = len(rows)
+    cs = {}
+    for i, g in enumerate(agreements):
+        c = sum(1 for r in rows if r[i])
+        cs[g] = max(1, min(c, n - 1))
+    out = []
+    for r in rows:
+        lr = 1.0
+        for i, (g, (mn, md)) in enumerate(agreements.items()):
+            c = cs[g]
+            if r[i]:
+                lr = lr * ((mn * n) / (md * c))
+            else:
+                lr = lr * (((md - mn) * n) / (md * (n - c)))
+        out.append(_round_half_up(lr, 4))
+    return out
+
+
+def test_fs_scores_match_float_replay(spark):
+    rows = [(True, True), (True, False), (False, True), (False, False), (True, True)]
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(rows)], "pid long, g1 boolean, g2 boolean"
+    )
+    got = {r.pid: r.lr for r in fellegi_sunter_scores(df, AGREE).collect()}
+    want = _replay(rows, AGREE)
+    assert got == {i: want[i] for i in range(len(rows))}
+
+
+def test_fs_degenerate_fields_stay_finite(spark):
+    # g1 agrees everywhere (u would be 1), g2 nowhere (u would be 0):
+    # the [1, n-1] clamp keeps both factors finite and non-zero
+    df = spark.createDataFrame(
+        [(0, True, False), (1, True, False), (2, True, False)],
+        "pid long, g1 boolean, g2 boolean",
+    )
+    import math
+
+    for r in fellegi_sunter_scores(df, AGREE).collect():
+        assert math.isfinite(r.lr) and r.lr > 0
+
+
+def test_fs_null_agreement_counts_as_disagreement(spark):
+    df = spark.createDataFrame(
+        [(0, True, None), (1, True, True), (2, False, True)],
+        "pid long, g1 boolean, g2 boolean",
+    )
+    got = {r.pid: r.lr for r in fellegi_sunter_scores(df, AGREE).collect()}
+    # NULL g2 scored exactly like an explicit False with the same counts
+    want = _replay([(True, False), (True, True), (False, True)], AGREE)
+    assert got == {i: want[i] for i in range(3)}
+
+
+def test_fs_customer_query_recovers_planted_matches(spark):
+    from seizury_hrv_featuresextraction_spark.plans.driver_queries import QUERIES
+
+    rows = QUERIES["record_linkage_customers"](spark, "/root/testdata/sf0.001").collect()
+    true_pairs = [r for r in rows if r.id_a == r.id_b]
+    false_pairs = [r for r in rows if r.id_a != r.id_b]
+    matched = [r for r in rows if r.is_match]
+    assert len(true_pairs) > 0 and len(false_pairs) > 0
+    # the ratio RANKS perfectly at this SF: every planted identity —
+    # including name-corrupted ones — outscores every false pair
+    assert min(r.lr for r in true_pairs) > max(r.lr for r in false_pairs)
+    # at the natural lr >= 1 decision point: perfect precision, and
+    # recall only loses part of the corrupted tail (contaminated-u
+    # compression at tiny SF squeezes magnitudes, not the ordering)
+    assert matched and all(r.id_a == r.id_b for r in matched)
+    assert sum(1 for r in true_pairs if r.is_match) / len(true_pairs) >= 0.7
