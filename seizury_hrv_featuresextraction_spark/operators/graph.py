@@ -105,15 +105,19 @@ def triangle_counts(
     Shuffles: edge-key dedup + degree agg, one join of edges to
     degrees, the wedge self-join on the center key, the closing-edge
     semi join on (lo, hi), one explode+count — every one carries the
-    SPARSE oriented edge list or its wedges, never the corpus.
+    SPARSE oriented edge list or its wedges, never the corpus.  The
+    edge, degree and oriented tables are each referenced several times
+    downstream, so they are eagerly localCheckpoint'ed (the E67/MMR
+    materialization device) — without it every reference re-expands
+    the whole candidate-generation plan back to the corpus scan.
     """
     e0 = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(F.col("u") != F.col("v"))
     # normalize to u < v so each undirected edge appears once
     norm = e0.select(
         F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     sym = norm.unionByName(norm.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(eager=True)
     # orient each edge from (deg, id)-smaller endpoint to larger
     da = deg.select(F.col("u").alias("_au"), F.col("deg").alias("deg_u"))
     db = deg.select(F.col("u").alias("_bu"), F.col("deg").alias("deg_v"))
@@ -125,7 +129,7 @@ def triangle_counts(
         F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("b"),
         F.when(lo_first, F.col("deg_v")).otherwise(F.col("deg_u")).alias("deg_b"),
-    )
+    ).localCheckpoint(eager=True)
     o1 = oriented.select(F.col("a"), F.col("b").alias("x"), F.col("deg_b").alias("deg_x"))
     o2 = oriented.select(F.col("a"), F.col("b").alias("y"), F.col("deg_b").alias("deg_y"))
     wedges = o1.join(o2, "a").where(F.col("x") < F.col("y"))

@@ -6885,8 +6885,11 @@ def record_linkage_customers_q(spark, sf_dir):
     point (contaminated-u compression makes absolute magnitudes
     SF-dependent, the RANKING is what separates — the pytest pins
     perfect true/false separation at sf0.001).  The blocking join is the only pair-scale
-    shuffle; scoring is in-row against a broadcast 1-row stats
-    frame."""
+    shuffle; scoring is in-row against a broadcast 1-row stats frame.
+    Blocking policy is the caller's scale lever: a fixed 25-value key
+    is demo-sized — at production scale use narrower (or multi-pass)
+    blocks so per-block occupancy, and with it the pair count, stays
+    sub-quadratic."""
     from ..operators.linkage import fellegi_sunter_scores
 
     cust = load_table(spark, sf_dir, "customer")
