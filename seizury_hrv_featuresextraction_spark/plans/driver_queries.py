@@ -6817,6 +6817,52 @@ def domain_link_graph_docs(spark, sf_dir):
     return domain_link_graph(shell, "html", "doc_id", "src_domain")
 
 
+_CUSTOMER_M_PROBS = {"g_name": (19, 20), "g_near": (99, 100), "g_seg": (9, 10), "g_bal": (23, 25)}
+
+
+def _customer_linkage_frames(cust):
+    """Shared E115/E116 construction: the clean side, the
+    deterministically dirtied clone, and the nation-blocked agreement
+    pairs.  Kept in one place so the linkage query and the
+    golden-record closure can never drift apart."""
+    a = cust.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_name").alias("name_a"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_acctbal").alias("bal_a"),
+        F.col("c_mktsegment").alias("seg_a"),
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("id_b"),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.regexp_replace("c_name", "Customer", "Cust0mer"),
+        )
+        .when(
+            F.col("c_custkey") % 5 == 0,
+            F.expr("substr(c_name, 1, length(c_name) - 2)"),
+        )
+        .otherwise(F.col("c_name"))
+        .alias("name_b"),
+        F.col("c_nationkey").alias("nk"),
+        F.when(F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 1.5)
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal_b"),
+        F.when(F.col("c_custkey") % 11 == 0, F.lit("UNKNOWN"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg_b"),
+    )
+    pairs = a.join(b, a["nk"] == b["nk"]).select(
+        "id_a",
+        "id_b",
+        F.coalesce(F.col("name_a") == F.col("name_b"), F.lit(False)).alias("g_name"),
+        F.coalesce(F.levenshtein("name_a", "name_b") <= 2, F.lit(False)).alias("g_near"),
+        F.coalesce(F.col("seg_a") == F.col("seg_b"), F.lit(False)).alias("g_seg"),
+        F.coalesce(F.abs(F.col("bal_a") - F.col("bal_b")) <= 1.5, F.lit(False)).alias("g_bal"),
+    )
+    return a, b, pairs
+
+
 @q(
     "record_linkage_customers",
     """
@@ -6893,45 +6939,131 @@ def record_linkage_customers_q(spark, sf_dir):
     from ..operators.linkage import fellegi_sunter_scores
 
     cust = load_table(spark, sf_dir, "customer")
-    a = cust.select(
-        F.col("c_custkey").alias("id_a"),
-        F.col("c_name").alias("name_a"),
-        F.col("c_nationkey").alias("nk"),
-        F.col("c_acctbal").alias("bal_a"),
-        F.col("c_mktsegment").alias("seg_a"),
+    _, _, pairs = _customer_linkage_frames(cust)
+    return fellegi_sunter_scores(pairs, _CUSTOMER_M_PROBS, threshold=1.0)
+
+
+@q(
+    "golden_record_customers",
+    """
+    WITH RECURSIVE
+         a AS (SELECT c_custkey AS id_a, c_name AS name_a,
+                      c_nationkey AS nk, c_acctbal AS bal_a,
+                      c_mktsegment AS seg_a
+               FROM customer),
+         b AS (SELECT c_custkey AS id_b,
+                      CASE WHEN c_custkey % 3 = 0
+                           THEN replace(c_name, 'Customer', 'Cust0mer')
+                           WHEN c_custkey % 5 = 0
+                           THEN substr(c_name, 1, length(c_name) - 2)
+                           ELSE c_name END AS name_b,
+                      c_nationkey AS nk,
+                      CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 1.5
+                           ELSE c_acctbal END AS bal_b,
+                      CASE WHEN c_custkey % 11 = 0 THEN 'UNKNOWN'
+                           ELSE c_mktsegment END AS seg_b
+               FROM customer),
+         p AS (SELECT id_a, id_b,
+                      coalesce(name_a = name_b, FALSE) AS g_name,
+                      coalesce(levenshtein(name_a, name_b) <= 2, FALSE) AS g_near,
+                      coalesce(seg_a = seg_b, FALSE) AS g_seg,
+                      coalesce(abs(bal_a - bal_b) <= 1.5, FALSE) AS g_bal
+               FROM a JOIN b ON a.nk = b.nk),
+         st AS (SELECT count(*)::bigint AS n,
+                       sum(g_name::int)::bigint AS c1,
+                       sum(g_near::int)::bigint AS c2,
+                       sum(g_seg::int)::bigint AS c3,
+                       sum(g_bal::int)::bigint AS c4
+                FROM p),
+         cc AS (SELECT n,
+                       greatest(1, least(c1, n - 1)) AS c1,
+                       greatest(1, least(c2, n - 1)) AS c2,
+                       greatest(1, least(c3, n - 1)) AS c3,
+                       greatest(1, least(c4, n - 1)) AS c4
+                FROM st),
+         f AS (SELECT p.*,
+                      CASE WHEN g_name THEN (19 * n)::double / (20 * c1)::double
+                           ELSE (1 * n)::double / (20 * (n - c1))::double END AS f1,
+                      CASE WHEN g_near THEN (99 * n)::double / (100 * c2)::double
+                           ELSE (1 * n)::double / (100 * (n - c2))::double END AS f2,
+                      CASE WHEN g_seg THEN (9 * n)::double / (10 * c3)::double
+                           ELSE (1 * n)::double / (10 * (n - c3))::double END AS f3,
+                      CASE WHEN g_bal THEN (23 * n)::double / (25 * c4)::double
+                           ELSE (2 * n)::double / (25 * (n - c4))::double END AS f4
+               FROM p, cc),
+         m AS (SELECT id_a * 2 AS src, id_b * 2 + 1 AS dst FROM f
+               WHERE round(((((1.0 * f1) * f2) * f3) * f4), 4) >= 1.0),
+         recs AS (SELECT id_a * 2 AS node, name_a AS name, seg_a AS seg,
+                         bal_a AS bal
+                  FROM a
+                  UNION ALL
+                  SELECT id_b * 2 + 1, name_b, seg_b, bal_b FROM b),
+         und AS (SELECT src, dst FROM m UNION SELECT dst, src FROM m),
+         walk(id, comp) AS (
+           SELECT node, node FROM recs
+           UNION
+           SELECT u.dst, walk.comp FROM walk JOIN und u ON u.src = walk.id),
+         lab AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id),
+         g AS (SELECT l.comp, r.name, r.seg, r.bal
+               FROM recs r JOIN lab l ON r.node = l.id)
+    SELECT comp AS entity, count(*)::bigint AS n_records,
+           substr(max(lpad(length(name)::varchar, 2, '0') || name), 3) AS name,
+           coalesce(max(CASE WHEN seg <> 'UNKNOWN' THEN seg END),
+                    'UNKNOWN') AS mktsegment,
+           min(bal) AS acctbal
+    FROM g GROUP BY comp
+    """,
+)
+def golden_record_customers_q(spark, sf_dir):
+    """E116: golden-record survivorship — the MDM closure of the
+    linkage family (E115 FS scoring -> E6 connected components ->
+    deterministic field survivorship in ONE composed plan).  Matched
+    pairs (lr >= 1) become edges between the clean and dirtied record
+    universes (node = 2*id / 2*id+1), components merge each entity's
+    records, and survivorship picks per field: longest-then-
+    lexicographically-greatest name (provably recovers the clean name
+    against both planted corruptions), any non-'UNKNOWN' segment, the
+    conservative min balance — every rule an order-free aggregate, so
+    the twin is hash-exact.  Scale: the CC loop shuffles only the
+    sparse MATCH edges; survivorship is one group-by over 2n records;
+    everything upstream is the E115 pair plan."""
+    from ..operators.dedup import connected_components
+    from ..operators.linkage import fellegi_sunter_scores
+
+    cust = load_table(spark, sf_dir, "customer")
+    a, b, pairs = _customer_linkage_frames(cust)
+    scored = fellegi_sunter_scores(pairs, _CUSTOMER_M_PROBS, threshold=1.0)
+    edges = scored.where("is_match").select(
+        (F.col("id_a") * 2).alias("src_n"), (F.col("id_b") * 2 + 1).alias("dst_n")
     )
-    b = cust.select(
-        F.col("c_custkey").alias("id_b"),
-        F.when(
-            F.col("c_custkey") % 3 == 0,
-            F.regexp_replace("c_name", "Customer", "Cust0mer"),
+    recs = a.select(
+        (F.col("id_a") * 2).alias("node"),
+        F.col("name_a").alias("name"),
+        F.col("seg_a").alias("seg"),
+        F.col("bal_a").alias("bal"),
+    ).unionByName(
+        b.select(
+            (F.col("id_b") * 2 + 1).alias("node"),
+            F.col("name_b").alias("name"),
+            F.col("seg_b").alias("seg"),
+            F.col("bal_b").alias("bal"),
         )
-        .when(
-            F.col("c_custkey") % 5 == 0,
-            F.expr("substr(c_name, 1, length(c_name) - 2)"),
-        )
-        .otherwise(F.col("c_name"))
-        .alias("name_b"),
-        F.col("c_nationkey").alias("nk"),
-        F.when(F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 1.5)
-        .otherwise(F.col("c_acctbal"))
-        .alias("bal_b"),
-        F.when(F.col("c_custkey") % 11 == 0, F.lit("UNKNOWN"))
-        .otherwise(F.col("c_mktsegment"))
-        .alias("seg_b"),
     )
-    pairs = a.join(b, a["nk"] == b["nk"]).select(
-        "id_a",
-        "id_b",
-        F.coalesce(F.col("name_a") == F.col("name_b"), F.lit(False)).alias("g_name"),
-        F.coalesce(F.levenshtein("name_a", "name_b") <= 2, F.lit(False)).alias("g_near"),
-        F.coalesce(F.col("seg_a") == F.col("seg_b"), F.lit(False)).alias("g_seg"),
-        F.coalesce(F.abs(F.col("bal_a") - F.col("bal_b")) <= 1.5, F.lit(False)).alias("g_bal"),
+    lab = connected_components(
+        edges, "src_n", "dst_n", nodes=recs.select(F.col("node").alias("id"))
     )
-    return fellegi_sunter_scores(
-        pairs,
-        {"g_name": (19, 20), "g_near": (99, 100), "g_seg": (9, 10), "g_bal": (23, 25)},
-        threshold=1.0,
+    g = recs.join(lab, recs["node"] == lab["id"])
+    return g.groupBy("comp").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.expr(
+            "substring(max(concat(lpad(cast(length(name) as string), 2, '0'), name)), 3)"
+        ).alias("name"),
+        F.coalesce(
+            F.max(F.when(F.col("seg") != "UNKNOWN", F.col("seg"))), F.lit("UNKNOWN")
+        ).alias("mktsegment"),
+        F.min("bal").alias("acctbal"),
+    ).select(
+        F.col("comp").alias("entity"), "n_records", "name", "mktsegment", "acctbal"
     )
 
 

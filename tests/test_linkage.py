@@ -90,3 +90,34 @@ def test_fs_customer_query_recovers_planted_matches(spark):
     # compression at tiny SF squeezes magnitudes, not the ordering)
     assert matched and all(r.id_a == r.id_b for r in matched)
     assert sum(1 for r in true_pairs if r.is_match) / len(true_pairs) >= 0.7
+
+
+def test_golden_record_survivorship_recovers_clean_fields(spark):
+    from seizury_hrv_featuresextraction_spark.plans.driver_queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["golden_record_customers"](spark, sf).collect()
+    cust = {
+        r.c_custkey: r
+        for r in spark.read.parquet(f"{sf}/customer.parquet").collect()
+    }
+    # total records conserved across entities
+    assert sum(r.n_records for r in rows) == 2 * len(cust)
+    merged = [r for r in rows if r.n_records > 1]
+    assert merged
+    for r in merged:
+        # a merged entity is exactly the clean+dirty pair of one custkey
+        # (perfect precision at this SF): comp = min node = 2 * custkey
+        assert r.n_records == 2 and r.entity % 2 == 0
+        ck = r.entity // 2
+        c = cust[ck]
+        # survivorship recovers the clean name against BOTH corruptions
+        # and never surfaces the wiped segment
+        assert r.name == c.c_name
+        assert r.mktsegment == c.c_mktsegment
+        assert r.acctbal == c.c_acctbal  # min(bal, bal + 1.5) = clean
+    # singletons keep their own (possibly dirty) fields; b-side wiped
+    # segments survive only there
+    singles = [r for r in rows if r.n_records == 1]
+    assert all(r.mktsegment == "UNKNOWN" for r in singles
+               if r.entity % 2 == 1 and (r.entity - 1) // 2 % 11 == 0)
