@@ -336,3 +336,80 @@ def cohen_kappa(
             F.round((F.col("n") * agree - m).cast("double") / den.cast("double"), 6),
         ).alias("kappa"),
     )
+
+
+def isotonic_calibration(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """E117: EXACT isotonic regression of a binary label on an integer
+    score — the PAV calibrator (Zadrozny & Elkan 2002) that E90's
+    reliability bins diagnose the need for: the monotone map from raw
+    classifier score to calibrated probability, with no binning
+    artifacts and no parametric (Platt) assumption.
+
+    Distributed device: the corpus collapses to ONE bounded
+    per-distinct-score table (cnt, pos) — ``score_col`` must already be
+    quantized to a bounded integer grid (the E90 device; e.g. centi-
+    probabilities 0..100) — and the fit is computed by the MINIMAX
+    characterization of isotonic regression
+
+        fit(i) = max_{k <= i} min_{j >= i} avg(y over scores k..j)
+
+    (Robertson/Wright/Dykstra), not by the sequential PAV sweep: every
+    pooled average is one exact-int64-difference division via prefix
+    sums, and the min/max lattice is two grouped aggregates over an
+    O(S^3/6) join of BOUNDED tables — corpus-independent work (S=101
+    -> ~170k rows), fully order-free, hash-exact in any engine.  The
+    sequential PAV sweep would be a driver-local loop; this form keeps
+    the whole fit declarative and twin-able.
+
+    Returns one row per distinct score: (score, n, n_pos, iso_p),
+    iso_p monotone non-decreasing in score.  The only corpus-scale
+    exchange is the distinct-score aggregate; the single-partition
+    prefix window and the joins touch only the bounded table.
+    """
+    g = scored.groupBy(F.col(score_col).alias("s")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col(label_col).cast("long")).alias("pos"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ps = g.select(
+        "s",
+        "cnt",
+        "pos",
+        F.sum("cnt").over(w).alias("ccnt"),
+        F.sum("pos").over(w).alias("cpos"),
+    ).select(
+        "s",
+        "cnt",
+        "pos",
+        "ccnt",
+        "cpos",
+        (F.col("ccnt") - F.col("cnt")).alias("pcnt"),
+        (F.col("cpos") - F.col("pos")).alias("ppos"),
+    )
+    k = ps.select(F.col("s").alias("sk"), "pcnt", "ppos")
+    j = ps.select(F.col("s").alias("sj"), "ccnt", "cpos")
+    pairs = k.join(j, F.col("sk") <= F.col("sj")).select(
+        "sk",
+        "sj",
+        (
+            (F.col("cpos") - F.col("ppos")).cast("double")
+            / (F.col("ccnt") - F.col("pcnt")).cast("double")
+        ).alias("r"),
+    )
+    i = ps.select(F.col("s").alias("si"), F.col("cnt").alias("n"), F.col("pos").alias("n_pos"))
+    inner = pairs.join(i, (F.col("sk") <= F.col("si")) & (F.col("sj") >= F.col("si")))
+    mik = inner.groupBy("si", "sk").agg(F.min("r").alias("m"))
+    fit = mik.groupBy("si").agg(F.max("m").alias("fit"))
+    return (
+        i.join(fit, "si")
+        .select(
+            F.col("si").alias("score"),
+            "n",
+            "n_pos",
+            F.round("fit", 6).alias("iso_p"),
+        )
+    )

@@ -5156,6 +5156,78 @@ def classifier_calibration_bins(spark, sf_dir):
 
 
 @q(
+    "isotonic_calibration_docs",
+    f"""
+    WITH w AS (SELECT doc_id, lang, {WORDS_DD} AS ws FROM documents),
+    e AS (SELECT doc_id, unnest(ws) AS word FROM w),
+    b AS (SELECT doc_id,
+                 ('0x' || substr(md5('f:' || word), 1, 15))::bigint % 1024 AS j
+          FROM e),
+    s AS (SELECT doc_id,
+                 sum(('0x' || substr(md5('w:' || j::varchar), 1, 8))::bigint
+                     / 4294967296.0 - 0.5) AS dot
+          FROM b GROUP BY doc_id),
+    f AS (SELECT w.doc_id, w.lang, len(w.ws)::bigint AS n_words,
+                 coalesce(s.dot, 0.0) AS dot
+          FROM w LEFT JOIN s ON s.doc_id = w.doc_id),
+    p AS (SELECT round(round(1.0 / (1.0 + exp(-(CASE WHEN n_words > 0
+                                                     THEN dot / n_words
+                                                     ELSE 0.0 END))), 6)
+                       * 1000000)::bigint // 10000 AS sc,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+          FROM f),
+    q2 AS (SELECT sc, count(*)::bigint AS cnt, sum(y)::bigint AS pos
+           FROM p GROUP BY 1),
+    ps AS (SELECT sc, cnt, pos,
+                  sum(cnt) OVER (ORDER BY sc ROWS UNBOUNDED PRECEDING) AS ccnt,
+                  sum(pos) OVER (ORDER BY sc ROWS UNBOUNDED PRECEDING) AS cpos
+           FROM q2),
+    ps2 AS (SELECT sc, cnt, pos, ccnt, cpos,
+                   ccnt - cnt AS pcnt, cpos - pos AS ppos
+            FROM ps),
+    pr AS (SELECT k.sc AS sk, j.sc AS sj,
+                  (j.cpos - k.ppos)::double / (j.ccnt - k.pcnt)::double AS r
+           FROM ps2 k JOIN ps2 j ON k.sc <= j.sc),
+    inr AS (SELECT i.sc AS si, pr.sk, min(r) AS m
+            FROM pr JOIN ps2 i ON pr.sk <= i.sc AND pr.sj >= i.sc
+            GROUP BY 1, 2),
+    ft AS (SELECT si, max(m) AS fit FROM inr GROUP BY 1)
+    SELECT q2.sc AS score, q2.cnt AS n, q2.pos AS n_pos,
+           round(ft.fit, 6) AS iso_p
+    FROM q2 JOIN ft ON q2.sc = ft.si
+    """,
+)
+def isotonic_calibration_docs_q(spark, sf_dir):
+    """E117: exact isotonic (PAV) calibration of the E40 quality
+    classifier against the is-English label — the monotone calibrator
+    E90's reliability bins diagnose the need for.  Probs quantized to
+    centi-units (the E90 int64 device) collapse the corpus to a <=101-
+    row distinct-score table; the fit is the MINIMAX characterization
+    (max_k<=i min_j>=i pooled mean) — every pooled mean an exact-int64
+    prefix-difference division, the lattice two grouped aggregates
+    over bounded-table joins (corpus-independent O(S^3/6) rows) — so
+    the twin replays it hash-exact.  Only corpus-scale exchange: the
+    distinct-score aggregate."""
+    from ..operators.curation import hashed_linear_classifier, md5_feature_weights
+    from ..operators.dedup import spread
+    from ..operators.evaluation import isotonic_calibration
+
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang"))
+    scored = hashed_linear_classifier(
+        docs,
+        md5_feature_weights(1024),
+        bias=0.0,
+        threshold=0.0,
+        score_round=6,
+        extra_cols=("lang",),
+    ).select(
+        F.expr("cast(round(prob * 1000000) as bigint) div 10000").alias("sc"),
+        (F.col("lang") == "en").cast("long").alias("y"),
+    )
+    return isotonic_calibration(scored, "sc", "y")
+
+
+@q(
     "auc_by_source_docs",
     """
     WITH d AS (SELECT source, n_chars AS s,

@@ -123,3 +123,64 @@ def test_cohen_kappa_known_values_and_degenerate(spark):
     )
     got = {r["g"]: r["kappa"] for r in cohen_kappa(df, "p", "y", ["g"]).collect()}
     assert got["a"] == 1.0 and got["b"] == -1.0
+
+
+# --- E117: exact isotonic calibration (minimax == PAV) --------------------
+
+def _pav(points):
+    """points: list of (score, cnt, pos) sorted by score -> PAV fit per
+    distinct score, the textbook pool-adjacent-violators sweep."""
+    blocks = [[s, cnt, pos] for s, cnt, pos in points]  # [last_s, w, wsum]
+    out = []
+    for b in blocks:
+        out.append(b[:])
+        while len(out) >= 2 and out[-2][2] * out[-1][1] >= out[-1][2] * out[-2][1]:
+            s, w, ws = out.pop()
+            out[-1][1] += w
+            out[-1][2] += ws
+            out[-1][0] = s
+    fits = {}
+    lo = None
+    for last_s, w, ws in out:
+        for s, cnt, pos in points:
+            if (lo is None or s > lo) and s <= last_s:
+                fits[s] = ws / w
+        lo = last_s
+    return fits
+
+
+def test_isotonic_matches_pav_and_is_monotone(spark):
+    from seizury_hrv_featuresextraction_spark.operators.evaluation import (
+        isotonic_calibration,
+    )
+
+    # scores with a violation (dip at s=2) and ties to pool
+    rows = []
+    data = [(0, 4, 0), (1, 3, 2), (2, 5, 1), (3, 2, 2), (4, 6, 5)]
+    for s, cnt, pos in data:
+        rows += [(s, 1)] * pos + [(s, 0)] * (cnt - pos)
+    df = spark.createDataFrame(rows, "sc long, y long")
+    got = {r.score: (r.n, r.n_pos, r.iso_p) for r in
+           isotonic_calibration(df, "sc", "y").collect()}
+    want = _pav(data)
+    assert set(got) == set(want)
+    for s, cnt, pos in data:
+        assert got[s][0] == cnt and got[s][1] == pos
+        assert abs(got[s][2] - want[s]) < 1e-6, (s, got[s][2], want[s])
+    # monotone non-decreasing
+    fits = [got[s][2] for s in sorted(got)]
+    assert fits == sorted(fits)
+    # PAV conservation: sum(w * fit) == sum(pos)
+    assert abs(sum(got[s][2] * got[s][0] for s in got)
+               - sum(p for _, _, p in data)) < 1e-3
+
+
+def test_isotonic_already_monotone_is_identity(spark):
+    from seizury_hrv_featuresextraction_spark.operators.evaluation import (
+        isotonic_calibration,
+    )
+
+    rows = [(0, 0)] * 5 + [(1, 1)] * 2 + [(1, 0)] * 2 + [(2, 1)] * 5
+    df = spark.createDataFrame(rows, "sc long, y long")
+    got = {r.score: r.iso_p for r in isotonic_calibration(df, "sc", "y").collect()}
+    assert got == {0: 0.0, 1: 0.5, 2: 1.0}
