@@ -370,9 +370,19 @@ def isotonic_calibration(
     exchange is the distinct-score aggregate; the single-partition
     prefix window and the joins touch only the bounded table.
     """
-    g = scored.groupBy(F.col(score_col).alias("s")).agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.sum(F.col(label_col).cast("long")).alias("pos"),
+    g = (
+        scored
+        # NULL scores would sort NULLS FIRST into the prefix window and
+        # contaminate every real score's cumulative sums while the row
+        # itself vanished from the non-equi joins; NULL labels would
+        # count in cnt but not pos, silently becoming negatives — both
+        # are dropped up front as out-of-contract rows
+        .where(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(F.col(score_col).alias("s"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col(label_col).cast("long")).alias("pos"),
+        )
     )
     w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ps = g.select(
@@ -389,7 +399,10 @@ def isotonic_calibration(
         "cpos",
         (F.col("ccnt") - F.col("cnt")).alias("pcnt"),
         (F.col("cpos") - F.col("pos")).alias("ppos"),
-    )
+        # the bounded (<= S rows) prefix table is referenced four times
+        # below — materialize it once (the E113 device) or every branch
+        # re-expands the corpus-scale distinct-score aggregate
+    ).localCheckpoint(eager=True)
     k = ps.select(F.col("s").alias("sk"), "pcnt", "ppos")
     j = ps.select(F.col("s").alias("sj"), "ccnt", "cpos")
     pairs = k.join(j, F.col("sk") <= F.col("sj")).select(

@@ -60,7 +60,13 @@ def fellegi_sunter_scores(
     """
     aggs = [F.count(F.lit(1)).alias("n")]
     for g in agreements:
-        aggs.append(F.sum(F.col(g).cast("long")).alias(f"_c_{g}"))
+        # coalesce: an all-NULL column must count as 0 agreements (the
+        # clamp then takes it to 1), not slip a NULL into least() — which
+        # Spark SKIPS, silently yielding c = n - 1 and ~n-fold-inflated
+        # ratios
+        aggs.append(
+            F.coalesce(F.sum(F.col(g).cast("long")), F.lit(0).cast("long")).alias(f"_c_{g}")
+        )
     stats = pairs.agg(*aggs)
     j = pairs.crossJoin(F.broadcast(stats))
     lr = F.lit(1.0)
@@ -69,8 +75,11 @@ def fellegi_sunter_scores(
             raise ValueError(f"m-probability for {g!r} must satisfy 0 < num < den")
         c = F.greatest(F.lit(1).cast("long"), F.least(F.col(f"_c_{g}"), F.col("n") - 1))
         agree = (F.lit(m_num) * F.col("n")).cast("double") / (F.lit(m_den) * c).cast("double")
+        # greatest(1, n - c): with a single pair (n = 1) the clamp range
+        # [1, n-1] is empty and n - c would be 0 — keep the factor finite
+        # (a no-op whenever n > 1, since c <= n - 1 there)
         disagree = (F.lit(m_den - m_num) * F.col("n")).cast("double") / (
-            F.lit(m_den) * (F.col("n") - c)
+            F.lit(m_den) * F.greatest(F.lit(1).cast("long"), F.col("n") - c)
         ).cast("double")
         lr = lr * F.when(F.col(g), agree).otherwise(disagree)
     out = j.select(*pairs.columns, F.round(lr, round_digits).alias(out_col))

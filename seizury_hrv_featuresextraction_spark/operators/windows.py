@@ -340,14 +340,19 @@ def time_weighted_avg(
         F.col("nxt").isNotNull() & (F.col("nxt") > F.col("us"))
     )
     B = F.lit(int(bucket_us))
+    bus = int(bucket_us)
+    # FLOOR division, not `div` (which truncates toward zero): pre-epoch
+    # timestamps must land in bucket -1, not be folded into bucket 0 and
+    # have their sub-epoch mass dropped; x - positive_mod(x) is exactly
+    # divisible, so the truncating div after it IS the floor
+    fd_lo = f"(us - ((us % {bus} + {bus}) % {bus})) div {bus}"
+    fd_hi = f"((nxt - 1) - (((nxt - 1) % {bus} + {bus}) % {bus})) div {bus}"
     seg = s.select(
         "k",
         "us",
         "nxt",
         F.round(F.col("v") * F.lit(int(value_scale))).cast("long").alias("v_fp"),
-        F.explode(
-            F.sequence(F.expr(f"us div {int(bucket_us)}"), F.expr(f"(nxt - 1) div {int(bucket_us)}"))
-        ).alias("b"),
+        F.explode(F.sequence(F.expr(fd_lo), F.expr(fd_hi))).alias("b"),
     )
     ov = seg.select(
         "k",

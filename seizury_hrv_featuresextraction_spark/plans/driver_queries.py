@@ -6974,13 +6974,13 @@ def _customer_linkage_frames(cust):
                 FROM st),
          f AS (SELECT p.*,
                       CASE WHEN g_name THEN (19 * n)::double / (20 * c1)::double
-                           ELSE (1 * n)::double / (20 * (n - c1))::double END AS f1,
+                           ELSE (1 * n)::double / (20 * greatest(1, n - c1))::double END AS f1,
                       CASE WHEN g_near THEN (99 * n)::double / (100 * c2)::double
-                           ELSE (1 * n)::double / (100 * (n - c2))::double END AS f2,
+                           ELSE (1 * n)::double / (100 * greatest(1, n - c2))::double END AS f2,
                       CASE WHEN g_seg THEN (9 * n)::double / (10 * c3)::double
-                           ELSE (1 * n)::double / (10 * (n - c3))::double END AS f3,
+                           ELSE (1 * n)::double / (10 * greatest(1, n - c3))::double END AS f3,
                       CASE WHEN g_bal THEN (23 * n)::double / (25 * c4)::double
-                           ELSE (2 * n)::double / (25 * (n - c4))::double END AS f4
+                           ELSE (2 * n)::double / (25 * greatest(1, n - c4))::double END AS f4
                FROM p, cc)
     SELECT id_a, id_b, g_name, g_near, g_seg, g_bal,
            round(((((1.0 * f1) * f2) * f3) * f4), 4) AS lr,
@@ -7055,13 +7055,13 @@ def record_linkage_customers_q(spark, sf_dir):
                 FROM st),
          f AS (SELECT p.*,
                       CASE WHEN g_name THEN (19 * n)::double / (20 * c1)::double
-                           ELSE (1 * n)::double / (20 * (n - c1))::double END AS f1,
+                           ELSE (1 * n)::double / (20 * greatest(1, n - c1))::double END AS f1,
                       CASE WHEN g_near THEN (99 * n)::double / (100 * c2)::double
-                           ELSE (1 * n)::double / (100 * (n - c2))::double END AS f2,
+                           ELSE (1 * n)::double / (100 * greatest(1, n - c2))::double END AS f2,
                       CASE WHEN g_seg THEN (9 * n)::double / (10 * c3)::double
-                           ELSE (1 * n)::double / (10 * (n - c3))::double END AS f3,
+                           ELSE (1 * n)::double / (10 * greatest(1, n - c3))::double END AS f3,
                       CASE WHEN g_bal THEN (23 * n)::double / (25 * c4)::double
-                           ELSE (2 * n)::double / (25 * (n - c4))::double END AS f4
+                           ELSE (2 * n)::double / (25 * greatest(1, n - c4))::double END AS f4
                FROM p, cc),
          m AS (SELECT id_a * 2 AS src, id_b * 2 + 1 AS dst FROM f
                WHERE round(((((1.0 * f1) * f2) * f3) * f4), 4) >= 1.0),
@@ -7143,15 +7143,20 @@ def golden_record_customers_q(spark, sf_dir):
     "time_weighted_avg_events",
     """
     WITH o AS (SELECT user_id AS k, epoch_us(ts) AS us, max(value) AS v
-               FROM events GROUP BY 1, 2),
+               FROM events
+               WHERE value IS NOT NULL AND ts IS NOT NULL
+               GROUP BY 1, 2),
          s AS (SELECT k, us, v,
                       lead(us) OVER (PARTITION BY k ORDER BY us) AS nxt
                FROM o),
          seg AS (SELECT k, us, nxt, CAST(round(v * 100) AS bigint) AS v_fp
                  FROM s WHERE nxt IS NOT NULL AND nxt > us),
          x AS (SELECT k, us, nxt, v_fp,
-                      unnest(generate_series(us // 3600000000,
-                                             (nxt - 1) // 3600000000)) AS b
+                      unnest(generate_series(
+                        (us - ((us % 3600000000 + 3600000000) % 3600000000))
+                          // 3600000000,
+                        ((nxt - 1) - (((nxt - 1) % 3600000000 + 3600000000)
+                                      % 3600000000)) // 3600000000)) AS b
                FROM seg),
          ov AS (SELECT k, b, v_fp,
                        least(nxt, (b + 1) * 3600000000)

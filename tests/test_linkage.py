@@ -121,3 +121,26 @@ def test_golden_record_survivorship_recovers_clean_fields(spark):
     singles = [r for r in rows if r.n_records == 1]
     assert all(r.mktsegment == "UNKNOWN" for r in singles
                if r.entity % 2 == 1 and (r.entity - 1) // 2 % 11 == 0)
+
+
+def test_fs_all_null_column_clamps_to_one_agreement(spark):
+    # an entirely-NULL agreement column must behave exactly like an
+    # entirely-False one (c clamped to 1), not inflate ratios ~n-fold
+    # via least() skipping the NULL count
+    rows_null = [(i, True, None) for i in range(5)]
+    rows_false = [(i, True, False) for i in range(5)]
+    a = {r.pid: r.lr for r in fellegi_sunter_scores(
+        spark.createDataFrame(rows_null, "pid long, g1 boolean, g2 boolean"), AGREE
+    ).collect()}
+    b = {r.pid: r.lr for r in fellegi_sunter_scores(
+        spark.createDataFrame(rows_false, "pid long, g1 boolean, g2 boolean"), AGREE
+    ).collect()}
+    assert a == b
+
+
+def test_fs_single_pair_stays_finite(spark):
+    import math
+
+    df = spark.createDataFrame([(0, False, True)], "pid long, g1 boolean, g2 boolean")
+    rows = fellegi_sunter_scores(df, AGREE).collect()
+    assert len(rows) == 1 and math.isfinite(rows[0].lr) and rows[0].lr > 0

@@ -184,3 +184,19 @@ def test_isotonic_already_monotone_is_identity(spark):
     df = spark.createDataFrame(rows, "sc long, y long")
     got = {r.score: r.iso_p for r in isotonic_calibration(df, "sc", "y").collect()}
     assert got == {0: 0.0, 1: 0.5, 2: 1.0}
+
+
+def test_isotonic_null_scores_and_labels_dropped(spark):
+    from seizury_hrv_featuresextraction_spark.operators.evaluation import (
+        isotonic_calibration,
+    )
+
+    clean = [(0, 0)] * 5 + [(1, 1)] * 2 + [(1, 0)] * 2 + [(2, 1)] * 5
+    dirty = clean + [(None, 1)] * 7 + [(0, None)] * 3
+    want = {r.score: (r.n, r.n_pos, r.iso_p) for r in isotonic_calibration(
+        spark.createDataFrame(clean, "sc long, y long"), "sc", "y").collect()}
+    got = {r.score: (r.n, r.n_pos, r.iso_p) for r in isotonic_calibration(
+        spark.createDataFrame(dirty, "sc long, y long"), "sc", "y").collect()}
+    # NULL scores must not contaminate real scores' prefix sums, and
+    # NULL labels must not silently count as negatives
+    assert got == want

@@ -165,3 +165,26 @@ def test_time_weighted_avg_null_and_single_obs(spark):
         "user_id long, ts timestamp, value double",
     )
     assert time_weighted_avg(df, "ts", "user_id", "value", bucket_us=100).count() == 0
+
+
+def test_time_weighted_avg_pre_epoch_floor_bucketing(spark):
+    from seizury_hrv_featuresextraction_spark.operators.windows import time_weighted_avg
+
+    import datetime
+
+    # obs at -50us held to +30us with 100us buckets: 50us of mass in
+    # bucket -100 (floor division), 30us in bucket 0 — truncating
+    # division would fold everything into bucket 0 and drop the
+    # pre-epoch 50us entirely
+    df = spark.createDataFrame(
+        [
+            (1, datetime.datetime.utcfromtimestamp(0) + datetime.timedelta(microseconds=-50), 2.0),
+            (1, datetime.datetime.utcfromtimestamp(0) + datetime.timedelta(microseconds=30), 9.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    got = {
+        (r.user_id, r.bucket_us_start): (r.covered_us, r.twa)
+        for r in time_weighted_avg(df, "ts", "user_id", "value", bucket_us=100).collect()
+    }
+    assert got == {(1, -100): (50, 2.0), (1, 0): (30, 2.0)}
