@@ -426,3 +426,87 @@ def isotonic_calibration(
             F.round("fit", 6).alias("iso_p"),
         )
     )
+
+
+def kaplan_meier(
+    subjects: DataFrame,
+    group_col: str,
+    duration_col: str,
+    observed_col: str,
+) -> DataFrame:
+    """E118: Kaplan-Meier product-limit survival estimator per group —
+    the standard right-censored time-to-event curve (churn, failure,
+    time-to-first-error) an A/B readout needs when many subjects are
+    still event-free at observation end: dropping censored subjects
+    biases survival down, counting them as events biases it up; KM is
+    the unbiased estimator.
+
+    ``subjects`` has ONE row per subject: integer ``duration_col`` (the
+    bounded time grid is the caller's quantization, e.g. hours) and
+    boolean/int ``observed_col`` (1 = the event happened at duration,
+    0 = right-censored there).  Returns per (group, event time t):
+    n_risk (subjects with duration >= t), d_events (events AT t), and
+    km = prod_{t' <= t} (1 - d/n) — one row per DISTINCT event time.
+
+    Determinism device: the survival product is order-DEPENDENT float
+    work, but its order is the time order, so it is computed as
+    exp(cumulative-window-sum of ln(1 - d/n)) OVER (ORDER BY t) — a
+    sorted prefix fold both engines execute in the identical sequence
+    (the repo's BM25/SampEn ln device, with the window, not a group
+    agg, carrying the float sum), then round-6.  d and n are exact
+    int64 counts; 1 - d/n is one exact-int64 division.
+
+    Scale shape: subjects collapse to per-(group, duration) counts via
+    ONE map-side-combined groupBy (the E87/E91 distinct-value device);
+    the at-risk counts and the survival fold are two frames over ONE
+    sort of that bounded distinct-time table partitioned by group —
+    the subject table is exchanged once, pre-aggregated.
+    """
+    g = subjects.groupBy(
+        F.col(group_col).alias("grp"), F.col(duration_col).cast("long").alias("t")
+    ).agg(
+        F.count(F.lit(1)).alias("n_at"),
+        F.sum(F.col(observed_col).cast("long")).alias("d"),
+    )
+    w_desc = (
+        Window.partitionBy("grp")
+        .orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_asc = (
+        Window.partitionBy("grp")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = g.select(
+        "grp",
+        "t",
+        "d",
+        F.sum("n_at").over(w_desc).alias("n_risk"),
+    )
+    # d = n_risk (everyone at risk dies) can only occur at the group's
+    # LAST time point, and ln(0) is an error in DuckDB — branch that
+    # terminal row to an exact 0.0 instead of folding ln(0) into the sum
+    term = F.when(
+        (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+        F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk").cast("double")),
+    ).otherwise(F.lit(0.0))
+    out = r.select(
+        "grp",
+        "t",
+        "d",
+        "n_risk",
+        F.when(F.col("d") >= F.col("n_risk"), F.lit(0.0))
+        .otherwise(F.exp(F.sum(term).over(w_asc)))
+        .alias("_s"),
+    )
+    return (
+        out.where(F.col("d") > 0)
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("t").alias("t"),
+            F.col("n_risk").cast("long").alias("n_risk"),
+            F.col("d").cast("long").alias("d_events"),
+            F.round("_s", 6).alias("km"),
+        )
+    )

@@ -5228,6 +5228,68 @@ def isotonic_calibration_docs_q(spark, sf_dir):
 
 
 @q(
+    "km_survival_events",
+    """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+    per AS (SELECT user_id, min(us) AS t0, max(us) AS tc,
+                   min(CASE WHEN event_type = 'error' THEN us END) AS te
+            FROM e GROUP BY 1),
+    subs AS (SELECT user_id % 2 AS variant,
+                    (coalesce(te, tc) - t0) // 3600000000 AS t,
+                    (te IS NOT NULL)::int AS obs
+             FROM per),
+    g AS (SELECT variant, t, count(*)::bigint AS n_at, sum(obs)::bigint AS d
+          FROM subs GROUP BY 1, 2),
+    r AS (SELECT variant, t, d,
+                 sum(n_at) OVER (PARTITION BY variant ORDER BY t DESC
+                                 ROWS UNBOUNDED PRECEDING) AS n_risk
+          FROM g),
+    s AS (SELECT variant, t, d, n_risk,
+                 CASE WHEN d >= n_risk THEN 0.0
+                      ELSE exp(sum(CASE WHEN d > 0 AND d < n_risk
+                                        THEN ln(1.0 - d::double / n_risk::double)
+                                        ELSE 0.0 END)
+                               OVER (PARTITION BY variant ORDER BY t
+                                     ROWS UNBOUNDED PRECEDING)) END AS s
+          FROM r)
+    SELECT variant, t, n_risk::bigint AS n_risk, d::bigint AS d_events,
+           round(s, 6) AS km
+    FROM s WHERE d > 0
+    """,
+)
+def km_survival_events_q(spark, sf_dir):
+    """E118: Kaplan-Meier survival per A/B variant — time-to-first-
+    'error' in hours from each user's first event, right-censored at
+    their last activity (the unbiased readout when many users are
+    still error-free at observation end: dropping censored users
+    biases survival down, counting them as events biases it up).
+    Subjects collapse to per-(variant, hour) exact counts; the at-risk
+    and survival folds are two frames over one bounded distinct-time
+    sort; the product is exp(ordered-window-sum of ln terms) — the
+    BM25/SampEn ln device with a DETERMINISTIC fold order, so the twin
+    replays it; the everyone-dies terminal row branches to exact 0.0
+    (ln(0) is an error in DuckDB)."""
+    from ..operators.evaluation import kaplan_meier
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+        "event_type",
+    )
+    per = ev.groupBy("user_id").agg(
+        F.min("us").alias("t0"),
+        F.max("us").alias("tc"),
+        F.min(F.when(F.col("event_type") == "error", F.col("us"))).alias("te"),
+    )
+    subs = per.select(
+        (F.col("user_id") % 2).alias("variant"),
+        F.expr("(coalesce(te, tc) - t0) div 3600000000").alias("dur_h"),
+        F.col("te").isNotNull().cast("long").alias("observed"),
+    )
+    return kaplan_meier(subs, "variant", "dur_h", "observed")
+
+
+@q(
     "auc_by_source_docs",
     """
     WITH d AS (SELECT source, n_chars AS s,

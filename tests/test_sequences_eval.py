@@ -200,3 +200,50 @@ def test_isotonic_null_scores_and_labels_dropped(spark):
     # NULL scores must not contaminate real scores' prefix sums, and
     # NULL labels must not silently count as negatives
     assert got == want
+
+
+def test_kaplan_meier_matches_textbook_replay(spark):
+    from seizury_hrv_featuresextraction_spark.operators.evaluation import kaplan_meier
+
+    # group A: classic mixed events/censoring; group B: full death at
+    # the last time point (the ln(0) branch)
+    subs = [
+        ("A", 2, 1), ("A", 2, 1), ("A", 2, 0), ("A", 5, 1), ("A", 7, 0), ("A", 9, 0),
+        ("B", 1, 1), ("B", 3, 1), ("B", 3, 1),
+    ]
+    df = spark.createDataFrame(subs, "grp string, dur long, obs long")
+    got = {(r.grp, r.t): (r.n_risk, r.d_events, r.km) for r in
+           kaplan_meier(df, "grp", "dur", "obs").collect()}
+
+    def km_replay(rows):
+        import collections
+        by_t = collections.defaultdict(lambda: [0, 0])
+        for d, o in rows:
+            by_t[d][0] += 1
+            by_t[d][1] += o
+        out, s, at_risk = {}, 1.0, len(rows)
+        for t in sorted(by_t):
+            n_at, d = by_t[t]
+            if d > 0:
+                s *= 1.0 - d / at_risk
+                out[t] = (at_risk, d, round(s, 6))
+            at_risk -= n_at
+        return out
+
+    for grp in ("A", "B"):
+        want = km_replay([(d, o) for g, d, o in subs if g == grp])
+        assert {t: got[(grp, t)] for g, t in got if g == grp} == want
+    # planted checks: A's curve = 1*(1-2/6)=0.666667 then *(1-1/3)=0.444444;
+    # B dies out -> exact 0.0 terminal
+    assert got[("A", 2)] == (6, 2, 0.666667)
+    assert got[("A", 5)] == (3, 1, 0.444444)
+    assert got[("B", 3)] == (2, 2, 0.0)
+
+
+def test_kaplan_meier_censor_only_group_has_no_rows(spark):
+    from seizury_hrv_featuresextraction_spark.operators.evaluation import kaplan_meier
+
+    df = spark.createDataFrame(
+        [("C", 4, 0), ("C", 8, 0)], "grp string, dur long, obs long"
+    )
+    assert kaplan_meier(df, "grp", "dur", "obs").count() == 0
