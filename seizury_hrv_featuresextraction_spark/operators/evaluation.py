@@ -510,3 +510,92 @@ def kaplan_meier(
             F.round("_s", 6).alias("km"),
         )
     )
+
+
+def logrank_test(
+    subjects: DataFrame,
+    group_col: str,
+    duration_col: str,
+    observed_col: str,
+    group_a_value,
+) -> DataFrame:
+    """E119: two-sample log-rank (Mantel-Cox) test — the significance
+    companion of the E118 KM curves: are two variants' survival
+    distributions different, accounting for censoring?  Group A is the
+    rows where ``group_col == group_a_value``; everything else is B.
+
+    One row out: O_A (observed events in A, exact int64), E_A
+    (expected under H0: sum over event times of n_A * d / n), V (the
+    hypergeometric variance sum n_A*n_B*d*(n-d) / (n^2*(n-1))) and
+    chi2 = (O_A - E_A)^2 / V (~ chi-square, 1 df, under H0).
+
+    Determinism: per-time counts are exact int64 via ONE conditional
+    aggregate on the duration (no per-group time axes to reconcile);
+    at-risk counts are desc-ordered cumulative windows; the E and V
+    accumulations are float, so they fold as ASC-ordered cumulative
+    windows over the bounded distinct-time table and the totals are
+    read off the last event-time row — both engines execute the
+    identical fold sequence (the E118 device).  Single-subject times
+    (n = 1) contribute 0 variance by the d(n-d) = 0 numerator; the
+    n - 1 = 0 denominator is branched, not divided.
+
+    Scale: the corpus collapses to per-duration counts in one map-side
+    combined exchange; all remaining work is windows over the bounded
+    distinct-time table (single-partition by design — the time axis of
+    a 2-arm test is small by construction).
+    """
+    is_a = F.col(group_col) == F.lit(group_a_value)
+    obs = F.col(observed_col).cast("long")
+    g = subjects.groupBy(F.col(duration_col).cast("long").alias("t")).agg(
+        F.count(F.lit(1)).alias("na"),
+        F.sum(obs).alias("d"),
+        F.sum(F.when(is_a, 1).otherwise(0).cast("long")).alias("na0"),
+        F.sum(F.when(is_a, obs).otherwise(F.lit(0).cast("long"))).alias("d0"),
+    )
+    w_desc = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = g.select(
+        "t",
+        "d",
+        "d0",
+        F.sum("na").over(w_desc).alias("n"),
+        F.sum("na0").over(w_desc).alias("n0"),
+    ).where(F.col("d") > 0)
+    e0 = F.col("n0").cast("double") * F.col("d").cast("double") / F.col("n").cast("double")
+    v = F.when(
+        F.col("n") > 1,
+        (
+            F.col("n0").cast("double")
+            * (F.col("n") - F.col("n0")).cast("double")
+            * F.col("d").cast("double")
+            * (F.col("n") - F.col("d")).cast("double")
+        )
+        / (
+            F.col("n").cast("double")
+            * F.col("n").cast("double")
+            * (F.col("n") - 1).cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
+    w_asc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = r.select(
+        "t",
+        F.sum("d0").over(w_asc).alias("o_a"),
+        F.sum(e0).over(w_asc).alias("e_a"),
+        F.sum(v).over(w_asc).alias("v"),
+    )
+    last = cum.orderBy(F.col("t").desc()).limit(1)
+    return last.select(
+        F.col("o_a").cast("long").alias("o_a"),
+        F.round("e_a", 6).alias("e_a"),
+        F.round("v", 6).alias("var_lr"),
+        F.round(
+            F.when(
+                F.col("v") > 0,
+                (F.col("o_a").cast("double") - F.col("e_a"))
+                * (F.col("o_a").cast("double") - F.col("e_a"))
+                / F.col("v"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("chi2"),
+    )

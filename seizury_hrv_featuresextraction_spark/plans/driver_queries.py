@@ -5290,6 +5290,76 @@ def km_survival_events_q(spark, sf_dir):
 
 
 @q(
+    "logrank_test_events",
+    """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+    per AS (SELECT user_id, min(us) AS t0, max(us) AS tc,
+                   min(CASE WHEN event_type = 'error' THEN us END) AS te
+            FROM e GROUP BY 1),
+    subs AS (SELECT user_id % 2 AS variant,
+                    (coalesce(te, tc) - t0) // 3600000000 AS t,
+                    (te IS NOT NULL)::int AS obs
+             FROM per),
+    g AS (SELECT t, count(*)::bigint AS na, sum(obs)::bigint AS d,
+                 sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)::bigint AS na0,
+                 sum(CASE WHEN variant = 0 THEN obs ELSE 0 END)::bigint AS d0
+          FROM subs GROUP BY 1),
+    r AS (SELECT t, d, d0,
+                 sum(na) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS n,
+                 sum(na0) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS n0
+          FROM g),
+    r2 AS (SELECT * FROM r WHERE d > 0),
+    cum AS (SELECT t,
+                   sum(d0) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS o_a,
+                   sum(n0::double * d::double / n::double)
+                     OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS e_a,
+                   sum(CASE WHEN n > 1
+                            THEN (n0::double * (n - n0)::double * d::double
+                                  * (n - d)::double)
+                                 / (n::double * n::double * (n - 1)::double)
+                            ELSE 0.0 END)
+                     OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS v
+            FROM r2),
+    lastrow AS (SELECT * FROM cum ORDER BY t DESC LIMIT 1)
+    SELECT o_a::bigint AS o_a, round(e_a, 6) AS e_a, round(v, 6) AS var_lr,
+           round(CASE WHEN v > 0
+                      THEN (o_a::double - e_a) * (o_a::double - e_a) / v
+                      ELSE 0.0 END, 6) AS chi2
+    FROM lastrow
+    """,
+)
+def logrank_test_events_q(spark, sf_dir):
+    """E119: two-sample log-rank (Mantel-Cox) test between the E118 A/B
+    variants — the significance readout for the survival curves (are
+    the two arms' time-to-first-error distributions different, with
+    censoring handled?).  Per-time counts are one conditional
+    aggregate on the duration; at-risk counts are desc-ordered
+    cumulative windows; the float E/V accumulations fold in ASC time
+    order over the bounded distinct-time table so both engines execute
+    the identical sequence, and the single summary row is read off the
+    last event time.  n = 1 times contribute zero variance by branch,
+    not division."""
+    from ..operators.evaluation import logrank_test
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+        "event_type",
+    )
+    per = ev.groupBy("user_id").agg(
+        F.min("us").alias("t0"),
+        F.max("us").alias("tc"),
+        F.min(F.when(F.col("event_type") == "error", F.col("us"))).alias("te"),
+    )
+    subs = per.select(
+        (F.col("user_id") % 2).alias("variant"),
+        F.expr("(coalesce(te, tc) - t0) div 3600000000").alias("dur_h"),
+        F.col("te").isNotNull().cast("long").alias("observed"),
+    )
+    return logrank_test(subs, "variant", "dur_h", "observed", 0)
+
+
+@q(
     "auc_by_source_docs",
     """
     WITH d AS (SELECT source, n_chars AS s,

@@ -247,3 +247,68 @@ def test_kaplan_meier_censor_only_group_has_no_rows(spark):
         [("C", 4, 0), ("C", 8, 0)], "grp string, dur long, obs long"
     )
     assert kaplan_meier(df, "grp", "dur", "obs").count() == 0
+
+
+def _logrank_replay(subs, a):
+    """Ordered-fold float replay of the Mantel-Cox statistic."""
+    import collections
+
+    by_t = collections.defaultdict(lambda: [0, 0, 0, 0])  # na, d, na0, d0
+    for g, t, o in subs:
+        row = by_t[t]
+        row[0] += 1
+        row[1] += o
+        if g == a:
+            row[2] += 1
+            row[3] += o
+    n = n0 = 0
+    rows = []
+    for t in sorted(by_t, reverse=True):
+        na, d, na0, d0 = by_t[t]
+        n += na
+        n0 += na0
+        if d > 0:
+            rows.append((t, d, d0, n, n0))
+    o_a = e_a = v = 0.0
+    oi = 0
+    for t, d, d0, n, n0 in sorted(rows):
+        oi += d0
+        e_a += n0 * d / n
+        if n > 1:
+            v += (n0 * (n - n0) * d * (n - d)) / (n * n * (n - 1))
+    chi2 = (oi - e_a) ** 2 / v if v > 0 else 0.0
+    return oi, round(e_a, 6), round(v, 6), round(chi2, 6)
+
+
+def test_logrank_matches_ordered_replay(spark):
+    from seizury_hrv_featuresextraction_spark.operators.evaluation import logrank_test
+
+    subs = [
+        ("A", 2, 1), ("A", 3, 0), ("A", 5, 1), ("A", 9, 0),
+        ("B", 1, 1), ("B", 2, 1), ("B", 4, 1), ("B", 6, 0), ("B", 6, 1),
+    ]
+    df = spark.createDataFrame(subs, "grp string, dur long, obs long")
+    r = logrank_test(df, "grp", "dur", "obs", "A").collect()[0]
+    o, e, v, c = _logrank_replay(subs, "A")
+    assert (r.o_a, r.e_a, r.var_lr, r.chi2) == (o, e, v, c)
+
+
+def test_logrank_identical_groups_near_zero(spark):
+    from seizury_hrv_featuresextraction_spark.operators.evaluation import logrank_test
+
+    arm = [(2, 1), (4, 1), (6, 0), (8, 1)]
+    subs = [("A", t, o) for t, o in arm] + [("B", t, o) for t, o in arm]
+    df = spark.createDataFrame(subs, "grp string, dur long, obs long")
+    r = logrank_test(df, "grp", "dur", "obs", "A").collect()[0]
+    # perfectly mirrored arms: observed == expected exactly
+    assert r.chi2 == 0.0 and abs(r.o_a - r.e_a) < 1e-9
+
+
+def test_logrank_separated_groups_large_chi2(spark):
+    from seizury_hrv_featuresextraction_spark.operators.evaluation import logrank_test
+
+    subs = [("A", t, 1) for t in range(1, 9)] + [("B", t, 1) for t in range(20, 28)]
+    df = spark.createDataFrame(subs, "grp string, dur long, obs long")
+    r = logrank_test(df, "grp", "dur", "obs", "A").collect()[0]
+    # A dies out long before B even starts: strongly significant
+    assert r.chi2 > 10.0
