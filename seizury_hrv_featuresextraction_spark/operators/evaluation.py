@@ -599,3 +599,74 @@ def logrank_test(
             6,
         ).alias("chi2"),
     )
+
+
+def cuped_adjust(
+    subjects: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """E120: CUPED variance-reduced experiment readout (Deng et al.
+    2013, WSDM — the industry-standard A/B variance-reduction device):
+    adjust each subject's post-period metric y by its PRE-period
+    covariate x, y_adj = y - theta * (x - mean(x)), theta =
+    cov(x, y) / var(x) estimated POOLED across arms (pre-period data
+    is independent of assignment, so the adjustment is unbiased), and
+    report per-arm adjusted means; the achievable variance shrink is
+    1 - corr(x, y)^2.
+
+    Exactness device (the E71/E86 integer-Gram family): ``x_col`` and
+    ``y_col`` must already be int64-quantized (the caller's scale
+    lever, cf. E114) — all sufficient statistics (n, Sx, Sy, Sxx, Syy,
+    Sxy) are then EXACT order-free int64 sums, theta and rho^2 are
+    single divisions of exact integer polynomials (n*Sxy - Sx*Sy over
+    n*Sxx - Sx^2 etc.), and each arm's adjusted mean is one fixed
+    float sequence over exact inputs — hash-exact in any engine with
+    no tolerance.  Degenerate pre-period (constant x) branches theta
+    and rho^2 to 0 rather than dividing by zero.
+
+    Scale: ONE subject-level aggregate per arm plus ONE pooled 1-row
+    stats frame broadcast back (the repo's crossJoin-broadcast
+    device); nothing subject-scale is shuffled twice.
+    """
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    pooled = subjects.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    arms = subjects.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_v"),
+        F.sum(x).alias("sx_v"),
+        F.sum(y).alias("sy_v"),
+    )
+    j = arms.crossJoin(F.broadcast(pooled))
+    cov_num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx_num = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary_num = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    theta = F.when(
+        varx_num > 0, cov_num.cast("double") / varx_num.cast("double")
+    ).otherwise(F.lit(0.0))
+    rho2 = F.when(
+        (varx_num > 0) & (vary_num > 0),
+        (cov_num.cast("double") * cov_num.cast("double"))
+        / (varx_num.cast("double") * vary_num.cast("double")),
+    ).otherwise(F.lit(0.0))
+    mean_y = F.col("sy_v").cast("double") / F.col("n_v").cast("double")
+    mean_adj = mean_y - theta * (
+        F.col("sx_v").cast("double") / F.col("n_v").cast("double")
+        - F.col("sx").cast("double") / F.col("n").cast("double")
+    )
+    return j.select(
+        F.col("grp").alias(group_col),
+        F.col("n_v").cast("long").alias("n_subjects"),
+        F.round(mean_y, 6).alias("mean_y"),
+        F.round(mean_adj, 6).alias("mean_y_cuped"),
+        F.round(theta, 6).alias("theta"),
+        F.round(rho2, 6).alias("var_reduction"),
+    )

@@ -5360,6 +5360,84 @@ def logrank_test_events_q(spark, sf_dir):
 
 
 @q(
+    "cuped_ab_events",
+    """
+    WITH per AS (SELECT user_id,
+                        sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                                 THEN CAST(round(value) AS bigint)
+                                 ELSE 0 END)::bigint AS x,
+                        sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                                 THEN CAST(round(value) AS bigint)
+                                 ELSE 0 END)::bigint AS y
+                 FROM events GROUP BY 1),
+    subs AS (SELECT user_id % 2 AS variant, x, y FROM per),
+    pooled AS (SELECT count(*)::bigint AS n, sum(x)::bigint AS sx,
+                      sum(y)::bigint AS sy, sum(x * x)::bigint AS sxx,
+                      sum(y * y)::bigint AS syy, sum(x * y)::bigint AS sxy
+               FROM subs),
+    arms AS (SELECT variant, count(*)::bigint AS n_v,
+                    sum(x)::bigint AS sx_v, sum(y)::bigint AS sy_v
+             FROM subs GROUP BY 1),
+    jj AS (SELECT * FROM arms, pooled),
+    c AS (SELECT *,
+                 n * sxy - sx * sy AS cov_num,
+                 n * sxx - sx * sx AS varx_num,
+                 n * syy - sy * sy AS vary_num
+          FROM jj),
+    t AS (SELECT *,
+                 CASE WHEN varx_num > 0
+                      THEN cov_num::double / varx_num::double
+                      ELSE 0.0 END AS theta,
+                 CASE WHEN varx_num > 0 AND vary_num > 0
+                      THEN (cov_num::double * cov_num::double)
+                           / (varx_num::double * vary_num::double)
+                      ELSE 0.0 END AS rho2
+          FROM c)
+    SELECT variant, n_v AS n_subjects,
+           round(sy_v::double / n_v::double, 6) AS mean_y,
+           round(sy_v::double / n_v::double
+                 - theta * (sx_v::double / n_v::double
+                            - sx::double / n::double), 6) AS mean_y_cuped,
+           round(theta, 6) AS theta,
+           round(rho2, 6) AS var_reduction
+    FROM t
+    """,
+)
+def cuped_ab_events_q(spark, sf_dir):
+    """E120: CUPED variance-reduced A/B readout (Deng et al. 2013) —
+    post-period metric (value sum, Jan 16+) adjusted by the pre-period
+    covariate (Jan 1-15 value sum) with theta estimated pooled across
+    arms; per-value int64 quantization makes every sufficient
+    statistic an exact order-free integer sum, so theta, rho^2 and the
+    adjusted means are fixed float sequences over exact inputs and the
+    twin is hash-exact.  One subject-level aggregate per arm + a
+    broadcast 1-row pooled stats frame."""
+    from ..operators.evaluation import cuped_adjust
+
+    split = "TIMESTAMP '2024-01-16 00:00:00'"
+    per = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.expr(f"ts < {split}"),
+                    F.expr("cast(round(value) as bigint)"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("x"),
+            F.sum(
+                F.when(
+                    F.expr(f"ts >= {split}"),
+                    F.expr("cast(round(value) as bigint)"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("y"),
+        )
+    )
+    subs = per.select((F.col("user_id") % 2).alias("variant"), "x", "y")
+    return cuped_adjust(subs, "variant", "x", "y")
+
+
+@q(
     "auc_by_source_docs",
     """
     WITH d AS (SELECT source, n_chars AS s,

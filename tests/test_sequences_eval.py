@@ -312,3 +312,41 @@ def test_logrank_separated_groups_large_chi2(spark):
     r = logrank_test(df, "grp", "dur", "obs", "A").collect()[0]
     # A dies out long before B even starts: strongly significant
     assert r.chi2 > 10.0
+
+
+def test_cuped_matches_numpy_replay_and_reduces_variance(spark):
+    from seizury_hrv_featuresextraction_spark.operators.evaluation import cuped_adjust
+
+    import numpy as np
+
+    rng = [(i % 2, 10 + 3 * i % 17, 0) for i in range(40)]
+    # y correlated with x plus a deterministic arm effect
+    subs = [(v, x, 2 * x + 5 + v * 7 + (i % 3)) for i, (v, x, _) in enumerate(rng)]
+    df = spark.createDataFrame(subs, "variant long, x long, y long")
+    got = {r.variant: r for r in cuped_adjust(df, "variant", "x", "y").collect()}
+
+    xs = np.array([x for _, x, _ in subs], float)
+    ys = np.array([y for _, _, y in subs], float)
+    theta = ((len(xs) * (xs * ys).sum() - xs.sum() * ys.sum())
+             / (len(xs) * (xs * xs).sum() - xs.sum() ** 2))
+    for v in (0, 1):
+        sel = [s for s in subs if s[0] == v]
+        my = sum(s[2] for s in sel) / len(sel)
+        madj = my - theta * (sum(s[1] for s in sel) / len(sel) - xs.mean())
+        assert abs(got[v].mean_y - my) < 1e-6
+        assert abs(got[v].mean_y_cuped - madj) < 1e-6
+        assert abs(got[v].theta - theta) < 1e-6
+    # strong x-y correlation -> large promised variance reduction, and
+    # the adjusted arm difference still shows the planted +7 effect
+    assert got[0].var_reduction > 0.8
+    assert abs((got[1].mean_y_cuped - got[0].mean_y_cuped) - 7.0) < 1.0
+
+
+def test_cuped_constant_covariate_degrades_gracefully(spark):
+    from seizury_hrv_featuresextraction_spark.operators.evaluation import cuped_adjust
+
+    subs = [(0, 5, 10), (0, 5, 14), (1, 5, 20)]
+    df = spark.createDataFrame(subs, "variant long, x long, y long")
+    got = {r.variant: r for r in cuped_adjust(df, "variant", "x", "y").collect()}
+    assert got[0].theta == 0.0 and got[0].var_reduction == 0.0
+    assert got[0].mean_y_cuped == got[0].mean_y == 12.0
