@@ -670,3 +670,120 @@ def cuped_adjust(
         F.round(theta, 6).alias("theta"),
         F.round(rho2, 6).alias("var_reduction"),
     )
+
+
+# Poisson(1) CDF at k = 0..8, shared with the DuckDB twin as plan
+# literals: both engines compare the SAME doubles, so the hash-derived
+# weights are bit-identical (the inverse-CDF lookup truncates at 9)
+POISSON1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+    0.9999897508033253,
+    0.999998874797402,
+)
+
+
+def bootstrap_mean_ci(
+    subjects: DataFrame,
+    group_col: str,
+    id_col: str,
+    y_col: str,
+    n_boot: int = 64,
+    salt: str = "bs",
+) -> DataFrame:
+    """E121: per-group mean with a Poisson-bootstrap confidence
+    interval — the SCALE-NATIVE bootstrap (Chamandy et al., Google
+    2012): classical resampling needs n draws WITH replacement from a
+    distributed table (a shuffle per resample); poissonization gives
+    each row an independent Poisson(1) multiplicity instead, so all
+    ``n_boot`` resamples are computed in ONE map-local pass — the
+    weight is a pure function of (id, b), no state, no shuffle, and
+    the resample is reproducible under retries/resume (the E73
+    determinism rule: never rand()).
+
+    Weights: u = md5-hash(salt, id, b) mapped to [0, 1); w = Poisson(1)
+    inverse-CDF lookup against the POISSON1_CDF plan literals (shared
+    verbatim with the twin, so both engines compare identical doubles;
+    the lookup truncates at multiplicity 9, P ~ 1e-6).
+    ``y_col`` must be int64 (the E120 quantization lever): each
+    resample's sums sum(w*y), sum(w) are then EXACT integers and
+    mean_b is one division.  CI = nearest-rank 2.5/97.5 percentiles
+    over the n_boot resample means, picked by row_number over the
+    BOUNDED (group, n_boot) table with b as the deterministic
+    tie-break.
+
+    Scale: one subject-scale map-local explode (x n_boot), one
+    (group, b) aggregate of exact ints, then bounded-table windows.
+    """
+    b = F.explode(F.sequence(F.lit(0), F.lit(int(n_boot) - 1))).alias("b")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit(salt), F.col("_id").cast("string"), F.col("b").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    w = sum(
+        (F.col("u") >= F.lit(float(c))).cast("long") for c in POISSON1_CDF
+    )
+    amplified = (
+        subjects.select(F.col(group_col).alias("grp"), F.col(id_col).alias("_id"),
+                        F.col(y_col).cast("long").alias("y"), b)
+        .withColumn("u", u)
+        .withColumn("w", w)
+    )
+    means = (
+        amplified.groupBy("grp", "b")
+        .agg(F.sum(F.col("w") * F.col("y")).alias("swy"), F.sum("w").alias("sw"))
+        .where(F.col("sw") > 0)
+        .select(
+            "grp",
+            "b",
+            (F.col("swy").cast("double") / F.col("sw").cast("double")).alias("mean_b"),
+        )
+    )
+    w_rank = Window.partitionBy("grp").orderBy("mean_b", "b")
+    ranked = means.withColumn("rn", F.row_number().over(w_rank))
+    import math as _math
+
+    lo_rn = max(1, _math.ceil(0.025 * n_boot))
+    hi_rn = _math.ceil(0.975 * n_boot)
+    ci = (
+        ranked.groupBy("grp")
+        .agg(
+            F.max(F.when(F.col("rn") == lo_rn, F.col("mean_b"))).alias("ci_lo"),
+            F.max(F.when(F.col("rn") == hi_rn, F.col("mean_b"))).alias("ci_hi"),
+            F.count(F.lit(1)).alias("n_boot"),
+        )
+    )
+    point = subjects.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_subjects"),
+        F.sum(F.col(y_col).cast("long")).alias("sy"),
+    )
+    return (
+        point.join(ci, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("n_subjects").cast("long").alias("n_subjects"),
+            F.round(F.col("sy").cast("double") / F.col("n_subjects").cast("double"), 6).alias(
+                "mean_y"
+            ),
+            F.round("ci_lo", 6).alias("ci_lo"),
+            F.round("ci_hi", 6).alias("ci_hi"),
+            F.col("n_boot").cast("long").alias("n_boot"),
+        )
+    )

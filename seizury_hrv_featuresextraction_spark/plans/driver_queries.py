@@ -5438,6 +5438,76 @@ def cuped_ab_events_q(spark, sf_dir):
 
 
 @q(
+    "bootstrap_ci_events",
+    """
+    WITH per AS (SELECT user_id,
+                        sum(CAST(round(value) AS bigint))::bigint AS y
+                 FROM events GROUP BY 1),
+    subs AS (SELECT user_id % 2 AS variant, user_id, y FROM per),
+    amp AS (SELECT variant, user_id, y,
+                   unnest(generate_series(0, 63)) AS b
+            FROM subs),
+    uw AS (SELECT variant, b, y,
+                  ('0x' || substr(md5('bs:' || user_id::varchar || ':'
+                                       || b::varchar), 1, 8))::bigint
+                  / 4294967296.0 AS u
+           FROM amp),
+    ww AS (SELECT variant, b, y,
+                  ((u >= 0.36787944117144233)::int
+                   + (u >= 0.7357588823428847)::int
+                   + (u >= 0.9196986029286058)::int
+                   + (u >= 0.9810118431238463)::int
+                   + (u >= 0.9963401531726563)::int
+                   + (u >= 0.9994058151824183)::int
+                   + (u >= 0.999916758850712)::int
+                   + (u >= 0.9999897508033253)::int
+                   + (u >= 0.999998874797402)::int)::bigint AS w
+           FROM uw),
+    m AS (SELECT variant, b, sum(w * y)::bigint AS swy, sum(w)::bigint AS sw
+          FROM ww GROUP BY 1, 2),
+    mb AS (SELECT variant, b, swy::double / sw::double AS mean_b
+           FROM m WHERE sw > 0),
+    rk AS (SELECT variant, b, mean_b,
+                  row_number() OVER (PARTITION BY variant
+                                     ORDER BY mean_b, b) AS rn
+           FROM mb),
+    ci AS (SELECT variant,
+                  max(CASE WHEN rn = 2 THEN mean_b END) AS ci_lo,
+                  max(CASE WHEN rn = 63 THEN mean_b END) AS ci_hi,
+                  count(*)::bigint AS n_boot
+           FROM rk GROUP BY 1),
+    pt AS (SELECT variant, count(*)::bigint AS n_subjects,
+                  sum(y)::bigint AS sy
+           FROM subs GROUP BY 1)
+    SELECT pt.variant, n_subjects,
+           round(sy::double / n_subjects::double, 6) AS mean_y,
+           round(ci_lo, 6) AS ci_lo, round(ci_hi, 6) AS ci_hi, n_boot
+    FROM pt JOIN ci ON pt.variant = ci.variant
+    """,
+)
+def bootstrap_ci_events_q(spark, sf_dir):
+    """E121: Poisson-bootstrap CI for the per-variant mean user value —
+    the scale-native bootstrap (Chamandy et al., Google 2012):
+    classical resampling needs a shuffle per resample; hash-derived
+    Poisson(1) multiplicities compute all 64 resamples in ONE
+    map-local pass, reproducible under retry/resume (never rand()).
+    Weights are an inverse-CDF lookup against shared plan literals,
+    resample sums are exact integers, and the nearest-rank 2.5/97.5
+    percentiles come from a row_number window over the bounded
+    (variant, 64) table with b as the deterministic tie-break — the
+    twin replays everything hash-exact."""
+    from ..operators.evaluation import bootstrap_mean_ci
+
+    per = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.sum(F.expr("cast(round(value) as bigint)")).alias("y"))
+    )
+    subs = per.select((F.col("user_id") % 2).alias("variant"), "user_id", "y")
+    return bootstrap_mean_ci(subs, "variant", "user_id", "y", n_boot=64)
+
+
+@q(
     "auc_by_source_docs",
     """
     WITH d AS (SELECT source, n_chars AS s,

@@ -350,3 +350,36 @@ def test_cuped_constant_covariate_degrades_gracefully(spark):
     got = {r.variant: r for r in cuped_adjust(df, "variant", "x", "y").collect()}
     assert got[0].theta == 0.0 and got[0].var_reduction == 0.0
     assert got[0].mean_y_cuped == got[0].mean_y == 12.0
+
+
+def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
+    from seizury_hrv_featuresextraction_spark.operators.evaluation import (
+        bootstrap_mean_ci,
+    )
+
+    subs = [(i % 2, i, 100 + (i * 37) % 60) for i in range(200)]
+    df = spark.createDataFrame(subs, "variant long, uid long, y long")
+    r1 = {r.variant: r for r in bootstrap_mean_ci(df, "variant", "uid", "y").collect()}
+    for v in (0, 1):
+        r = r1[v]
+        assert r.ci_lo <= r.mean_y <= r.ci_hi  # CI brackets the point estimate
+        assert r.ci_hi - r.ci_lo < 20  # sane width for this spread
+        assert r.n_boot == 64 and r.n_subjects == 100
+    # pure function of (id, b): a repartitioned rerun is BIT-identical
+    r2 = {r.variant: r for r in
+          bootstrap_mean_ci(df.repartition(7), "variant", "uid", "y").collect()}
+    assert {v: tuple(r1[v]) for v in r1} == {v: tuple(r2[v]) for v in r2}
+
+
+def test_bootstrap_weights_are_poisson_like(spark):
+    from seizury_hrv_featuresextraction_spark.operators.evaluation import (
+        POISSON1_CDF,
+        bootstrap_mean_ci,  # noqa: F401  (imported for the literal table)
+    )
+    import math
+
+    # the CDF literals themselves are the Poisson(1) CDF
+    c = 0.0
+    for k, lit in enumerate(POISSON1_CDF):
+        c += math.exp(-1) / math.factorial(k)
+        assert abs(lit - c) < 1e-15
