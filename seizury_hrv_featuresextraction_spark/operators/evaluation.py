@@ -13,6 +13,8 @@
 
 from __future__ import annotations
 
+import math
+
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -462,11 +464,18 @@ def kaplan_meier(
     sort of that bounded distinct-time table partitioned by group —
     the subject table is exchanged once, pre-aggregated.
     """
-    g = subjects.groupBy(
-        F.col(group_col).alias("grp"), F.col(duration_col).cast("long").alias("t")
-    ).agg(
-        F.count(F.lit(1)).alias("n_at"),
-        F.sum(F.col(observed_col).cast("long")).alias("d"),
+    g = (
+        subjects
+        # NULL durations would sort NULLS FIRST into Spark's survival
+        # window but NULLS LAST in a SQL twin (the isotonic guard's
+        # defect class); NULL observed flags would silently censor —
+        # both are out-of-contract rows, dropped up front
+        .where(F.col(duration_col).isNotNull() & F.col(observed_col).isNotNull())
+        .groupBy(F.col(group_col).alias("grp"), F.col(duration_col).cast("long").alias("t"))
+        .agg(
+            F.count(F.lit(1)).alias("n_at"),
+            F.sum(F.col(observed_col).cast("long")).alias("d"),
+        )
     )
     w_desc = (
         Window.partitionBy("grp")
@@ -546,6 +555,12 @@ def logrank_test(
     """
     is_a = F.col(group_col) == F.lit(group_a_value)
     obs = F.col(observed_col).cast("long")
+    # same NULL-duration/observed guard as kaplan_meier: the ASC/DESC
+    # cumulative windows place NULL t on opposite ends in Spark vs a
+    # SQL twin, and the summary row is read off the max event time
+    subjects = subjects.where(
+        F.col(duration_col).isNotNull() & F.col(observed_col).isNotNull()
+    )
     g = subjects.groupBy(F.col(duration_col).cast("long").alias("t")).agg(
         F.count(F.lit(1)).alias("na"),
         F.sum(obs).alias("d"),
@@ -632,6 +647,10 @@ def cuped_adjust(
     """
     x = F.col(x_col).cast("long")
     y = F.col(y_col).cast("long")
+    # count(*) would count rows whose NULL x/y the sums skip, silently
+    # corrupting theta's integer polynomials — NULL metrics are
+    # out-of-contract rows, dropped before any statistic
+    subjects = subjects.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
     pooled = subjects.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(x).alias("sx"),
@@ -720,6 +739,11 @@ def bootstrap_mean_ci(
     Scale: one subject-scale map-local explode (x n_boot), one
     (group, b) aggregate of exact ints, then bounded-table windows.
     """
+    # NULL ids would hash to a SHARED weight stream in Spark (concat_ws
+    # skips NULL segments) yet vanish in a ||-concatenation twin; NULL
+    # metrics would deflate every resample mean (weights kept, products
+    # skipped) — both out-of-contract, dropped up front
+    subjects = subjects.where(F.col(id_col).isNotNull() & F.col(y_col).isNotNull())
     b = F.explode(F.sequence(F.lit(0), F.lit(int(n_boot) - 1))).alias("b")
     u = (
         F.conv(
@@ -757,11 +781,20 @@ def bootstrap_mean_ci(
         )
     )
     w_rank = Window.partitionBy("grp").orderBy("mean_b", "b")
-    ranked = means.withColumn("rn", F.row_number().over(w_rank))
-    import math as _math
-
-    lo_rn = max(1, _math.ceil(0.025 * n_boot))
-    hi_rn = _math.ceil(0.975 * n_boot)
+    w_all = Window.partitionBy("grp")
+    # rank the percentiles against the SURVIVING resample count, not the
+    # nominal n_boot: sw = 0 resamples are dropped (P ~ e^-n per group),
+    # and a fixed rank of 63 would match nothing in a small group,
+    # emitting NULL CI bounds.  ceil(q * cnt) in exact integer form so
+    # both engines agree on boundary counts
+    ranked = means.select(
+        "grp",
+        "mean_b",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("cnt"),
+    )
+    lo_rn = F.greatest(F.lit(1).cast("long"), F.expr("(25 * cnt + 999) div 1000"))
+    hi_rn = F.expr("(975 * cnt + 999) div 1000")
     ci = (
         ranked.groupBy("grp")
         .agg(

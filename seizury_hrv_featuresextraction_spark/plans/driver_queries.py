@@ -5227,9 +5227,7 @@ def isotonic_calibration_docs_q(spark, sf_dir):
     return isotonic_calibration(scored, "sc", "y")
 
 
-@q(
-    "km_survival_events",
-    """
+_SURVIVAL_SUBS_SQL = """
     WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
     per AS (SELECT user_id, min(us) AS t0, max(us) AS tc,
                    min(CASE WHEN event_type = 'error' THEN us END) AS te
@@ -5237,7 +5235,34 @@ def isotonic_calibration_docs_q(spark, sf_dir):
     subs AS (SELECT user_id % 2 AS variant,
                     (coalesce(te, tc) - t0) // 3600000000 AS t,
                     (te IS NOT NULL)::int AS obs
-             FROM per),
+             FROM per)"""
+
+
+def _survival_subjects(spark, sf_dir):
+    """Shared E118/E119 subject prep: per-user time-to-first-'error' in
+    hours from the first event, right-censored at the last event;
+    variant = user_id % 2.  One place so the two queries (and their
+    twins via _SURVIVAL_SUBS_SQL) cannot drift apart."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+        "event_type",
+    )
+    per = ev.groupBy("user_id").agg(
+        F.min("us").alias("t0"),
+        F.max("us").alias("tc"),
+        F.min(F.when(F.col("event_type") == "error", F.col("us"))).alias("te"),
+    )
+    return per.select(
+        (F.col("user_id") % 2).alias("variant"),
+        F.expr("(coalesce(te, tc) - t0) div 3600000000").alias("dur_h"),
+        F.col("te").isNotNull().cast("long").alias("observed"),
+    )
+
+
+@q(
+    "km_survival_events",
+    _SURVIVAL_SUBS_SQL + """,
     g AS (SELECT variant, t, count(*)::bigint AS n_at, sum(obs)::bigint AS d
           FROM subs GROUP BY 1, 2),
     r AS (SELECT variant, t, d,
@@ -5271,35 +5296,12 @@ def km_survival_events_q(spark, sf_dir):
     (ln(0) is an error in DuckDB)."""
     from ..operators.evaluation import kaplan_meier
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
-        "event_type",
-    )
-    per = ev.groupBy("user_id").agg(
-        F.min("us").alias("t0"),
-        F.max("us").alias("tc"),
-        F.min(F.when(F.col("event_type") == "error", F.col("us"))).alias("te"),
-    )
-    subs = per.select(
-        (F.col("user_id") % 2).alias("variant"),
-        F.expr("(coalesce(te, tc) - t0) div 3600000000").alias("dur_h"),
-        F.col("te").isNotNull().cast("long").alias("observed"),
-    )
-    return kaplan_meier(subs, "variant", "dur_h", "observed")
+    return kaplan_meier(_survival_subjects(spark, sf_dir), "variant", "dur_h", "observed")
 
 
 @q(
     "logrank_test_events",
-    """
-    WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
-    per AS (SELECT user_id, min(us) AS t0, max(us) AS tc,
-                   min(CASE WHEN event_type = 'error' THEN us END) AS te
-            FROM e GROUP BY 1),
-    subs AS (SELECT user_id % 2 AS variant,
-                    (coalesce(te, tc) - t0) // 3600000000 AS t,
-                    (te IS NOT NULL)::int AS obs
-             FROM per),
+    _SURVIVAL_SUBS_SQL + """,
     g AS (SELECT t, count(*)::bigint AS na, sum(obs)::bigint AS d,
                  sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)::bigint AS na0,
                  sum(CASE WHEN variant = 0 THEN obs ELSE 0 END)::bigint AS d0
@@ -5341,22 +5343,7 @@ def logrank_test_events_q(spark, sf_dir):
     not division."""
     from ..operators.evaluation import logrank_test
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
-        "event_type",
-    )
-    per = ev.groupBy("user_id").agg(
-        F.min("us").alias("t0"),
-        F.max("us").alias("tc"),
-        F.min(F.when(F.col("event_type") == "error", F.col("us"))).alias("te"),
-    )
-    subs = per.select(
-        (F.col("user_id") % 2).alias("variant"),
-        F.expr("(coalesce(te, tc) - t0) div 3600000000").alias("dur_h"),
-        F.col("te").isNotNull().cast("long").alias("observed"),
-    )
-    return logrank_test(subs, "variant", "dur_h", "observed", 0)
+    return logrank_test(_survival_subjects(spark, sf_dir), "variant", "dur_h", "observed", 0)
 
 
 @q(
@@ -5469,11 +5456,14 @@ def cuped_ab_events_q(spark, sf_dir):
            FROM m WHERE sw > 0),
     rk AS (SELECT variant, b, mean_b,
                   row_number() OVER (PARTITION BY variant
-                                     ORDER BY mean_b, b) AS rn
+                                     ORDER BY mean_b, b) AS rn,
+                  count(*) OVER (PARTITION BY variant) AS cnt
            FROM mb),
     ci AS (SELECT variant,
-                  max(CASE WHEN rn = 2 THEN mean_b END) AS ci_lo,
-                  max(CASE WHEN rn = 63 THEN mean_b END) AS ci_hi,
+                  max(CASE WHEN rn = greatest(1, (25 * cnt + 999) // 1000)
+                           THEN mean_b END) AS ci_lo,
+                  max(CASE WHEN rn = (975 * cnt + 999) // 1000
+                           THEN mean_b END) AS ci_hi,
                   count(*)::bigint AS n_boot
            FROM rk GROUP BY 1),
     pt AS (SELECT variant, count(*)::bigint AS n_subjects,

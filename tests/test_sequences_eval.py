@@ -383,3 +383,69 @@ def test_bootstrap_weights_are_poisson_like(spark):
     for k, lit in enumerate(POISSON1_CDF):
         c += math.exp(-1) / math.factorial(k)
         assert abs(lit - c) < 1e-15
+
+
+def test_survival_family_null_contracts(spark):
+    from seizury_hrv_featuresextraction_spark.operators.evaluation import (
+        bootstrap_mean_ci,
+        cuped_adjust,
+        kaplan_meier,
+        logrank_test,
+    )
+
+    # NULL durations/observed/metrics/ids are out-of-contract rows and
+    # must be DROPPED, not silently sorted/counted (Spark and DuckDB
+    # put NULL sort keys on opposite ends; count(*) counts rows whose
+    # NULLs the sums skip)
+    km_clean = [("A", 2, 1), ("A", 5, 0), ("A", 7, 1)]
+    km_dirty = km_clean + [("A", None, 1), ("A", 3, None)]
+    km = lambda rows: {  # noqa: E731
+        (r.grp, r.t): (r.n_risk, r.d_events, r.km)
+        for r in kaplan_meier(
+            spark.createDataFrame(rows, "grp string, dur long, obs long"),
+            "grp", "dur", "obs",
+        ).collect()
+    }
+    assert km(km_dirty) == km(km_clean)
+
+    lr = lambda rows: tuple(  # noqa: E731
+        logrank_test(
+            spark.createDataFrame(rows, "grp string, dur long, obs long"),
+            "grp", "dur", "obs", "A",
+        ).collect()[0]
+    )
+    lr_clean = [("A", 2, 1), ("A", 6, 0), ("B", 3, 1), ("B", 9, 1)]
+    assert lr(lr_clean + [("B", None, 1), ("A", 4, None)]) == lr(lr_clean)
+
+    cu_clean = [(0, 1, 2), (0, 3, 7), (1, 2, 5), (1, 4, 9)]
+    cu = lambda rows: {  # noqa: E731
+        r.variant: tuple(r)
+        for r in cuped_adjust(
+            spark.createDataFrame(rows, "variant long, x long, y long"),
+            "variant", "x", "y",
+        ).collect()
+    }
+    assert cu(cu_clean + [(0, None, 4), (1, 5, None)]) == cu(cu_clean)
+
+    bs_clean = [(0, i, 10 + i) for i in range(12)]
+    bs = lambda rows: {  # noqa: E731
+        r.variant: tuple(r)
+        for r in bootstrap_mean_ci(
+            spark.createDataFrame(rows, "variant long, uid long, y long"),
+            "variant", "uid", "y",
+        ).collect()
+    }
+    assert bs(bs_clean + [(0, None, 99), (0, 50, None)]) == bs(bs_clean)
+
+
+def test_bootstrap_tiny_group_ci_never_null(spark):
+    from seizury_hrv_featuresextraction_spark.operators.evaluation import (
+        bootstrap_mean_ci,
+    )
+
+    # a 1-subject group loses ~e^-1 of its resamples to sw = 0: the
+    # percentile ranks must target the SURVIVING count, not nominal 64
+    df = spark.createDataFrame([(0, 7, 42)], "variant long, uid long, y long")
+    r = bootstrap_mean_ci(df, "variant", "uid", "y").collect()[0]
+    assert r.ci_lo == r.ci_hi == r.mean_y == 42.0
+    assert 0 < r.n_boot < 64
