@@ -820,3 +820,84 @@ def bootstrap_mean_ci(
             F.col("n_boot").cast("long").alias("n_boot"),
         )
     )
+
+
+def winsorized_mean(
+    subjects: DataFrame,
+    group_col: str,
+    y_col: str,
+    lo_pct_num: int = 1,
+    hi_pct_num: int = 99,
+    pct_den: int = 100,
+) -> DataFrame:
+    """E122: per-group winsorized mean — the standard robust A/B
+    metric treatment (a single whale user can move a raw mean by more
+    than any plausible treatment effect; winsorization clips to the
+    [p_lo, p_hi] quantiles instead of dropping rows, keeping the
+    estimator unbiased-ish under bounded contamination).
+
+    EXACT, no approximate percentiles: the corpus collapses to
+    per-(group, distinct value) counts (the E87/E91 device), the
+    nearest-rank quantile cut points are found from cumulative counts
+    with pure integer arithmetic (k_lo = ceil(p_lo * n), k_hi =
+    ceil(p_hi * n), both as (num * n + den - 1) div den), and the
+    winsorized sum folds cnt * clip(y, lo, hi) over the distinct-value
+    table — every statistic an exact order-free int64, the mean the
+    single final division.  NULL metrics are out-of-contract rows,
+    dropped up front.
+
+    Scale: ONE map-side-combined (group, value) aggregate exchanges
+    the corpus pre-aggregated; the cumulative window sorts only the
+    distinct-value table partitioned by group.
+    """
+    if not (0 <= lo_pct_num < hi_pct_num <= pct_den):
+        raise ValueError("percentile bounds must satisfy 0 <= lo < hi <= den")
+    g = (
+        subjects.where(F.col(y_col).isNotNull())
+        .groupBy(F.col(group_col).alias("grp"), F.col(y_col).cast("long").alias("y"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_asc = (
+        Window.partitionBy("grp")
+        .orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("grp")
+    r = g.select(
+        "grp",
+        "y",
+        "cnt",
+        F.sum("cnt").over(w_asc).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+        F.sum(F.col("cnt") * F.col("y")).over(w_all).alias("sy"),
+    )
+    k_lo = F.expr(f"({int(lo_pct_num)} * n + {int(pct_den)} - 1) div {int(pct_den)}")
+    k_hi = F.expr(f"({int(hi_pct_num)} * n + {int(pct_den)} - 1) div {int(pct_den)}")
+    cuts = r.groupBy("grp").agg(
+        F.min(F.when(F.col("cum") >= k_lo, F.col("y"))).alias("y_lo"),
+        F.min(F.when(F.col("cum") >= k_hi, F.col("y"))).alias("y_hi"),
+        F.max("n").alias("n"),
+        F.max("sy").alias("sy"),
+    )
+    j = g.join(cuts, "grp")
+    clipped = F.greatest(F.col("y_lo"), F.least(F.col("y_hi"), F.col("y")))
+    return (
+        j.groupBy("grp")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("sy").alias("sy"),
+            F.max("y_lo").alias("y_lo"),
+            F.max("y_hi").alias("y_hi"),
+            F.sum(F.col("cnt") * clipped).alias("swin"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("n").cast("long").alias("n_subjects"),
+            F.round(F.col("sy").cast("double") / F.col("n").cast("double"), 6).alias("mean_raw"),
+            F.round(F.col("swin").cast("double") / F.col("n").cast("double"), 6).alias(
+                "mean_winsorized"
+            ),
+            F.col("y_lo").cast("long").alias("y_lo"),
+            F.col("y_hi").cast("long").alias("y_hi"),
+        )
+    )

@@ -5498,6 +5498,55 @@ def bootstrap_ci_events_q(spark, sf_dir):
 
 
 @q(
+    "winsorized_mean_events",
+    """
+    WITH per AS (SELECT user_id,
+                        sum(CAST(round(value) AS bigint))::bigint AS y
+                 FROM events GROUP BY 1),
+    subs AS (SELECT user_id % 2 AS variant, y FROM per),
+    g AS (SELECT variant, y, count(*)::bigint AS cnt FROM subs GROUP BY 1, 2),
+    r AS (SELECT variant, y, cnt,
+                 sum(cnt) OVER (PARTITION BY variant ORDER BY y
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                 sum(cnt) OVER (PARTITION BY variant) AS n,
+                 sum(cnt * y) OVER (PARTITION BY variant) AS sy
+          FROM g),
+    cuts AS (SELECT variant,
+                    min(CASE WHEN cum >= (1 * n + 99) // 100 THEN y END) AS y_lo,
+                    min(CASE WHEN cum >= (99 * n + 99) // 100 THEN y END) AS y_hi,
+                    max(n) AS n, max(sy) AS sy
+             FROM r GROUP BY 1),
+    j AS (SELECT g.variant, g.y, g.cnt, c.y_lo, c.y_hi, c.n, c.sy
+          FROM g JOIN cuts c ON g.variant = c.variant)
+    SELECT variant, max(n)::bigint AS n_subjects,
+           round(max(sy)::double / max(n)::double, 6) AS mean_raw,
+           round(sum(cnt * greatest(y_lo, least(y_hi, y)))::double
+                 / max(n)::double, 6) AS mean_winsorized,
+           max(y_lo)::bigint AS y_lo, max(y_hi)::bigint AS y_hi
+    FROM j GROUP BY variant
+    """,
+)
+def winsorized_mean_events_q(spark, sf_dir):
+    """E122: per-variant winsorized mean user value — the robust A/B
+    metric treatment (a whale user moves a raw mean more than any
+    plausible treatment effect; clipping to the exact nearest-rank
+    [p1, p99] keeps every subject).  No approximate percentiles: the
+    corpus collapses to per-(variant, distinct value) counts, cut
+    points come from cumulative counts in pure integer arithmetic, and
+    the winsorized sum folds cnt * clip(y) over the bounded
+    distinct-value table — hash-exact twin."""
+    from ..operators.evaluation import winsorized_mean
+
+    per = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.sum(F.expr("cast(round(value) as bigint)")).alias("y"))
+    )
+    subs = per.select((F.col("user_id") % 2).alias("variant"), "y")
+    return winsorized_mean(subs, "variant", "y")
+
+
+@q(
     "auc_by_source_docs",
     """
     WITH d AS (SELECT source, n_chars AS s,

@@ -449,3 +449,27 @@ def test_bootstrap_tiny_group_ci_never_null(spark):
     r = bootstrap_mean_ci(df, "variant", "uid", "y").collect()[0]
     assert r.ci_lo == r.ci_hi == r.mean_y == 42.0
     assert 0 < r.n_boot < 64
+
+
+def test_winsorized_mean_clips_whales_exactly(spark):
+    from seizury_hrv_featuresextraction_spark.operators.evaluation import (
+        winsorized_mean,
+    )
+
+    # 98 ordinary subjects + one tiny + one whale in group 0
+    ys = list(range(10, 108)) + [0, 1000000]
+    subs = [(0, y) for y in ys] + [(1, 5), (1, 7), (1, None)]
+    df = spark.createDataFrame(subs, "variant long, y long")
+    got = {r.variant: r for r in winsorized_mean(df, "variant", "y").collect()}
+    r0 = got[0]
+    # nearest-rank cut points on n=100: k_lo=1 -> smallest value,
+    # k_hi=99 -> 99th smallest = 107
+    assert (r0.y_lo, r0.y_hi) == (0, 107)
+    want = sorted(ys)
+    clipped = [min(max(y, 0), 107) for y in want]
+    assert r0.mean_winsorized == round(sum(clipped) / 100, 6)
+    assert r0.mean_raw == round(sum(ys) / 100, 6)
+    # the whale moved the raw mean ~10000x more than the winsorized one
+    assert r0.mean_raw > 10000 and r0.mean_winsorized < 70
+    # NULL metric dropped from the contract (group 1: n=2)
+    assert got[1].n_subjects == 2 and got[1].mean_winsorized == 6.0
