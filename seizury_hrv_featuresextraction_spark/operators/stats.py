@@ -1093,3 +1093,70 @@ def quantile_normalize(
         F.round("__q", 6).alias("cdf"),
         F.col("__target").alias("target"),
     )
+
+
+def theil_sen_slope(
+    series: DataFrame,
+    key_col: str,
+    t_col: str,
+    y_col: str,
+) -> DataFrame:
+    """E123: per-key Theil-Sen robust trend — the median of all
+    pairwise slopes (Sen 1968), the robust-regression companion of the
+    E88 EWMA trend: OLS has breakdown point 0 (one corrupted day flips
+    the fitted sign), Theil-Sen tolerates ~29% outliers, the right
+    estimator for per-user/per-source health trends over noisy
+    telemetry.
+
+    Exactness: ``t_col`` and ``y_col`` must be int64 (the repo's
+    quantization lever) — every pairwise slope is ONE exact-int64-
+    difference division (identical doubles both engines), and the
+    median is the LOWER median selected by row_number with the pair's
+    (t1, t2) as deterministic tie-break (the robust_outliers exact-
+    median device; no interpolation, no approximate percentile).
+    NULL t/y rows are dropped up front; duplicate timestamps collapse
+    map-side by max (pairs need distinct t); keys with a single
+    distinct t are dropped (no slope exists).
+
+    Scale: the pair join is per-key (one shuffle on the key) and the
+    pair count is bounded by the series length the caller's time
+    quantization implies — days per user, not events per user; the
+    median rank window sorts only each key's bounded pair list.
+    """
+    o = (
+        series.where(F.col(t_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(F.col(key_col).alias("k"), F.col(t_col).cast("long").alias("t"))
+        .agg(F.max(F.col(y_col).cast("long")).alias("y"))
+    )
+    a = o.select(F.col("k"), F.col("t").alias("t1"), F.col("y").alias("y1"))
+    b = o.select(F.col("k"), F.col("t").alias("t2"), F.col("y").alias("y2"))
+    pairs = a.join(b, "k").where(F.col("t1") < F.col("t2")).select(
+        "k",
+        "t1",
+        "t2",
+        (
+            (F.col("y2") - F.col("y1")).cast("double")
+            / (F.col("t2") - F.col("t1")).cast("double")
+        ).alias("slope"),
+    )
+    w_rank = Window.partitionBy("k").orderBy("slope", "t1", "t2")
+    w_all = Window.partitionBy("k")
+    ranked = pairs.select(
+        "k",
+        "slope",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n_pairs"),
+    )
+    days = o.groupBy("k").agg(F.count(F.lit(1)).alias("n_t"))
+    med = ranked.where(F.col("rn") == F.expr("(n_pairs + 1) div 2")).select(
+        "k", F.col("n_pairs").cast("long").alias("n_pairs"), F.round("slope", 6).alias("slope_ts")
+    )
+    return (
+        days.join(med, "k")
+        .select(
+            F.col("k").alias(key_col),
+            F.col("n_t").cast("long").alias("n_t"),
+            "n_pairs",
+            "slope_ts",
+        )
+    )

@@ -5498,6 +5498,56 @@ def bootstrap_ci_events_q(spark, sf_dir):
 
 
 @q(
+    "theil_sen_trend_events",
+    """
+    WITH d AS (SELECT user_id,
+                      epoch_us(ts) // 86400000000 AS day,
+                      CAST(round(value) AS bigint) AS v
+               FROM events
+               WHERE ts IS NOT NULL AND value IS NOT NULL),
+    per AS (SELECT user_id, day, sum(v)::bigint AS y
+            FROM d GROUP BY 1, 2),
+    o AS (SELECT user_id AS k, day AS t, max(y)::bigint AS y
+          FROM per GROUP BY 1, 2),
+    p AS (SELECT a.k, a.t AS t1, b.t AS t2,
+                 (b.y - a.y)::double / (b.t - a.t)::double AS slope
+          FROM o a JOIN o b ON a.k = b.k AND a.t < b.t),
+    rk AS (SELECT k, slope, t1, t2,
+                  row_number() OVER (PARTITION BY k
+                                     ORDER BY slope, t1, t2) AS rn,
+                  count(*) OVER (PARTITION BY k) AS n_pairs
+           FROM p),
+    dd AS (SELECT k, count(*)::bigint AS n_t FROM o GROUP BY 1),
+    med AS (SELECT k, n_pairs::bigint AS n_pairs, round(slope, 6) AS slope_ts
+            FROM rk WHERE rn = (n_pairs + 1) // 2)
+    SELECT dd.k AS user_id, dd.n_t, med.n_pairs, med.slope_ts
+    FROM dd JOIN med ON dd.k = med.k
+    """,
+)
+def theil_sen_trend_events_q(spark, sf_dir):
+    """E123: per-user Theil-Sen robust trend of daily value totals —
+    the median of all pairwise slopes (Sen 1968; breakdown ~29% vs
+    OLS's 0).  Time quantized to days, metric to int64 units, so each
+    pairwise slope is one exact-integer-difference division and the
+    LOWER median is picked by row_number with (t1, t2) as the
+    deterministic tie-break — hash-exact twin.  Pair count per key is
+    bounded by the DAY count the quantization implies, never the
+    event count."""
+    from ..operators.stats import theil_sen_slope
+
+    per = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .groupBy(
+            "user_id",
+            F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("day"),
+        )
+        .agg(F.sum(F.expr("cast(round(value) as bigint)")).alias("y"))
+    )
+    return theil_sen_slope(per, "user_id", "day", "y")
+
+
+@q(
     "winsorized_mean_events",
     """
     WITH per AS (SELECT user_id,

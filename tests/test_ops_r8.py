@@ -1006,3 +1006,35 @@ def test_null_handling_review_fixes(spark):
     out = grouped_mad_outliers(df, "value", ["g"], "id", z_thresh=3.5).collect()
     assert [r["id"] for r in out] == [6]  # the 1000.0 spike, nothing else
     assert out[0]["med"] == 5.0
+
+
+# --- E123: Theil-Sen robust trend -----------------------------------------
+
+def test_theil_sen_matches_replay_and_resists_outlier(spark):
+    from seizury_hrv_featuresextraction_spark.operators.stats import theil_sen_slope
+
+    # key 1: clean slope 3 line with ONE corrupted day (OLS would bend,
+    # the pairwise-slope median must not); key 2: single day dropped;
+    # duplicate (k, t) collapses by max; NULL rows dropped
+    rows = (
+        [(1, t, 3 * t + 10) for t in range(8)]
+        + [(1, 4, 1000), (2, 5, 7), (1, None, 5), (1, 3, None)]
+    )
+    df = spark.createDataFrame(rows, "k long, t long, y long")
+    got = {r.k: (r.n_t, r.n_pairs, r.slope_ts) for r in
+           theil_sen_slope(df, "k", "t", "y").collect()}
+    assert set(got) == {1}  # key 2 has one point -> no slope
+    n_t, n_pairs, slope = got[1]
+    assert n_t == 8 and n_pairs == 28
+    # replay: dup day 4 keeps max(22, 1000) = 1000, lower median of the
+    # 28 pairwise slopes
+    pts = {t: 3 * t + 10 for t in range(8)}
+    pts[4] = 1000
+    slopes = sorted(
+        (pts[t2] - pts[t1]) / (t2 - t1)
+        for t1 in pts for t2 in pts if t1 < t2
+    )
+    assert slope == round(slopes[(28 + 1) // 2 - 1], 6)
+    # robustness: the corrupted day leaves the median slope at the
+    # clean value 3.0 (7 of 8 points are colinear)
+    assert slope == 3.0
