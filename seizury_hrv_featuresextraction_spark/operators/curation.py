@@ -1698,3 +1698,47 @@ def finalize_datacard(stats: DataFrame) -> DataFrame:
             F.round(F.col("__top_n").cast("double") / n, 6).alias("top_lang_share"),
         )
     )
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    qi_cols: Sequence[str],
+    sensitive_col: str,
+    k: int = 5,
+    l_div: int = 2,
+) -> DataFrame:
+    """E124: k-anonymity / l-diversity disclosure-risk audit (Sweeney
+    2002; Machanavajjhala 2007) — the structured-data privacy
+    companion of E23 text PII redaction: before a table (or the
+    metadata sidecar of a training corpus) is shared, every
+    quasi-identifier combination must hide among >= k records
+    (re-identification risk) AND span >= l distinct sensitive values
+    (attribute-disclosure risk — a 10-record group is useless cover if
+    all 10 share the sensitive value).
+
+    Returns one row per QI equivalence class: the QI values, n_records,
+    n_sensitive (distinct sensitive values, NULL counting as its own
+    value via a sentinel so a NULL-only group is not vacuously
+    diverse), and the two boolean flags.  Pure exact counting — one
+    (QI) group exchange, the distinct-sensitive count a second
+    map-side-combined aggregate on (QI, sensitive); nothing
+    approximate, hash-exact in any engine.  Risk triage at 100 TB:
+    the output is the bounded QI-class table, and the flags make the
+    "rows to suppress or generalize" set a simple anti-join.
+    """
+    if k < 1 or l_div < 1:
+        raise ValueError("k and l must be >= 1")
+    qs = [F.col(c) for c in qi_cols]
+    sent = F.coalesce(F.col(sensitive_col).cast("string"), F.lit("\x00null"))
+    per_sv = df.groupBy(*qs, sent.alias("_sv")).agg(F.count(F.lit(1)).alias("_c"))
+    out = per_sv.groupBy(*qs).agg(
+        F.sum("_c").cast("long").alias("n_records"),
+        F.count(F.lit(1)).cast("long").alias("n_sensitive"),
+    )
+    return out.select(
+        *qi_cols,
+        "n_records",
+        "n_sensitive",
+        (F.col("n_records") >= F.lit(int(k))).alias("k_anonymous"),
+        (F.col("n_sensitive") >= F.lit(int(l_div))).alias("l_diverse"),
+    )

@@ -5498,6 +5498,43 @@ def bootstrap_ci_events_q(spark, sf_dir):
 
 
 @q(
+    "k_anonymity_customers",
+    """
+    WITH q AS (SELECT c_nationkey AS nation,
+                      (CAST(floor(c_acctbal / 1000.0) AS bigint)) AS bal_band,
+                      coalesce(c_mktsegment, chr(0) || 'null') AS sv
+               FROM customer),
+    per_sv AS (SELECT nation, bal_band, sv, count(*)::bigint AS c
+               FROM q GROUP BY 1, 2, 3)
+    SELECT nation, bal_band,
+           sum(c)::bigint AS n_records,
+           count(*)::bigint AS n_sensitive,
+           sum(c) >= 5 AS k_anonymous,
+           count(*) >= 2 AS l_diverse
+    FROM per_sv GROUP BY 1, 2
+    """,
+)
+def k_anonymity_customers_q(spark, sf_dir):
+    """E124: k-anonymity / l-diversity disclosure-risk audit over
+    customer — QI = (nation, acctbal thousand-band), sensitive =
+    market segment, k=5 / l=2 (Sweeney 2002; Machanavajjhala 2007) —
+    the structured-data privacy companion of the E23 text PII
+    redaction: every QI class must hide among >= k records AND span
+    >= l sensitive values before the table can be shared.  Pure exact
+    counting over the bounded QI-class table; NULL sensitive values
+    count as their own value via a sentinel so a NULL-only group is
+    not vacuously diverse."""
+    from ..operators.curation import k_anonymity_audit
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nation"),
+        F.expr("cast(floor(c_acctbal / 1000.0) as bigint)").alias("bal_band"),
+        "c_mktsegment",
+    )
+    return k_anonymity_audit(cust, ["nation", "bal_band"], "c_mktsegment", k=5, l_div=2)
+
+
+@q(
     "theil_sen_trend_events",
     """
     WITH d AS (SELECT user_id,

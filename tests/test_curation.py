@@ -920,3 +920,46 @@ def test_datacard_incremental_merge_equals_recompute(spark):
         assert set(got) == set(whole)
         for s in whole:
             assert got[s].asDict() == whole[s].asDict(), s
+
+
+# --- E124: k-anonymity / l-diversity audit --------------------------------
+
+def test_k_anonymity_audit_flags_and_null_sentinel(spark):
+    from seizury_hrv_featuresextraction_spark.operators.curation import (
+        k_anonymity_audit,
+    )
+
+    rows = (
+        # group (1, 1): 5 records, 2 sensitive values -> both pass
+        [(1, 1, "A")] * 3 + [(1, 1, "B")] * 2
+        # group (1, 2): 4 records -> fails k; 2 values -> passes l
+        + [(1, 2, "A")] * 2 + [(1, 2, "B")] * 2
+        # group (2, 1): 6 records all "A" -> passes k, fails l
+        + [(2, 1, "A")] * 6
+        # group (2, 2): 5 records all NULL -> sentinel makes ONE value,
+        # so the group is NOT vacuously diverse
+        + [(2, 2, None)] * 5
+    )
+    df = spark.createDataFrame(rows, "g long, band long, seg string")
+    got = {
+        (r.g, r.band): (r.n_records, r.n_sensitive, r.k_anonymous, r.l_diverse)
+        for r in k_anonymity_audit(df, ["g", "band"], "seg", k=5, l_div=2).collect()
+    }
+    assert got == {
+        (1, 1): (5, 2, True, True),
+        (1, 2): (4, 2, False, True),
+        (2, 1): (6, 1, True, False),
+        (2, 2): (5, 1, True, False),
+    }
+    # NULL and the literal string it would naively collide with stay
+    # distinct under the \x00 sentinel
+    df2 = spark.createDataFrame(
+        [(1, 1, None), (1, 1, "\x00null-ish")], "g long, band long, seg string"
+    )
+    r = k_anonymity_audit(df2, ["g", "band"], "seg", k=1, l_div=2).collect()[0]
+    assert r.n_sensitive == 2
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        k_anonymity_audit(df, ["g"], "seg", k=0)
