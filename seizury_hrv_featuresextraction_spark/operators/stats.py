@@ -1160,3 +1160,68 @@ def theil_sen_slope(
             "slope_ts",
         )
     )
+
+
+# Benford first-digit probabilities log10(1 + 1/d), d = 1..9 — plan
+# literals shared verbatim with the DuckDB twin (identical doubles)
+BENFORD_P = (
+    0.3010299956639812,
+    0.17609125905568124,
+    0.12493873660829993,
+    0.09691001300805642,
+    0.07918124604762482,
+    0.06694678963061322,
+    0.05799194697768673,
+    0.05115252244738129,
+    0.04575749056067514,
+)
+
+
+def benford_audit(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """E125: Benford's-law first-significant-digit audit per group —
+    the classic data-forensics screen (fabricated, unit-mixed or
+    truncated numeric feeds drift off the log10(1 + 1/d) curve long
+    before any schema check fires).  Wrong-looking sources get flagged
+    BEFORE their rows poison a training corpus.
+
+    First significant digit via string math — no float log in the
+    digit extraction: the value's abs is formatted, zeros/dots
+    stripped, first char taken (rows with no significant digit — 0 or
+    NULL — are dropped as contract rows).  Per group: the nine digit
+    counts as ONE conditional aggregate row, then chi2 = sum_d
+    (c_d - n*p_d)^2 / (n*p_d) written as NINE EXPLICIT TERMS folded in
+    fixed d = 1..9 order (a group-sum of floats would be shuffle-order
+    nondeterministic; the unrolled expression is one deterministic
+    sequence over exact int64 counts and the shared BENFORD_P
+    literals).  One map-side-combined exchange; output is one bounded
+    row per group, hash-exact.
+    """
+    first = F.substring(
+        F.regexp_replace(F.format_number(F.abs(F.col(value_col)).cast("double"), 10), "[0.,]", ""),
+        1,
+        1,
+    )
+    d = df.where(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("grp"), first.alias("fd")
+    ).where(F.col("fd") != "")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for k in range(1, 10):
+        aggs.append(
+            F.sum((F.col("fd") == str(k)).cast("long")).alias(f"c{k}")
+        )
+    g = d.groupBy("grp").agg(*aggs)
+    chi2 = F.lit(0.0)
+    for k in range(1, 10):
+        e = F.col("n").cast("double") * F.lit(BENFORD_P[k - 1])
+        diff = F.col(f"c{k}").cast("double") - e
+        chi2 = chi2 + diff * diff / e
+    return g.select(
+        F.col("grp").alias(group_col),
+        F.col("n").cast("long").alias("n_values"),
+        *[F.col(f"c{k}").cast("long").alias(f"c{k}") for k in range(1, 10)],
+        F.round(chi2, 6).alias("chi2"),
+    )

@@ -5498,6 +5498,74 @@ def bootstrap_ci_events_q(spark, sf_dir):
 
 
 @q(
+    "benford_audit_events",
+    """
+    WITH d AS (SELECT event_type AS grp,
+                      substr(regexp_replace(printf('%.10f', abs(value)),
+                                            '[0.,]', '', 'g'), 1, 1) AS fd
+               FROM events WHERE value IS NOT NULL),
+    d2 AS (SELECT grp, fd FROM d WHERE fd <> ''),
+    g AS (SELECT grp, count(*)::bigint AS n,
+                 sum((fd = '1')::int)::bigint AS c1,
+                 sum((fd = '2')::int)::bigint AS c2,
+                 sum((fd = '3')::int)::bigint AS c3,
+                 sum((fd = '4')::int)::bigint AS c4,
+                 sum((fd = '5')::int)::bigint AS c5,
+                 sum((fd = '6')::int)::bigint AS c6,
+                 sum((fd = '7')::int)::bigint AS c7,
+                 sum((fd = '8')::int)::bigint AS c8,
+                 sum((fd = '9')::int)::bigint AS c9
+          FROM d2 GROUP BY 1)
+    SELECT grp AS event_type, n AS n_values,
+           c1, c2, c3, c4, c5, c6, c7, c8, c9,
+           round(0.0
+             + (c1::double - n::double * 0.3010299956639812)
+               * (c1::double - n::double * 0.3010299956639812)
+               / (n::double * 0.3010299956639812)
+             + (c2::double - n::double * 0.17609125905568124)
+               * (c2::double - n::double * 0.17609125905568124)
+               / (n::double * 0.17609125905568124)
+             + (c3::double - n::double * 0.12493873660829993)
+               * (c3::double - n::double * 0.12493873660829993)
+               / (n::double * 0.12493873660829993)
+             + (c4::double - n::double * 0.09691001300805642)
+               * (c4::double - n::double * 0.09691001300805642)
+               / (n::double * 0.09691001300805642)
+             + (c5::double - n::double * 0.07918124604762482)
+               * (c5::double - n::double * 0.07918124604762482)
+               / (n::double * 0.07918124604762482)
+             + (c6::double - n::double * 0.06694678963061322)
+               * (c6::double - n::double * 0.06694678963061322)
+               / (n::double * 0.06694678963061322)
+             + (c7::double - n::double * 0.05799194697768673)
+               * (c7::double - n::double * 0.05799194697768673)
+               / (n::double * 0.05799194697768673)
+             + (c8::double - n::double * 0.05115252244738129)
+               * (c8::double - n::double * 0.05115252244738129)
+               / (n::double * 0.05115252244738129)
+             + (c9::double - n::double * 0.04575749056067514)
+               * (c9::double - n::double * 0.04575749056067514)
+               / (n::double * 0.04575749056067514), 6) AS chi2
+    FROM g
+    """,
+)
+def benford_audit_events_q(spark, sf_dir):
+    """E125: Benford first-significant-digit audit of the event value
+    per event type — the classic data-forensics screen (fabricated,
+    unit-mixed or truncated numeric feeds drift off log10(1 + 1/d)
+    long before a schema check fires).  Digit extraction is string
+    math (no float log), the nine counts are one conditional
+    aggregate, and chi2 unrolls as nine explicit terms folded in fixed
+    d = 1..9 order over shared plan literals — a group-sum of floats
+    would be shuffle-order nondeterministic, the unrolled expression
+    is one deterministic sequence, so the twin is hash-exact."""
+    from ..operators.stats import benford_audit
+
+    ev = load_table(spark, sf_dir, "events")
+    return benford_audit(ev, "event_type", "value")
+
+
+@q(
     "k_anonymity_customers",
     """
     WITH q AS (SELECT c_nationkey AS nation,

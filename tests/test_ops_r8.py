@@ -1038,3 +1038,48 @@ def test_theil_sen_matches_replay_and_resists_outlier(spark):
     # robustness: the corrupted day leaves the median slope at the
     # clean value 3.0 (7 of 8 points are colinear)
     assert slope == 3.0
+
+
+# --- E125: Benford first-digit audit --------------------------------------
+
+def test_benford_audit_digits_and_chi2(spark):
+    from seizury_hrv_featuresextraction_spark.operators.stats import (
+        BENFORD_P,
+        benford_audit,
+    )
+    import math
+
+    # the literal table IS log10(1 + 1/d)
+    for d in range(1, 10):
+        assert abs(BENFORD_P[d - 1] - math.log10(1 + 1 / d)) < 1e-15
+
+    # digit extraction: sub-1 values, exact powers, zeros/NULLs dropped
+    rows = [
+        ("a", 123.0), ("a", 0.052), ("a", 20.1), ("a", 0.9), ("a", 9000.0),
+        ("a", 0.0), ("a", None),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = benford_audit(df, "g", "v").collect()[0]
+    assert r.n_values == 5
+    assert (r.c1, r.c2, r.c5, r.c9) == (1, 1, 1, 2)
+    # chi2 replay in the same fixed fold order
+    cs = [r.c1, r.c2, r.c3, r.c4, r.c5, r.c6, r.c7, r.c8, r.c9]
+    chi2 = 0.0
+    for k in range(9):
+        e = r.n_values * BENFORD_P[k]
+        chi2 += (cs[k] - e) * (cs[k] - e) / e
+    assert r.chi2 == round(chi2, 6)
+
+
+def test_benford_separates_conforming_from_uniform(spark):
+    from seizury_hrv_featuresextraction_spark.operators.stats import benford_audit
+
+    import math
+
+    # group "ok": approximately Benford via a geometric ramp 10^(i/200);
+    # group "bad": uniform first digits 1..9 repeated
+    ok = [("ok", float(10 ** (i / 200))) for i in range(600)]
+    bad = [("bad", float(d)) for d in range(1, 10)] * 67
+    df = spark.createDataFrame(ok + bad, "g string, v double")
+    got = {r.g: r.chi2 for r in benford_audit(df, "g", "v").collect()}
+    assert got["bad"] > 10 * max(got["ok"], 1.0)
