@@ -1225,3 +1225,99 @@ def benford_audit(
         *[F.col(f"c{k}").cast("long").alias(f"c{k}") for k in range(1, 10)],
         F.round(chi2, 6).alias("chi2"),
     )
+
+
+def shapley_attribution(
+    users: DataFrame,
+    mask_col: str,
+    conv_col: str,
+    channel_names: Sequence[str],
+) -> DataFrame:
+    """E126: EXACT Shapley-value attribution over a bounded channel
+    universe — the game-theoretic answer to "which source/channel
+    actually drives conversions" (marketing attribution; the identical
+    machinery is data-source Shapley for training-corpus valuation,
+    Ghorbani & Zou 2019): last-touch over-credits closers, first-touch
+    over-credits openers, Shapley is the unique efficient symmetric
+    split.
+
+    ``users`` has one row per subject: ``mask_col`` the int bitmask of
+    channels the subject was exposed to (bit i = channel_names[i]) and
+    boolean/int ``conv_col``.  The coalition value v(S) is the
+    conversion rate among subjects exposed to EXACTLY S (empty masks
+    contribute v = 0 — documented, deterministic).  k = len(channels)
+    must be small (<= 8): the whole computation lives on the COMPLETE
+    2^k-row mask table, so it is corpus-independent after one subject
+    aggregate.
+
+    phi_i = sum over S without i of |S|!(k-|S|-1)!/k! * (v(S+i) - v(S));
+    the factorial weights are exact integer plan literals (scaled by
+    k!), each v one exact-count division, and the 2^(k-1)-term float
+    sum folds in ASC mask order via a cumulative window (the E118
+    ordered-fold device) — hash-exact in any engine.  Efficiency holds
+    by construction: sum phi_i = v(full) - v(empty).
+    """
+    k = len(channel_names)
+    if not (1 <= k <= 8):
+        raise ValueError("channel universe must have 1..8 members")
+    n_masks = 1 << k
+    fact = [1] * (k + 1)
+    for i in range(1, k + 1):
+        fact[i] = fact[i - 1] * i
+    spark = users.sparkSession
+    g = users.groupBy(F.col(mask_col).cast("long").alias("mask")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(conv_col).cast("long")).alias("c"),
+    )
+    full = spark.range(n_masks).select(F.col("id").alias("mask"))
+    m = full.join(g, "mask", "left").select(
+        "mask",
+        F.when(
+            F.coalesce(F.col("n"), F.lit(0)) > 0,
+            F.col("c").cast("double") / F.col("n").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("v"),
+    ).localCheckpoint(eager=True)  # 2^k rows, referenced per channel
+    chans = spark.createDataFrame(
+        [(i, name, 1 << i) for i, name in enumerate(channel_names)],
+        "ci long, channel string, bit long",
+    )
+    a = m.select(F.col("mask").alias("s"), F.col("v").alias("v_s"))
+    b = m.select(F.col("mask").alias("s_i"), F.col("v").alias("v_si"))
+    pairs = (
+        chans.join(a, F.expr("(s & bit) = 0"))
+        .join(b, F.expr("s_i = (s | bit)"))
+        .select(
+            "ci",
+            "channel",
+            "s",
+            (
+                F.expr(
+                    "CASE "
+                    + " ".join(
+                        f"WHEN bit_count(s) = {sz} THEN {fact[sz] * fact[k - sz - 1]}"
+                        for sz in range(k)
+                    )
+                    + " END"
+                ).cast("double")
+                * (F.col("v_si") - F.col("v_s"))
+            ).alias("term"),
+        )
+    )
+    w_asc = (
+        Window.partitionBy("ci")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_desc = Window.partitionBy("ci").orderBy(F.col("s").desc())
+    folded = pairs.select(
+        "ci",
+        "channel",
+        F.sum("term").over(w_asc).alias("cum"),
+        F.row_number().over(w_desc).alias("rn"),
+    )
+    return folded.where(F.col("rn") == 1).select(
+        "channel",
+        F.round(F.col("cum") / F.lit(float(fact[k])), 6).alias("shapley"),
+    )

@@ -5498,6 +5498,69 @@ def bootstrap_ci_events_q(spark, sf_dir):
 
 
 @q(
+    "shapley_attribution_events",
+    """
+    WITH per AS (SELECT user_id,
+                        (max((event_type = 'click')::int)
+                         + 2 * max((event_type = 'error')::int)
+                         + 4 * max((event_type = 'signup')::int)
+                         + 8 * max((event_type = 'view')::int))::bigint AS mask,
+                        max((event_type = 'purchase')::int)::bigint AS conv
+                 FROM events GROUP BY 1),
+    g AS (SELECT mask, count(*)::bigint AS n, sum(conv)::bigint AS c
+          FROM per GROUP BY 1),
+    f AS (SELECT unnest(generate_series(0, 15))::bigint AS mask),
+    m AS (SELECT f.mask,
+                 CASE WHEN coalesce(g.n, 0) > 0
+                      THEN g.c::double / g.n::double ELSE 0.0 END AS v
+          FROM f LEFT JOIN g ON f.mask = g.mask),
+    ch AS (SELECT * FROM (VALUES (0, 'click', 1), (1, 'error', 2),
+                                 (2, 'signup', 4), (3, 'view', 8))
+                       AS t(ci, channel, bit)),
+    p AS (SELECT ch.ci, ch.channel, a.mask AS s,
+                 (CASE bit_count(a.mask) WHEN 0 THEN 6 WHEN 1 THEN 2
+                                         WHEN 2 THEN 2 WHEN 3 THEN 6
+                  END)::double * (b.v - a.v) AS term
+          FROM ch JOIN m a ON (a.mask & ch.bit) = 0
+                  JOIN m b ON b.mask = (a.mask | ch.bit)),
+    f2 AS (SELECT ci, channel,
+                  sum(term) OVER (PARTITION BY ci ORDER BY s
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                  row_number() OVER (PARTITION BY ci ORDER BY s DESC) AS rn
+           FROM p)
+    SELECT channel, round(cum / 24.0, 6) AS shapley FROM f2 WHERE rn = 1
+    """,
+)
+def shapley_attribution_events_q(spark, sf_dir):
+    """E126: exact Shapley attribution of purchase conversion across
+    the four exposure channels (click/error/signup/view) — the
+    game-theoretic split (last-touch over-credits closers; Shapley is
+    the unique efficient symmetric answer; the identical machinery is
+    data-source Shapley for corpus valuation, Ghorbani & Zou 2019).
+    One subject aggregate collapses the corpus to the COMPLETE 16-row
+    mask table; coalition values are exact-count divisions, the
+    factorial weights exact integer literals, and each channel's
+    8-term float sum folds in ASC mask order (the E118 device) — the
+    twin replays the lattice hash-exact."""
+    from ..operators.stats import shapley_attribution
+
+    per = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            (
+                F.max((F.col("event_type") == "click").cast("long"))
+                + 2 * F.max((F.col("event_type") == "error").cast("long"))
+                + 4 * F.max((F.col("event_type") == "signup").cast("long"))
+                + 8 * F.max((F.col("event_type") == "view").cast("long"))
+            ).alias("mask"),
+            F.max((F.col("event_type") == "purchase").cast("long")).alias("conv"),
+        )
+    )
+    return shapley_attribution(per, "mask", "conv", ["click", "error", "signup", "view"])
+
+
+@q(
     "benford_audit_events",
     """
     WITH d AS (SELECT event_type AS grp,

@@ -1083,3 +1083,51 @@ def test_benford_separates_conforming_from_uniform(spark):
     df = spark.createDataFrame(ok + bad, "g string, v double")
     got = {r.g: r.chi2 for r in benford_audit(df, "g", "v").collect()}
     assert got["bad"] > 10 * max(got["ok"], 1.0)
+
+
+# --- E126: exact Shapley attribution --------------------------------------
+
+def test_shapley_matches_brute_force_and_is_efficient(spark):
+    from seizury_hrv_featuresextraction_spark.operators.stats import (
+        shapley_attribution,
+    )
+    import itertools
+    import math
+
+    # 3 channels; conversion only when A and B are both present
+    rows = []
+    for mask in range(8):
+        n = 10 + mask
+        conv = n // 2 if (mask & 1 and mask & 2) else 0
+        rows += [(mask, 1)] * conv + [(mask, 0)] * (n - conv)
+    df = spark.createDataFrame(rows, "mask long, conv long")
+    got = {r.channel: r.shapley for r in
+           shapley_attribution(df, "mask", "conv", ["A", "B", "C"]).collect()}
+
+    by = {}
+    for mask, c in rows:
+        n0, c0 = by.get(mask, (0, 0))
+        by[mask] = (n0 + 1, c0 + c)
+    v = {m: (by[m][1] / by[m][0] if by.get(m, (0, 0))[0] else 0.0) for m in range(8)}
+    k = 3
+    want = {}
+    for i, name in enumerate(["A", "B", "C"]):
+        phi = 0.0
+        for s in range(8):
+            if s & (1 << i):
+                continue
+            w = math.factorial(bin(s).count("1")) * math.factorial(k - bin(s).count("1") - 1)
+            phi += w * (v[s | (1 << i)] - v[s])
+        want[name] = phi / math.factorial(k)
+    for name in want:
+        assert abs(got[name] - want[name]) < 1e-6
+    # efficiency: shares sum to v(full) - v(empty); symmetry: A == B by
+    # construction; null player: C contributes ~0
+    assert abs(sum(got.values()) - (v[7] - v[0])) < 1e-5
+    assert abs(got["A"] - got["B"]) < 1e-9
+    assert abs(got["C"]) < 0.02
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        shapley_attribution(df, "mask", "conv", ["a"] * 9)
