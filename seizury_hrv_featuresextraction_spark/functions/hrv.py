@@ -42,6 +42,20 @@ REFERENCE_FEATURES = TIME_FEATURES + FREQ_FEATURES + NONLINEAR_FEATURES  # the 2
 ALL_FEATURES = REFERENCE_FEATURES + ["TRI_INDEX"]  # +1 engine extension
 N_FEATURES = len(ALL_FEATURES)
 
+# feature name -> kernel part (see WindowKernel.windows_from_bounds)
+_PART_OF = (
+    {f: "time" for f in TIME_FEATURES}
+    | {f: "freq" for f in FREQ_FEATURES}
+    | {f: "poincare" for f in ("SD1", "SD2", "SD1toSD2")}
+    | {f: "entropy" for f in ("SampEn", "ApEn")}
+    | {"TRI_INDEX": "tri"}
+)
+
+
+def parts_for(features) -> frozenset:
+    """Kernel part set needed to produce the named feature columns."""
+    return frozenset(_PART_OF[f] for f in features)
+
 
 # ---------------------------------------------------------------------------
 # per-window kernels (each takes rr in seconds)
@@ -81,6 +95,29 @@ class FrequencyKernel:
         self.w_vlf = trapz_band_weights(freqs, *cfg.vlf_band)
         self.w_lf = trapz_band_weights(freqs, *cfg.lf_band)
         self.w_hf = trapz_band_weights(freqs, *cfg.hf_band)
+        # fused batch design per length n: (D2, W2) with D2 = [cosv; sinv]
+        # stacked (2F, n) and W2 (2F, 4) folding the 1/cc, 1/ss quadrature
+        # norms and the four trapezoid band weights into one matrix, so a
+        # block's four band powers are ONE GEMM + square + ONE small GEMM
+        # instead of two GEMMs, two where-selects, two divisions and four
+        # band GEMVs over a materialized periodogram (same math, same
+        # round-6 values; the engine float contract is allclose).
+        self._fused_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def fused_design(self, n: int) -> tuple[np.ndarray, np.ndarray]:
+        f = self._fused_cache.get(n)
+        if f is None:
+            d = self.cache.get(n)
+            nf = d.cosv.shape[0]
+            d2 = np.ascontiguousarray(np.vstack([d.cosv, d.sinv]))
+            w2 = np.empty((2 * nf, 4), dtype=np.float64)
+            for b, w in enumerate((self.w_total, self.w_vlf, self.w_lf, self.w_hf)):
+                w2[:nf, b] = np.where(d.c_ok, w / d.cc, 0.0)
+                w2[nf:, b] = np.where(d.s_ok, w / d.ss, 0.0)
+            if len(self._fused_cache) >= 256:
+                self._fused_cache.clear()
+            self._fused_cache[n] = f = (d2, w2)
+        return f
 
     def __call__(self, rr_sec: np.ndarray, rr_t: np.ndarray, out: np.ndarray) -> None:
         """Write the 8 frequency features into out[9:17]."""
@@ -212,8 +249,6 @@ def batch_entropies(
     if n < m + 1:
         return out_s, out_a
     K = n - m + 1
-    iu = np.triu_indices(K, 1)
-    iu1 = np.triu_indices(K - 1, 1)
     corr = (n - m + 2) / (n - m)
     for lo in range(0, k, block):
         Yb = Y[lo : lo + block]
@@ -222,24 +257,29 @@ def batch_entropies(
         ok = sd > 0
         Z = (Yb - Yb.mean(axis=1, keepdims=True)) / np.where(sd == 0, 1.0, sd)[:, None]
         r = r_tol * sd
-        D = None
-        for t in range(m):
-            A = np.abs(Z[:, t : t + K, None] - Z[:, None, t : t + K])
-            D = A if D is None else np.maximum(D, A)
-        b = (D[:, iu[0], iu[1]] <= r[:, None]).sum(axis=1)
-        A = np.abs(Z[:, m : m + K - 1, None] - Z[:, None, m : m + K - 1])
-        D1 = np.maximum(D[:, : K - 1, : K - 1], A)  # Chebyshev(m+1) >= Chebyshev(m)
-        a = (D1[:, iu1[0], iu1[1]] <= r[:, None]).sum(axis=1)
-        pos = (a > 0) & (b > 0) & ok
-        se = np.zeros(kb)
-        se[pos] = -np.log((a[pos] / b[pos]) * corr)
-        out_s[lo : lo + block] = se
-        # ApEn: self-matches included; log-of-fraction averaged
+        # one full (n, n) |z_i - z_j| table; the lagged Chebyshev maxima
+        # are diagonal-shifted views of it (|a-b| is exactly symmetric, so
+        # every matrix below is symmetric with a zero diagonal)
+        A0 = np.abs(Z[:, :, None] - Z[:, None, :])
+        D = A0[:, :K, :K]
+        for t in range(1, m):
+            D = np.maximum(D, A0[:, t : t + K, t : t + K])
+        D1 = np.maximum(D[:, : K - 1, : K - 1], A0[:, m : m + K - 1, m : m + K - 1])
+        # ApEn row-counts (self-matches included) — and the SampEn pair
+        # counts fall out of the same matrices: for a symmetric D with
+        # diag 0 <= r, matches = 2 * (pairs i<j) + K, so the triu gather
+        # is redundant. Chebyshev(m+1) >= Chebyshev(m) keeps a nested.
         with np.errstate(divide="ignore", invalid="ignore"):
             C2 = (D <= r[:, None, None]).sum(axis=2)
             phi_m = np.where(C2 > 0, np.log(C2 / K), 0.0).sum(axis=1) / K
             C3 = (D1 <= r[:, None, None]).sum(axis=2)
             phi_m1 = np.where(C3 > 0, np.log(C3 / (K - 1)), 0.0).sum(axis=1) / (K - 1)
+        b = (C2.sum(axis=1) - K) >> 1
+        a = (C3.sum(axis=1) - (K - 1)) >> 1
+        pos = (a > 0) & (b > 0) & ok
+        se = np.zeros(kb)
+        se[pos] = -np.log((a[pos] / b[pos]) * corr)
+        out_s[lo : lo + block] = se
         out_a[lo : lo + block] = np.where(ok, phi_m - phi_m1, 0.0)
     return out_s, out_a
 
@@ -331,18 +371,26 @@ class WindowKernel:
         hi_idx = np.searchsorted(t_scaled, (ids * step + spw) * 1000, side="right")
         return ids, self.windows_from_bounds(rr_sec, lo_idx, hi_idx, rr_t)
 
+    ALL_PARTS = frozenset({"time", "freq", "poincare", "entropy", "tri"})
+
     def windows_from_bounds(
         self,
         rr_sec: np.ndarray,
         lo_idx: np.ndarray,
         hi_idx: np.ndarray,
         rr_t: np.ndarray | None = None,
+        parts: frozenset | None = None,
     ) -> np.ndarray:
         """Features for windows given precomputed [lo, hi) beat bounds
         (the shuffle-thin path: bounds travel as int32 pairs instead of
         the rr_t array). ``rr_t`` is required only for the Welch
-        fallback."""
+        fallback. ``parts`` restricts computation to the named feature
+        groups (guide §4.1 — a consumer that only reads the time-domain
+        columns should not pay for the spectral GEMM or the O(n^2)
+        entropy counts); skipped groups stay NaN and must not be read."""
         cfg = self.cfg
+        if parts is None:
+            parts = self.ALL_PARTS
         n_win = len(lo_idx)
         lens = hi_idx - lo_idx
         feats = np.full((n_win, N_FEATURES), np.nan, dtype=np.float64)
@@ -352,19 +400,24 @@ class WindowKernel:
             if n < cfg.min_beats_per_window:
                 continue  # all-NaN rows (data_processing_pipeline.py:724-728)
             Y = rr_sec[lo_idx[rows][:, None] + np.arange(n)[None, :]]  # (k, n)
-            self._batch_time(Y, feats, rows)
-            self._batch_freq(Y, feats, rows, rr_t=rr_t, lo_idx=lo_idx[rows])
-            self._batch_poincare(Y, feats, rows)
-            if n >= cfg.min_beats_entropy:
-                se, ae = batch_entropies(
-                    Y[:, : cfg.entropy_max_beats], cfg.entropy_m, cfg.entropy_r
-                )
-                feats[rows, 20] = se
-                feats[rows, 21] = ae
-            else:
-                feats[rows, 20] = 0.0
-                feats[rows, 21] = 0.0
-            feats[rows, 22] = batch_triangular_index(Y, cfg.tri_bin_seconds)
+            if "time" in parts:
+                self._batch_time(Y, feats, rows)
+            if "freq" in parts:
+                self._batch_freq(Y, feats, rows, rr_t=rr_t, lo_idx=lo_idx[rows])
+            if "poincare" in parts:
+                self._batch_poincare(Y, feats, rows)
+            if "entropy" in parts:
+                if n >= cfg.min_beats_entropy:
+                    se, ae = batch_entropies(
+                        Y[:, : cfg.entropy_max_beats], cfg.entropy_m, cfg.entropy_r
+                    )
+                    feats[rows, 20] = se
+                    feats[rows, 21] = ae
+                else:
+                    feats[rows, 20] = 0.0
+                    feats[rows, 21] = 0.0
+            if "tri" in parts:
+                feats[rows, 22] = batch_triangular_index(Y, cfg.tri_bin_seconds)
         return feats
 
     def _batch_time(self, Y: np.ndarray, feats: np.ndarray, rows: np.ndarray) -> None:
@@ -409,30 +462,32 @@ class WindowKernel:
                 self.freq_kernel(Y[j], t, out)
                 feats[r, 9:17] = out[9:17]
             return
-        d = self.freq_kernel.cache.get(n)
-        fk = self.freq_kernel
+        d2, w2 = self.freq_kernel.fused_design(n)
         s = cfg.power_scale
         k = Y.shape[0]
         total = np.empty(k)
         vlf = np.empty(k)
         lf = np.empty(k)
         hf = np.empty(k)
-        # block the GEMM so the (blk x n_freq) periodogram and its
-        # temporaries stay cache-resident: at full fan-out the kernel is
-        # memory-bound, not FLOP-bound
+        # block the GEMM so the (blk x 2F) projection stays cache-resident:
+        # at full fan-out the kernel is memory-bound, not FLOP-bound.
+        # band_b = max(0, sum_f w_bf * pgram_f) * s with the 1/cc, 1/ss and
+        # band weights folded into W2 and the per-row 2/(y.y) scale applied
+        # after the (blk, 2F) @ (2F, 4) reduction — same quantities as the
+        # explicit periodogram, minus five full-width elementwise passes.
         blk = 64
         for lo in range(0, k, blk):
             Yb = Y[lo : lo + blk]
-            YC = Yb @ d.cosv.T  # (blk, F)
-            YS = Yb @ d.sinv.T
-            cterm = np.where(d.c_ok[None, :], YC * YC / d.cc[None, :], 0.0)
-            sterm = np.where(d.s_ok[None, :], YS * YS / d.ss[None, :], 0.0)
-            pgram = 0.5 * (cterm + sterm) * (2.0 / np.einsum("ij,ij->i", Yb, Yb))[:, None]
+            S = Yb @ d2.T  # (blk, 2F)
+            np.multiply(S, S, out=S)
+            raw = S @ w2  # (blk, 4)
+            inv_yy = 1.0 / np.einsum("ij,ij->i", Yb, Yb)
+            band = np.maximum(0.0, raw * inv_yy[:, None]) * s
             sl = slice(lo, lo + Yb.shape[0])
-            total[sl] = np.maximum(0.0, pgram @ fk.w_total) * s
-            vlf[sl] = np.maximum(0.0, pgram @ fk.w_vlf) * s
-            lf[sl] = np.maximum(0.0, pgram @ fk.w_lf) * s
-            hf[sl] = np.maximum(0.0, pgram @ fk.w_hf) * s
+            total[sl] = band[:, 0]
+            vlf[sl] = band[:, 1]
+            lf[sl] = band[:, 2]
+            hf[sl] = band[:, 3]
         feats[rows, 9] = total
         feats[rows, 10] = vlf
         feats[rows, 11] = lf

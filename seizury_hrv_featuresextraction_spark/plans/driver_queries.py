@@ -2055,10 +2055,17 @@ def hrv_time_features_windows(spark, sf_dir):
     scratch, cross-checking token decode, window membership and the
     time-domain math end-to-end."""
     from ..config import DEFAULT_CONFIG
+    from ..functions.hrv import TIME_FEATURES
     from .hrv_pipeline import extract_features
 
     seq = sequences_from_events(spark, sf_dir)
-    feats = extract_features(seq, None, DEFAULT_CONFIG)
+    # fused=False == what the auto probe always resolves to for this wide
+    # derived input (n_splits probe is 0 for non-scan plans), minus the
+    # probe's extra aggregation job; features= skips the spectral GEMM
+    # and O(n^2) entropy groups this query never reads (guide §4.1).
+    feats = extract_features(
+        seq, None, DEFAULT_CONFIG, fused=False, features=TIME_FEATURES + ["TRI_INDEX"]
+    )
     return feats.filter(F.col("n_beats") >= 5).select(
         "doc_id",
         "window_id",
@@ -2515,10 +2522,14 @@ def hrv_spectral_poincare_windows(spark, sf_dir):
     from ..config import HRVConfig
     from .hrv_pipeline import extract_features
 
+    from ..functions.hrv import FREQ_FEATURES
+
     cfg = HRVConfig(freq_min=0.003, freq_max=0.4, n_freqs=12)
     s = cfg.power_scale
     seq = sequences_from_events(spark, sf_dir)
-    feats = extract_features(seq, None, cfg)
+    feats = extract_features(
+        seq, None, cfg, fused=False, features=FREQ_FEATURES + ["SD1", "SD2", "SD1toSD2"]
+    )
     return feats.filter(F.col("n_beats") >= 5).select(
         "doc_id",
         "window_id",
@@ -2627,7 +2638,9 @@ def hrv_entropy_windows(spark, sf_dir):
     seq = sequences_from_events(spark, sf_dir).filter(
         F.substring_index("doc_id", "-", -1).cast("long") % 3 == 2
     )
-    feats = extract_features(seq, None, DEFAULT_CONFIG)
+    feats = extract_features(
+        seq, None, DEFAULT_CONFIG, fused=False, features=["SampEn", "ApEn"]
+    )
     return feats.filter(F.col("n_beats") >= 5).select(
         "doc_id",
         "window_id",
@@ -3712,12 +3725,14 @@ def hrv_welch_windows(spark, sf_dir):
     from ..config import HRVConfig
     from .hrv_pipeline import extract_features
 
+    from ..functions.hrv import FREQ_FEATURES
+
     cfg = HRVConfig(use_welch_fallback=True)
     s = cfg.power_scale
     seq = sequences_from_events(spark, sf_dir).filter(
         F.substring_index("doc_id", "-", -1).cast("long") % 5 == 2
     )
-    feats = extract_features(seq, None, cfg)
+    feats = extract_features(seq, None, cfg, fused=False, features=FREQ_FEATURES)
     return feats.filter(F.col("n_beats") >= 5).select(
         "doc_id",
         "window_id",

@@ -33,7 +33,7 @@ from ..config import DEFAULT_CONFIG, HRVConfig
 from ..functions.hrv import ALL_FEATURES, WindowKernel
 from ..operators.labeling import build_label_intervals, label_windows
 from ..operators.skew import explode_chunks
-from ..schemas import FEATURES_KERNEL_SCHEMA
+from ..schemas import FEATURES_ARROW_SCHEMA
 
 _KERNEL_CACHE: dict[str, WindowKernel] = {}
 
@@ -50,17 +50,15 @@ def _get_kernel(cfg: HRVConfig) -> WindowKernel:
     return k
 
 
-def _kernel_batches(cfg: HRVConfig):
+def _kernel_batches(cfg: HRVConfig, features: list[str] | None = None):
     import pyarrow as pa
 
-    fs = float(cfg.sampling_rate)
-    spw = cfg.window_samples()
-    step = cfg.step_samples()
-    half = spw // 2
-    names = (
-        ["doc_id", "window_id", "window_start_time", "window_center_time",
-         "window_end_time", "center_sample", "n_beats"] + list(ALL_FEATURES)
-    )
+    from ..functions.hrv import parts_for
+
+    sel = list(features) if features is not None else list(ALL_FEATURES)
+    parts = parts_for(sel) if features is not None else None
+    idxs = [ALL_FEATURES.index(f) for f in sel]
+    names = ["doc_id", "window_id", "n_beats"] + sel
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         kernel = _get_kernel(cfg)
@@ -68,7 +66,6 @@ def _kernel_batches(cfg: HRVConfig):
             if not batch.num_rows:
                 continue
             cols = {batch.schema.names[i]: batch.column(i) for i in range(batch.num_columns)}
-            doc_ids = cols["doc_id"].to_pylist()
             win_lo_arr = cols["win_lo"].to_numpy(zero_copy_only=False)
             n_win_arr = cols["n_win"].to_numpy(zero_copy_only=False)
             tok_list = cols["tok"]
@@ -85,7 +82,6 @@ def _kernel_batches(cfg: HRVConfig):
             all_ids = np.empty(total_win, dtype=np.int64)
             all_feats = np.empty((total_win, len(ALL_FEATURES)), dtype=np.float64)
             all_beats = np.empty(total_win, dtype=np.int32)
-            doc_out: list[str] = []
             pos = 0
             for i in range(batch.num_rows):
                 a, b = int(tok_off[i]), int(tok_off[i + 1])
@@ -98,29 +94,28 @@ def _kernel_batches(cfg: HRVConfig):
                     rr_t = rrt_flat[int(rrt_off[i]) : int(rrt_off[i + 1])]
                 k = int(n_win_arr[i])
                 ids = np.arange(int(win_lo_arr[i]), int(win_lo_arr[i]) + k, dtype=np.int64)
-                feats = kernel.windows_from_bounds(rr, lo_idx, hi_idx, rr_t)
+                feats = kernel.windows_from_bounds(rr, lo_idx, hi_idx, rr_t, parts=parts)
                 all_ids[pos : pos + k] = ids
                 all_feats[pos : pos + k] = feats
                 all_beats[pos : pos + k] = (hi_idx - lo_idx).astype(np.int32)
-                doc_out.extend([doc_ids[i]] * k)
                 pos += k
 
-            starts = all_ids * step
+            # doc_id replicated per window with an Arrow-level take (no
+            # per-row Python string list)
+            doc_col = cols["doc_id"].take(
+                pa.array(np.repeat(np.arange(batch.num_rows), n_win_arr), type=pa.int64())
+            )
             arrays = [
-                pa.array(doc_out, type=pa.string()),
+                doc_col,
                 pa.array(all_ids, type=pa.int64()),
-                pa.array(starts / fs, type=pa.float64()),
-                pa.array((starts + half) / fs, type=pa.float64()),
-                pa.array((starts + spw) / fs, type=pa.float64()),
-                pa.array(starts + half, type=pa.int64()),
                 pa.array(all_beats, type=pa.int32()),
-            ] + [pa.array(all_feats[:, j], type=pa.float64()) for j in range(len(ALL_FEATURES))]
+            ] + [pa.array(all_feats[:, j], type=pa.float64()) for j in idxs]
             yield pa.RecordBatch.from_arrays(arrays, names=names)
 
     return gen
 
 
-def _fused_batches(cfg: HRVConfig):
+def _fused_batches(cfg: HRVConfig, features: list[str] | None = None):
     """tokens -> windowed features in ONE Arrow stage (no intermediate
     chunk rows, no shuffle, one JVM<->Python crossing). The right plan
     when doc lengths are bounded / pre-bucketed so no rebalancing is
@@ -129,7 +124,7 @@ def _fused_batches(cfg: HRVConfig):
 
     from ..operators.skew import _chunk_batch
 
-    kernel_gen = _kernel_batches(cfg)
+    kernel_gen = _kernel_batches(cfg, features)
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         def chunk_stream():
@@ -266,6 +261,7 @@ def extract_features(
     cfg: HRVConfig = DEFAULT_CONFIG,
     fused: bool | None = None,
     stats: dict | None = None,
+    features: list[str] | None = None,
 ) -> DataFrame:
     """sequences + annotations -> labeled windowed feature table.
 
@@ -280,13 +276,44 @@ def extract_features(
     """
     if fused is None:
         fused = choose_fused(stats or plan_stats(sequences, cfg), cfg)
+    sel = list(features) if features is not None else list(ALL_FEATURES)
+    if features is None:
+        schema = FEATURES_ARROW_SCHEMA
+    else:
+        import pyspark.sql.types as T
+
+        schema = T.StructType(
+            [FEATURES_ARROW_SCHEMA[0], FEATURES_ARROW_SCHEMA[1], FEATURES_ARROW_SCHEMA[2]]
+            + [T.StructField(name, T.DoubleType(), True) for name in sel]
+        )
     if fused:
         feats = sequences.select("doc_id", "tokens").mapInArrow(
-            _fused_batches(cfg), schema=FEATURES_KERNEL_SCHEMA
+            _fused_batches(cfg, features), schema=schema
         )
     else:
         chunks = explode_chunks(sequences, cfg)
-        feats = chunks.mapInArrow(_kernel_batches(cfg), schema=FEATURES_KERNEL_SCHEMA)
+        feats = chunks.mapInArrow(_kernel_batches(cfg, features), schema=schema)
+    # the four window-time/center columns are pure functions of window_id:
+    # computed as native expressions AFTER the Arrow stage so the Python
+    # boundary carries 32 fewer bytes per window (guide §4.1 — pass only
+    # what the kernel must produce). Same integer-exact arithmetic as the
+    # previous in-kernel emission: (id*step [+off]) is exact in int64 and
+    # the single double division matches NumPy's bit-for-bit.
+    fs = F.lit(float(cfg.sampling_rate))
+    spw = cfg.window_samples()
+    step = cfg.step_samples()
+    half = spw // 2
+    starts = F.col("window_id") * F.lit(step)
+    feats = feats.select(
+        "doc_id",
+        "window_id",
+        (starts / fs).alias("window_start_time"),
+        ((starts + F.lit(half)) / fs).alias("window_center_time"),
+        ((starts + F.lit(spw)) / fs).alias("window_end_time"),
+        (starts + F.lit(half)).alias("center_sample"),
+        "n_beats",
+        *sel,
+    )
     if annotations is not None:
         dims = doc_dimensions(sequences, cfg)
         intervals = build_label_intervals(annotations, dims, cfg)

@@ -144,35 +144,30 @@ def annotations_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     onset = the error's position in the doc's RR timeline (seconds from
     doc start), computed as the cumulative token time before it.
     """
+    from pyspark.sql import Window
+
     ev = load_table(spark, sf_dir, "events")
-    tok = (F.lit(400) + F.pmod(F.floor(F.col("s.value") * 100), F.lit(1100))).cast("int")
-    per_user = (
-        ev.select(
-            "user_id",
-            F.struct("ts", "event_id", "value", "event_type").alias("s"),
+    # onset of event i = sum of tokens of events 0..i-1 (in the per-user
+    # (ts, event_id, ...) sort order — event_id is unique, so this order
+    # is total and identical to the previous array_sort-of-structs form),
+    # as ONE running window sum instead of the O(n^2)-per-user
+    # aggregate(slice(evs, 1, i)) rescan — exact int64 arithmetic either
+    # way, so the emitted onsets are bit-identical.
+    tok = (F.lit(400) + F.pmod(F.floor(F.col("value") * 100), F.lit(1100))).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    onset = F.coalesce(F.sum(tok).over(w), F.lit(0).cast("long")) / F.lit(1000.0)
+    return (
+        ev.select("user_id", "ts", "event_id", "value", "event_type")
+        .withColumn("onset", onset)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.concat(F.lit("user-"), F.col("user_id").cast("string")).alias("doc_id"),
+            "onset",
+            F.lit(60.0).alias("duration"),
+            F.lit("sz").alias("event_type"),
         )
-        .groupBy("user_id")
-        .agg(F.array_sort(F.collect_list("s")).alias("evs"))
-    )
-    # onset of event i = sum of tokens of events 0..i-1, in seconds
-    exploded = per_user.select(
-        F.concat(F.lit("user-"), F.col("user_id").cast("string")).alias("doc_id"),
-        F.posexplode(
-            F.expr(
-                """
-                transform(evs, (s, i) ->
-                  named_struct(
-                    'event_type', s.event_type,
-                    'onset', aggregate(slice(evs, 1, i), 0L,
-                              (acc, p) -> acc + cast(400 + pmod(floor(p.value * 100), 1100) as long)) / 1000.0
-                  ))
-                """
-            )
-        ).alias("pos", "e"),
-    )
-    return exploded.filter(F.col("e.event_type") == "error").select(
-        "doc_id",
-        F.col("e.onset").alias("onset"),
-        F.lit(60.0).alias("duration"),
-        F.lit("sz").alias("event_type"),
     )
