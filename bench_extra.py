@@ -72,11 +72,9 @@ def bench_phases():
     )
     from seizury_hrv_featuresextraction_spark.operators.skew import explode_chunks
     from seizury_hrv_featuresextraction_spark.plans.hrv_pipeline import (
-        _kernel_batches,
         doc_dimensions,
         extract_features,
     )
-    from seizury_hrv_featuresextraction_spark.schemas import FEATURES_KERNEL_SCHEMA
 
     spark, sf_dir = make_session()
     repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "40"))
@@ -105,10 +103,7 @@ def bench_phases():
 
     run("p1_chunks_noshuffle", lambda: explode_chunks(seq, cfg_noshuffle))
     run("p2_chunks_shuffled", lambda: explode_chunks(seq, cfg))
-    run(
-        "p3_kernel_unlabeled",
-        lambda: explode_chunks(seq, cfg).mapInArrow(_kernel_batches(cfg), schema=FEATURES_KERNEL_SCHEMA),
-    )
+    run("p3_kernel_unlabeled", lambda: extract_features(seq, None, cfg, fused=False).drop("label"))
     run(
         "p3f_kernel_unlabeled_fused",
         lambda: extract_features(seq, None, cfg, fused=True).drop("label"),
