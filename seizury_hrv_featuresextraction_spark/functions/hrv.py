@@ -259,22 +259,25 @@ def batch_entropies(
         ok = sd > 0
         Z = (Yb - Yb.mean(axis=1, keepdims=True)) / np.where(sd == 0, 1.0, sd)[:, None]
         r = r_tol * sd
-        # one full (n, n) |z_i - z_j| table; the lagged Chebyshev maxima
-        # are diagonal-shifted views of it (|a-b| is exactly symmetric, so
-        # every matrix below is symmetric with a zero diagonal)
-        A0 = np.abs(Z[:, :, None] - Z[:, None, :])
-        D = A0[:, :K, :K]
+        # one full (n, n) |z_i - z_j| <= r table; a lag-t Chebyshev match
+        # is the AND of diagonal-shifted views (max(a,b) <= r == a<=r and
+        # b<=r), so the float max matrices never materialize. |a-b| is
+        # exactly symmetric, so every matrix below is symmetric with an
+        # all-true diagonal when r >= 0.
+        B = np.abs(Z[:, :, None] - Z[:, None, :]) <= r[:, None, None]
+        BM = B[:, :K, :K]
         for t in range(1, m):
-            D = np.maximum(D, A0[:, t : t + K, t : t + K])
-        D1 = np.maximum(D[:, : K - 1, : K - 1], A0[:, m : m + K - 1, m : m + K - 1])
+            BM = BM & B[:, t : t + K, t : t + K]
+        BM1 = BM[:, : K - 1, : K - 1] & B[:, m : m + K - 1, m : m + K - 1]
         # ApEn row-counts (self-matches included) — and the SampEn pair
-        # counts fall out of the same matrices: for a symmetric D with
-        # diag 0 <= r, matches = 2 * (pairs i<j) + K, so the triu gather
-        # is redundant. Chebyshev(m+1) >= Chebyshev(m) keeps a nested.
+        # counts fall out of the same matrices: for a symmetric match
+        # matrix with a true diagonal, matches = 2 * (pairs i<j) + K, so
+        # the triu gather is redundant. Chebyshev(m+1) >= Chebyshev(m)
+        # keeps a nested in b exactly as the scalar kernel requires.
         with np.errstate(divide="ignore", invalid="ignore"):
-            C2 = (D <= r[:, None, None]).sum(axis=2)
+            C2 = BM.sum(axis=2)
             phi_m = np.where(C2 > 0, np.log(C2 / K), 0.0).sum(axis=1) / K
-            C3 = (D1 <= r[:, None, None]).sum(axis=2)
+            C3 = BM1.sum(axis=2)
             phi_m1 = np.where(C3 > 0, np.log(C3 / (K - 1)), 0.0).sum(axis=1) / (K - 1)
         b = (C2.sum(axis=1) - K) >> 1
         a = (C3.sum(axis=1) - (K - 1)) >> 1

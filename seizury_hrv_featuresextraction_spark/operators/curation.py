@@ -969,6 +969,63 @@ def bpe_train_merges_local(
     return merges
 
 
+def _bpe_encode_kernel(merges: "list[tuple[str, str, int]]", end_mark: str):
+    """Arrow twin of the expression fold chain in ``bpe_encode``:
+    per-word greedy left-to-right merge application in rank order (the
+    exact ``bpe_train_merges_local`` apply loop), memoized on the
+    distinct words of each Arrow batch — O(k·len) once per DISTINCT
+    word instead of k nested interpreted folds per word INSTANCE.
+    Tokenization mirrors functions.text.words exactly (ASCII \\s split,
+    the device hash_embed_udf already pins bit-identical); md5 over the
+    '-'-joined stream is hashlib-over-UTF8 == Spark/DuckDB md5."""
+    import hashlib
+    import re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    split_ws = re.compile(r"\s+", re.ASCII)
+    mlist = [(left, right) for left, right, _ in merges]
+
+    def k(texts):
+        memo: dict[str, tuple[str, int]] = {}
+
+        def enc_word(w: str) -> tuple[str, int]:
+            got = memo.get(w)
+            if got is None:
+                syms = list(w) + [end_mark]
+                for left, right in mlist:
+                    out: list[str] = []
+                    j, n = 0, len(syms)
+                    while j < n:
+                        if j + 1 < n and syms[j] == left and syms[j + 1] == right:
+                            out.append(left + right)
+                            j += 2
+                        else:
+                            out.append(syms[j])
+                            j += 1
+                    syms = out
+                got = memo[w] = ("-".join(syms), len(syms))
+            return got
+
+        ns: list[int] = []
+        hs: list[str] = []
+        for t in texts:
+            segs: list[str] = []
+            total = 0
+            for w in split_ws.split(("" if t is None else t).strip().lower()):
+                if w:
+                    s, n = enc_word(w)
+                    segs.append(s)
+                    total += n
+            ns.append(total)
+            hs.append(hashlib.md5("-".join(segs).encode()).hexdigest())
+        return pd.DataFrame({"n_tokens": ns, "tok_md5": hs})
+
+    k.__annotations__ = {"texts": pd.Series, "return": pd.DataFrame}
+    return pandas_udf(k, "struct<n_tokens:bigint,tok_md5:string>")
+
+
 def bpe_encode(
     df: DataFrame,
     merges: "list[tuple[str, str, int]]",
@@ -976,6 +1033,7 @@ def bpe_encode(
     id_col: str = "doc_id",
     end_mark: str = "</w>",
     carry: tuple[str, ...] = (),
+    kernel: bool = True,
 ) -> DataFrame:
     """E52b: apply learned BPE merges — encode every document with the
     merge list from ``bpe_train_merges``, in rank order (the apply side
@@ -994,8 +1052,24 @@ def bpe_encode(
     Returns (id_col, n_tokens, tok_md5): token count and an md5 over
     the '-'-joined token stream (the E34 array-compare device — never
     compare array columns raw across engines). Empty/NULL docs encode
-    to zero tokens and md5('')."""
+    to zero tokens and md5('').
+
+    ``kernel=True`` (default, r9): the encode runs as ONE Arrow stage
+    memoized on distinct words (still zero shuffle/join — the merge
+    list ships in the closure, not the plan) — the expression fold
+    chain re-evaluates k nested interpreted folds per word INSTANCE and
+    measured ~10x slower at sf0.1 even at k=6. ``kernel=False`` keeps
+    the pure-Catalyst fold chain; a pytest pins the two bit-identical."""
     from ..functions.text import words
+
+    if kernel:
+        e = _bpe_encode_kernel(merges, end_mark)(F.coalesce(F.col(text_col), F.lit("")))
+        return df.select(
+            id_col,
+            *carry,
+            e["n_tokens"].alias("n_tokens"),
+            e["tok_md5"].alias("tok_md5"),
+        )
 
     def fold_merge(syms, left, right):
         step = lambda acc, x: F.when(  # noqa: E731

@@ -389,7 +389,16 @@ def connected_components(
     Returns (id, component) with component = min id in the component.
     """
     e = edges.select(F.col(id_col_a).alias("src"), F.col(id_col_b).alias("dst"))
-    sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # materialize the (sparse) symmetric edge set ONCE: without this,
+    # every iteration's propagate join AND every changed-count action
+    # re-executes the caller's full edge-derivation plan (e.g. the
+    # 9M-pair Fellegi-Sunter scoring upstream of golden_record) — the
+    # same lineage-truncation discipline the per-round labels already
+    # use. Edges here are the post-threshold sparse matches, the same
+    # storage class as the labels table.
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
     if nodes is None:
         nodes = sym.select(F.col("src").alias("id")).distinct()
     labels = nodes.select("id", F.col("id").alias("comp")).localCheckpoint(eager=True)

@@ -57,10 +57,15 @@ def ngram_stream(text: Column, n: int) -> Column:
 
 
 def ngram_stream_words(ws: Column, n: int) -> Column:
-    """``ngram_stream`` over an already-computed word array."""
+    """``ngram_stream`` over an already-computed word array.
+
+    Per-gram element_at lookups instead of slice(ws, i, n) — slice
+    allocates an n-element array per lambda call just to concat it
+    (same r9 device as functions.text.word_shingles_of; values
+    identical)."""
     return F.transform(
         _safe_range(F.size(ws) - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
+        lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j) for j in range(n)]),
     )
 
 

@@ -4964,14 +4964,21 @@ def chunk_hash_embeddings(spark, sf_dir):
     chunking and embedding both live in the scan stage; output exploded
     to (doc_id, chunk_id, dim_idx, val) so the twin compares plain
     doubles, never engine-specific array stringifications."""
-    from ..functions.vectors import hash_embed
+    from ..functions.vectors import hash_embed_udf
     from ..operators.curation import chunk_documents
     from ..operators.dedup import spread
 
     docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     chunks = chunk_documents(docs, "doc_id", "text", chunk_words=32, stride=24)
+    # r9: the O(n_words + dim) Arrow scatter kernel replaces the fused
+    # expression form, whose normalize wrapper re-evaluates the raw
+    # aggregate per output slot (effectively O(dim^2 x n_words)/row —
+    # the hash_embed docstring's own cliff). Values are BIT-IDENTICAL
+    # by construction (same md5 devices, exact integer components, same
+    # single float normalize — pinned by the E45b bitwise pytest);
+    # measured 13.3 -> ~1 s at sf0.1.
     emb = chunks.select(
-        "doc_id", "chunk_id", hash_embed(F.col("chunk_text"), dim=16).alias("v")
+        "doc_id", "chunk_id", hash_embed_udf(16)(F.col("chunk_text")).alias("v")
     )
     return emb.select(
         "doc_id",
@@ -6011,11 +6018,13 @@ def bpe_encode_docs(spark, sf_dir):
     comparison. The twin re-trains through its v6 CTE (the fully-merged
     vocab) and rebuilds each doc's stream by positional word lookup —
     an INDEPENDENT encode path (vocab join) checking the fold chain."""
-    from ..operators.curation import bpe_encode, bpe_train_merges
+    from ..operators.curation import bpe_encode, bpe_train_merges_local
     from ..operators.dedup import spread
 
     docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
-    merges = bpe_train_merges(docs, "text", k=6)
+    # r9: train driver-local (E52c, pytest-pinned bit-identical merges)
+    # — same merge list without k sequential Spark rounds
+    merges = bpe_train_merges_local(docs, "text", k=6)
     return bpe_encode(docs, merges)
 
 
@@ -6344,10 +6353,11 @@ def tokenizer_fertility_docs(spark, sf_dir):
     scan-stage), aggregate per source (the ONLY exchange, |sources|
     keys, map-side combined). The twin re-trains through v6 and counts
     tokens INDEPENDENTLY by positional vocab join."""
-    from ..operators.curation import bpe_train_merges, tokenizer_fertility
+    from ..operators.curation import bpe_train_merges_local, tokenizer_fertility
 
     docs = load_table(spark, sf_dir, "documents").select("source", "text")
-    merges = bpe_train_merges(docs, "text", k=6)
+    # r9: driver-local trainer (bit-identical merges, no per-round jobs)
+    merges = bpe_train_merges_local(docs, "text", k=6)
     return tokenizer_fertility(docs, merges)
 
 
@@ -7484,11 +7494,22 @@ def _customer_linkage_frames(cust):
         .otherwise(F.col("c_mktsegment"))
         .alias("seg_b"),
     )
-    pairs = a.join(b, a["nk"] == b["nk"]).select(
+    # blocking join shape (r9): spread the stream side and BROADCAST the
+    # dirtied clone — a plain join on the 25-value nation key caps
+    # parallelism at 25 tasks (and the single-split scan made it ONE),
+    # while the clone comfortably fits a broadcast at any SF the blocked
+    # design admits. g_near uses the banded threshold levenshtein
+    # (lev(a,b,2) >= 0 <=> lev(a,b) <= 2, NULL-identical) — O(len*k)
+    # per pair instead of O(len^2). Measured 63.3 -> 3.0 s at sf0.1
+    # with an order-insensitive xxhash64 checksum equal over all
+    # 9 017 184 pair rows.
+    from ..operators.dedup import spread
+
+    pairs = spread(a).join(F.broadcast(b), "nk").select(
         "id_a",
         "id_b",
         F.coalesce(F.col("name_a") == F.col("name_b"), F.lit(False)).alias("g_name"),
-        F.coalesce(F.levenshtein("name_a", "name_b") <= 2, F.lit(False)).alias("g_near"),
+        F.coalesce(F.levenshtein("name_a", "name_b", 2) >= 0, F.lit(False)).alias("g_near"),
         F.coalesce(F.col("seg_a") == F.col("seg_b"), F.lit(False)).alias("g_seg"),
         F.coalesce(F.abs(F.col("bal_a") - F.col("bal_b")) <= 1.5, F.lit(False)).alias("g_bal"),
     )

@@ -117,21 +117,25 @@ def sequences_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     after collection, so the result is plan-independent.
     """
     ev = load_table(spark, sf_dir, "events")
-    tok = (F.lit(400) + F.pmod(F.floor(F.col("s.value") * 100), F.lit(1100))).cast("int")
+    # token arithmetic runs codegen'd per EVENT ROW before the shuffle;
+    # the post-collect transform is then a trivial field extraction
+    # instead of an interpreted cast+pmod+floor chain per element, and
+    # the collected struct is (ts, event_id, tok:int) — narrower than
+    # shipping the raw double. Sort order unchanged: event_id is unique,
+    # so the struct sort never reaches the third field.
+    tok = (F.lit(400) + F.pmod(F.floor(F.col("value") * 100), F.lit(1100))).cast("int")
     return (
         ev.select(
             "user_id",
             F.struct(
-                F.col("ts").alias("ts"), F.col("event_id").alias("event_id"), F.col("value").alias("value")
+                F.col("ts").alias("ts"), F.col("event_id").alias("event_id"), tok.alias("tok")
             ).alias("s"),
         )
         .groupBy("user_id")
         .agg(F.array_sort(F.collect_list("s")).alias("evs"))
         .select(
             F.concat(F.lit("user-"), F.col("user_id").cast("string")).alias("doc_id"),
-            F.expr(
-                "transform(evs, s -> cast(400 + pmod(floor(s.value * 100), 1100) as int))"
-            ).alias("tokens"),
+            F.expr("transform(evs, s -> s.tok)").alias("tokens"),
         )
         .withColumn("n_tok", F.size("tokens").cast("int"))
         .withColumn("source", F.lit("derived-events-v1"))

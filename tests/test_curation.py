@@ -963,3 +963,30 @@ def test_k_anonymity_audit_flags_and_null_sentinel(spark):
 
     with pytest.raises(ValueError):
         k_anonymity_audit(df, ["g"], "seg", k=0)
+
+
+def test_bpe_encode_kernel_bit_identical_to_expression(spark):
+    """r9: the Arrow memoized encode (kernel=True, the default) must be
+    BIT-IDENTICAL to the pure-Catalyst fold chain (kernel=False) —
+    same n_tokens and the same md5 over the '-'-joined stream, across
+    repeats, overlapping runs, multi-space text, empty and NULL docs."""
+    from seizury_hrv_featuresextraction_spark.operators.curation import (
+        bpe_encode,
+        bpe_train_merges,
+    )
+
+    texts = {
+        1: "low low low lower lower newest newest newest newest widest widest",
+        2: "banana bandana aaaa aaaa aaa",
+        3: "",
+        4: None,
+        5: "  spaced   out\ttext  with  runs aaa  ",
+        6: "low newest banana low",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    merges = bpe_train_merges(df, "text", k=5)
+    got_k = {r["doc_id"]: (r["n_tokens"], r["tok_md5"])
+             for r in bpe_encode(df, merges, kernel=True).collect()}
+    got_e = {r["doc_id"]: (r["n_tokens"], r["tok_md5"])
+             for r in bpe_encode(df, merges, kernel=False).collect()}
+    assert got_k == got_e
