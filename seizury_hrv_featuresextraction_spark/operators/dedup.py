@@ -1030,20 +1030,53 @@ def winnow_keys(ws: Column, k: int = 5, w: int = 4) -> Column:
     rightmost on ties via the position complement). Shared by the
     batch sketch builder below and the streaming evidence pass
     (streaming/curation_stream.py) so both select IDENTICAL keys."""
+    return winnow_select(winnow_packed_keys(ws, k), w)
+
+
+def winnow_packed_keys(ws: Column, k: int = 5) -> Column:
+    """The packed per-shingle key array (winnowing phase 1). Project
+    this as its OWN column before applying ``winnow_select``: embedded
+    directly inside the selection lambda, the whole n-hash array would
+    re-evaluate per WINDOW (no common-subexpression elimination across
+    higher-order lambdas) — the O(n^2)-md5 shape r9 measured and fixed.
+    Empty when the doc has fewer than k words."""
     n_sh = F.size(ws) - F.lit(k - 1)
+    # k element_at lookups instead of slice-then-join per shingle
+    # (identical string, no per-shingle array allocation)
     h28 = lambda i: F.conv(  # noqa: E731
-        F.substring(F.md5(F.array_join(F.slice(ws, i, k), " ")), 1, 7), 16, 10
+        F.substring(
+            F.md5(F.concat_ws(" ", *[F.element_at(ws, i + j) for j in range(k)])), 1, 7
+        ),
+        16,
+        10,
     ).cast("long")
-    keys = F.transform(
-        F.sequence(F.lit(1), n_sh),
-        lambda i: h28(i) * F.lit(4294967296) + (F.lit(4294967295) - (i - 1)),
-    )
-    # window starts 1..max(1, n_sh-w+1); slice() clamps at the array end,
-    # so a doc with n_sh < w yields exactly one all-shingle window
-    starts = F.sequence(F.lit(1), F.greatest(F.lit(1), n_sh - F.lit(w - 1)))
-    return F.array_distinct(
-        F.transform(starts, lambda s: F.array_min(F.slice(keys, s, w)))
-    )
+    return F.when(
+        n_sh >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: h28(i) * F.lit(4294967296) + (F.lit(4294967295) - (i - 1)),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+
+
+def winnow_select(keys: Column, w: int = 4) -> Column:
+    """Winnowing phase 2 over a MATERIALIZED packed-key column: min per
+    w-key window (rightmost on ties via the position complement).
+    try_element_at is NULL past the array end and least() SKIPS nulls,
+    so the clamped short-doc window (n_sh < w -> one all-shingle
+    window) selects the identical minimum the old array_min(slice)
+    form produced, without a w-element slice allocation per window."""
+    n_sh = F.size(keys)
+    starts = F.when(
+        n_sh >= 1, F.sequence(F.lit(1), F.greatest(F.lit(1), n_sh - F.lit(w - 1)))
+    ).otherwise(F.array().cast("array<int>"))
+    if w == 1:
+        pick = lambda s: F.try_element_at(keys, s.cast("int"))  # noqa: E731
+    else:
+        pick = lambda s: F.least(  # noqa: E731
+            *[F.try_element_at(keys, (s + j).cast("int")) for j in range(w)]
+        )
+    return F.array_distinct(F.transform(starts, pick))
 
 
 def winnowing_fingerprints(
@@ -1084,8 +1117,11 @@ def winnowing_fingerprints(
             words(F.coalesce(F.col(text_col), F.lit(""))).alias("ws"),
         )
         .filter(F.size("ws") >= k)
+        # phase 1 as its own projection so the n-hash key array is
+        # evaluated once per doc, not once per selection window
+        .select("doc_id", winnow_packed_keys(F.col("ws"), k).alias("__keys"))
     )
-    e = d.select("doc_id", F.explode(winnow_keys(F.col("ws"), k, w)).alias("key"))
+    e = d.select("doc_id", F.explode(winnow_select(F.col("__keys"), w)).alias("key"))
     return e.select(
         "doc_id",
         (F.lit(4294967295) - F.col("key").bitwiseAND(F.lit(4294967295)) + 1)
@@ -1372,10 +1408,14 @@ def fuzzy_dup_pairs(
         )
     a = t.select(F.col("doc_id").alias("id_a"), F.col("title").alias("ta"), "blk")
     b = t.select(F.col("doc_id").alias("id_b"), F.col("title").alias("tb"), "blk")
+    # banded threshold levenshtein (r9): lev(a, b, k) returns the exact
+    # distance when <= k and -1 otherwise, computing only the O(len*k)
+    # band — kept pairs carry the identical dist value, dropped pairs
+    # are exactly those the full DP would have filtered.
     return (
         a.join(b, "blk")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("dist", F.levenshtein("ta", "tb").cast("long"))
-        .filter(F.col("dist") <= max_dist)
+        .withColumn("dist", F.levenshtein("ta", "tb", max_dist).cast("long"))
+        .filter(F.col("dist") >= 0)
         .select("id_a", "id_b", "dist")
     )

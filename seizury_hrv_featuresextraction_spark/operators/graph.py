@@ -48,8 +48,17 @@ def pagerank_fixed_point(
     sum over nodes stays ~scale (mass conserved up to integer-division
     truncation, which both engines apply identically)."""
     e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # materialize the sparse symmetric edge set + degrees ONCE (r9):
+    # without this every iteration's contrib join re-executes the
+    # caller's full pair-derivation plan (e.g. the minhash-LSH banding
+    # upstream of pagerank_dup_graph) — the same lineage discipline the
+    # per-round ranks already follow when checkpoint=True.
     edges = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    if checkpoint:
+        edges = edges.localCheckpoint(eager=True)
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    if checkpoint:
+        deg = deg.localCheckpoint(eager=True)
     n = deg.count()  # one bounded job; nodes of the SPARSE dup graph
     if n == 0:
         return deg.select("u", "deg", F.lit(0).cast("long").alias("rank_fp"))

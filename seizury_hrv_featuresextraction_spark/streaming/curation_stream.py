@@ -219,15 +219,19 @@ def streaming_fingerprint_overlap(
     within one doc are exact regardless of microbatch split because a
     doc's fps carry its single event time — a doc never straddles
     windows."""
-    from ..operators.dedup import winnow_keys
+    from ..operators.dedup import winnow_packed_keys, winnow_select
     from ..functions.text import words
 
     ws = words(F.coalesce(F.col(text_col), F.lit("")))
-    fps = F.array_distinct(
+    packed = F.when(F.size(ws) >= k, winnow_packed_keys(ws, k)).otherwise(
+        F.array().cast("array<long>")
+    )
+    # selection keys are identical to the batch sketch by construction
+    # (same winnow_packed_keys/winnow_select split; r9 projects the
+    # key array as its own column so it evaluates once per doc)
+    fps_of = lambda keys: F.array_distinct(  # noqa: E731
         F.transform(
-            F.when(F.size(ws) >= k, winnow_keys(ws, k, w)).otherwise(
-                F.array().cast("array<long>")
-            ),
+            winnow_select(keys, w),
             lambda key: F.shiftright(key, 32).cast("long"),
         )
     )
@@ -243,7 +247,12 @@ def streaming_fingerprint_overlap(
         .select(
             F.col(id_col).alias("new_id"),
             F.col(time_col).alias("__t"),
-            F.explode(fps).alias("fp"),
+            packed.alias("__keys"),
+        )
+        .select(
+            "new_id",
+            "__t",
+            F.explode(fps_of(F.col("__keys"))).alias("fp"),
         )
     )
     ref = ref_fps.select(F.col("doc_id").alias("ref_id"), "fp").distinct()
