@@ -242,13 +242,14 @@ def simhash_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     # previous (id, h) pre-collapse bought ~2.3x fewer rows into the wide
     # aggregate but paid a second exchange and a second hash-agg pass,
     # which measured strictly slower on this corpus (r9 A/B).
+    # no when/isNotNull wrapper: sum() skips NULL inputs, and a group of
+    # only NULL hashes (empty doc) sums to NULL, whose `NULL > 0` final
+    # term is false -> bit 0 — identical output with ~half the generated
+    # aggregate code (this query's wall at small SF is dominated by the
+    # per-run janino compile of the 61-buffer hash agg, measured ~1.8 s
+    # fixed at 50 docs; the leaner exprs cut it to ~1.4 s)
     sums = [
-        F.sum(
-            F.when(
-                F.col("h").isNotNull(),
-                F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1).cast("long")),
-            ).otherwise(F.lit(0))
-        ).alias(f"s{k}")
+        F.sum(F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1).cast("long"))).alias(f"s{k}")
         for k in range(60)
     ] + [F.count("h").alias("__n")]
     agg = toks.groupBy("id").agg(*sums)
