@@ -318,3 +318,52 @@ def test_tokenize_detokenize_roundtrip_property(spark, texts):
             assert rt[i] == expected, (t, rt.get(i))
         else:
             assert i not in rt
+
+
+def test_batch_entropies_bitwise_matches_scalar_kernels():
+    """r9: the boolean lag-AND batch entropy counter (diagonal-shifted
+    views of one |zi-zj| <= r table; SampEn pair counts derived from the
+    symmetric ApEn row counts) must be BIT-IDENTICAL to the scalar
+    kernels — integer match counts admit no tolerance."""
+    import numpy as np
+
+    from seizury_hrv_featuresextraction_spark.functions.hrv import (
+        approximate_entropy,
+        batch_entropies,
+        sample_entropy,
+    )
+
+    rng = np.random.default_rng(7)
+    for n in (10, 11, 15, 37, 60):
+        Y = 0.8 + 0.25 * rng.standard_normal((200, n))
+        Y[3] = 0.7  # sd == 0 row must yield 0.0 entropies
+        se, ae = batch_entropies(Y)
+        assert np.array_equal(se, np.array([sample_entropy(y) for y in Y])), n
+        assert np.array_equal(ae, np.array([approximate_entropy(y) for y in Y])), n
+
+
+def test_batch_freq_quadform_allclose_to_scalar_grid():
+    """r9: the quadratic-form batch band powers (y^T M_b y with cached
+    (n, n) matrices) vs the scalar explicit-grid Lomb-Scargle path —
+    allclose at the engine contract (rtol 1e-9) and identical after the
+    cross-engine round-6, at BOTH the default 1000-point grid and the
+    oracle-twin 12-point grid."""
+    import numpy as np
+
+    from seizury_hrv_featuresextraction_spark.config import DEFAULT_CONFIG, HRVConfig
+    from seizury_hrv_featuresextraction_spark.functions.hrv import WindowKernel
+
+    rng = np.random.default_rng(11)
+    for cfg in (DEFAULT_CONFIG, HRVConfig(freq_min=0.003, freq_max=0.4, n_freqs=12)):
+        k = WindowKernel(cfg)
+        for n in (9, 12, 37):
+            Y = 0.4 + 1.1 * rng.random((300, n))
+            feats = np.full((300, 23), np.nan)
+            k._batch_freq(Y, feats, np.arange(300))
+            out = np.empty(23)
+            ref = np.empty((300, 8))
+            for i in range(300):
+                k.freq_kernel(Y[i], np.cumsum(Y[i]), out)
+                ref[i] = out[9:17]
+            assert np.allclose(feats[:, 9:17], ref, rtol=1e-9, atol=1e-12), (cfg.n_freqs, n)
+            assert np.array_equal(np.round(feats[:, 9:17], 6), np.round(ref, 6)), (cfg.n_freqs, n)
