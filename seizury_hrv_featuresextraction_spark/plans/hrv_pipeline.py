@@ -292,6 +292,10 @@ def extract_features(
         )
     else:
         chunks = explode_chunks(sequences, cfg)
+        # explicit projection before the opaque Arrow stage (guide §4.1):
+        # the kernel never reads chunk_id/n_samples, and Spark cannot see
+        # inside mapInArrow to prune them itself
+        chunks = chunks.select("doc_id", "win_lo", "n_win", "tok", "bounds", "rr_t")
         feats = chunks.mapInArrow(_kernel_batches(cfg, features), schema=schema)
     # the four window-time/center columns are pure functions of window_id:
     # computed as native expressions AFTER the Arrow stage so the Python
