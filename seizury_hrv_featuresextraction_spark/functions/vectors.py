@@ -62,7 +62,13 @@ def plane_weights(dim: int, g: int, seed: int = 7) -> list[float]:
 
 def _plane_sign(vec: Column, dim: int, g: int, bit: int, seed: int) -> Column:
     """(1<<bit) if the projection of ``vec`` onto plane g is > 0 else 0."""
-    ws = F.array(*[F.lit(w) for w in plane_weights(dim, g, seed)])
+    from ..planutil import literal_array
+
+    # every weight is a 32-bit-int / 2^31 - 1 whose repr() round-trips
+    # exactly through the SQL parser (planutil.literal_array) — and the
+    # per-element F.lit py4j cost across n_planes x bands plane arrays
+    # was a measurable per-query-build driver wall
+    ws = literal_array(plane_weights(dim, g, seed), "DOUBLE")
     proj = F.aggregate(
         F.zip_with(vec, ws, lambda x, w: x * w), F.lit(0.0), lambda acc, v: acc + v
     )

@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import _safe_range, words
+from ..planutil import literal_array
 
 # ---------------------------------------------------------------------------
 # E25: Gopher-style repetition statistics + filter
@@ -584,7 +585,7 @@ def hashed_linear_classifier(
     score so an external twin's independently-ordered sum makes the
     identical keep/drop decision."""
     dim = len(weights)
-    warr = F.array(*[F.lit(float(x)) for x in weights])
+    warr = literal_array([float(x) for x in weights], "DOUBLE")
     ws = words(F.coalesce(F.col(text_col), F.lit("")))
     bucket = lambda w: F.pmod(  # noqa: E731
         F.conv(F.substring(F.md5(F.concat(F.lit(feature_seed), w)), 1, 15), 16, 10).cast(
@@ -1222,7 +1223,7 @@ def hashed_quality_prob(text: Column, weights: list[float], bias: float = 0.0) -
     other scan-stage compositions — hashed_linear_classifier is the
     full-projection operator form)."""
     dim = len(weights)
-    warr = F.array(*[F.lit(float(x)) for x in weights])
+    warr = literal_array([float(x) for x in weights], "DOUBLE")
     ws = words(F.coalesce(text, F.lit("")))
     bucket = lambda w: F.pmod(  # noqa: E731
         F.conv(F.substring(F.md5(F.concat(F.lit("f:"), w)), 1, 15), 16, 10).cast("long"),

@@ -120,7 +120,12 @@ def cms_build(
 def cms_estimate(gram: Column, sketch: list[int], depth: int, width: int) -> Column:
     """Point estimate for ``gram``: min over depth rows of the sketch
     cell its bucket hashes to.  Never below the true count."""
-    lit = F.lit(sketch)
+    from ..planutil import literal_array
+
+    # ONE parsed SQL literal, not F.lit(16k-element list): the py4j
+    # per-element conversion cost ~6 s of driver wall per query build
+    # (r9 measurement) — it dominated this operator's whole wall
+    lit = literal_array(sketch, "BIGINT")
     dg = _digest(gram)
     cells = [
         F.element_at(lit, (F.lit(r * width) + _bucket(dg, r, width) + 1).cast("int"))

@@ -98,3 +98,23 @@ def scan_num_partitions(df: DataFrame) -> int | None:
         return df.rdd.getNumPartitions()
     except Exception:  # pragma: no cover - defensive
         return None
+
+
+def literal_array(values, sql_type: str):
+    """A large numeric literal array as ONE parsed SQL expression.
+
+    ``F.lit(big_list)`` / ``F.array(*[F.lit(x) ...])`` pay a py4j
+    round-trip per element at QUERY BUILD time — measured ~6 s of
+    driver wall for a 16 384-int list (the r9 cms_estimate finding) and
+    ~1 s for 1 024 doubles, every time the query function is invoked.
+    Formatting the values into one ``array(...)`` SQL text parses in
+    milliseconds and analyzes to the identical literal array: integer
+    text parses exactly, and float repr() text parses as an exact
+    DECIMAL (or an exponent DOUBLE literal) whose cast to DOUBLE is
+    correctly rounded — recovering the exact IEEE bits repr() encodes.
+    Values must be finite numbers.
+    """
+    from pyspark.sql import functions as F
+
+    body = ",".join(repr(v) for v in values)
+    return F.expr(f"CAST(array({body}) AS ARRAY<{sql_type}>)")
