@@ -79,26 +79,52 @@ def _kernel_batches(cfg: HRVConfig, features: list[str] | None = None):
             rrt_flat = rrt_list.values.to_numpy(zero_copy_only=False)
 
             total_win = int(n_win_arr.sum())
-            all_ids = np.empty(total_win, dtype=np.int64)
-            all_feats = np.empty((total_win, len(ALL_FEATURES)), dtype=np.float64)
-            all_beats = np.empty(total_win, dtype=np.int32)
-            pos = 0
-            for i in range(batch.num_rows):
-                a, b = int(tok_off[i]), int(tok_off[i + 1])
-                rr = tok_flat[a:b].astype(np.float64) / 1000.0
-                bounds = b_flat[int(b_off[i]) : int(b_off[i + 1])].astype(np.int64)
-                lo_idx = bounds[0::2]
-                hi_idx = bounds[1::2]
-                rr_t = None
-                if rrt_off[i + 1] > rrt_off[i]:
-                    rr_t = rrt_flat[int(rrt_off[i]) : int(rrt_off[i + 1])]
-                k = int(n_win_arr[i])
-                ids = np.arange(int(win_lo_arr[i]), int(win_lo_arr[i]) + k, dtype=np.int64)
-                feats = kernel.windows_from_bounds(rr, lo_idx, hi_idx, rr_t, parts=parts)
-                all_ids[pos : pos + k] = ids
-                all_feats[pos : pos + k] = feats
-                all_beats[pos : pos + k] = (hi_idx - lo_idx).astype(np.int32)
-                pos += k
+            if not cfg.use_welch_fallback:
+                # ONE kernel call over every chunk in the record batch:
+                # the per-chunk bounds are offsets into the chunk's own
+                # token slice, so adding each chunk's flat-token offset
+                # turns them into gathers over ONE shared rr array —
+                # windows regroup by beat count across ~hundreds of
+                # chunks (bigger GEMM/entropy groups, no per-chunk
+                # NumPy call overhead). Per-window math is untouched, so
+                # values are identical to the per-chunk loop.
+                rr_all = tok_flat.astype(np.float64) / 1000.0
+                n_bounds = b_off[1:] - b_off[:-1]
+                gb = b_flat.astype(np.int64) + np.repeat(tok_off[:-1], n_bounds)
+                lo_idx = gb[0::2]
+                hi_idx = gb[1::2]
+                # global window ids: arange within each chunk + win_lo
+                starts = np.concatenate([[0], np.cumsum(n_win_arr)[:-1]])
+                all_ids = (
+                    np.arange(total_win, dtype=np.int64)
+                    - np.repeat(starts, n_win_arr)
+                    + np.repeat(win_lo_arr, n_win_arr)
+                )
+                all_feats = kernel.windows_from_bounds(rr_all, lo_idx, hi_idx, None, parts=parts)
+                all_beats = (hi_idx - lo_idx).astype(np.int32)
+            else:
+                # Welch fallback needs each chunk's absolute rr_t times —
+                # keep the per-chunk loop (exercised only when configured)
+                all_ids = np.empty(total_win, dtype=np.int64)
+                all_feats = np.empty((total_win, len(ALL_FEATURES)), dtype=np.float64)
+                all_beats = np.empty(total_win, dtype=np.int32)
+                pos = 0
+                for i in range(batch.num_rows):
+                    a, b = int(tok_off[i]), int(tok_off[i + 1])
+                    rr = tok_flat[a:b].astype(np.float64) / 1000.0
+                    bounds = b_flat[int(b_off[i]) : int(b_off[i + 1])].astype(np.int64)
+                    lo_idx = bounds[0::2]
+                    hi_idx = bounds[1::2]
+                    rr_t = None
+                    if rrt_off[i + 1] > rrt_off[i]:
+                        rr_t = rrt_flat[int(rrt_off[i]) : int(rrt_off[i + 1])]
+                    k = int(n_win_arr[i])
+                    ids = np.arange(int(win_lo_arr[i]), int(win_lo_arr[i]) + k, dtype=np.int64)
+                    feats = kernel.windows_from_bounds(rr, lo_idx, hi_idx, rr_t, parts=parts)
+                    all_ids[pos : pos + k] = ids
+                    all_feats[pos : pos + k] = feats
+                    all_beats[pos : pos + k] = (hi_idx - lo_idx).astype(np.int32)
+                    pos += k
 
             # doc_id replicated per window with an Arrow-level take (no
             # per-row Python string list)
